@@ -1,0 +1,56 @@
+"""Deterministic cross-engine numeric aggregation helpers.
+
+Problem: ``SUM(double)`` is order-dependent; Spark's partial/final
+aggregation and DuckDB's parallel aggregation sum in different orders,
+so the low bits differ and the driver's value-hash comparison fails.
+
+Pattern used by every money-sum in this engine:
+
+    CAST(SUM(CAST(<per-row double expr> AS DECIMAL(30,6))) AS DOUBLE)
+
+- the per-row double expression is IEEE-deterministic (same value in
+  any engine),
+- the double→decimal(30,6) cast rounds to a fixed scale chosen so every
+  true value in the data is ON the 6-decimal grid (inputs have ≤2
+  decimals; triple products have ≤6) — no rounding ties, so Spark's
+  HALF_UP and DuckDB's rounding agree,
+- the decimal SUM is exact integer arithmetic (order-independent),
+- the final decimal→double cast is deterministic.
+
+This is also the right thing at 100 TB: decimal sums stay in Tungsten
+whole-stage codegen with map-side partial aggregation; no UDF, no
+precision drift across billions of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "DECIMAL(30,6)"
+
+
+def dsum(expr: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM of a double expression, returned as DOUBLE."""
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    out = F.sum(col.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(expr: Column | str, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum cast to double, divided
+    by the group count (double division is deterministic)."""
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    out = F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    """The equivalent ANSI SQL fragment for the DuckDB oracle."""
+    return f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
+
+
+def davg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    )

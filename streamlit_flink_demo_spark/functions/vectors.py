@@ -1,0 +1,50 @@
+"""Vector math over array columns — JVM-side, no UDFs.
+
+Embeddings are ``array<float>``.  All arithmetic is done in DOUBLE with
+a fixed left-to-right summation order (``F.aggregate`` folds
+sequentially), which makes results bit-identical to a DuckDB oracle
+that sums a list comprehension — both engines evaluate the same IEEE
+operations in the same order.  Staying in built-in higher-order
+functions keeps the hot loop in codegen; a Pandas-UDF variant would pay
+Arrow transfer for no gain at 64 dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB fragment: same sequential double dot product.
+
+    ``list_sum`` is not guaranteed sequential, so fold explicitly via
+    a comprehension + list_aggregate('sum')?  No — DuckDB list_aggregate
+    sums left-to-right over the materialized list; with all terms double
+    and identical order the result matches F.aggregate.
+    """
+    return (
+        f"list_aggregate([({a})[i+1]::DOUBLE * ({b})[i+1]::DOUBLE "
+        f"for i in range({dim})], 'sum')"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})))"
+    )

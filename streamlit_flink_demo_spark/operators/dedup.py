@@ -1,0 +1,328 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each designed as shuffle-aware DataFrame compositions
+that survive 100 TB:
+
+- exact:       one groupBy on md5(text) — single shuffle of (hash, id).
+- minhash+LSH: shingle → K minhashes → band keys → bucket self-join.
+  Candidate generation never compares all pairs: cost is bounded by
+  bucket sizes, and a document-frequency cap on shingles prevents
+  degenerate buckets (standard anti-skew guard).
+- simhash:     token-hash bit voting → one 32-bit signature per doc;
+  one explode + one groupBy.
+- n-gram Jaccard: inverted index on 3-word shingles, exact Jaccard via
+  |∩| counts — never materializes token sets pairwise.
+
+Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; keeper = min id.
+    Shuffles only (hash, doc_id) — the text never crosses the wire."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingle machinery (3-word shingles)
+# --------------------------------------------------------------------------
+
+# Spark-side: tokens → 3-gram shingles (distinct per doc).
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
+    "element_at(toks, i+2))))"
+)
+
+# DuckDB-side CTE producing the identical (doc_id, shingle) pairs.
+_SH_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 for i in range(len(t) - 2)]) AS s
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct 3-word shingles. Narrow transform + explode."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_K = 16  # minhash functions
+_BANDS = 4  # 4 bands × 4 rows
+_ROWS = _K // _BANDS
+
+_minh_cols_sql = ",\n    ".join(
+    "MIN(" + u60_sql("s || ':%d'" % i) + ") AS h%d" % i for i in range(_K)
+)
+_band_keys_sql = ",\n     ".join(
+    "'"
+    + str(j)
+    + ":' || "
+    + " || ',' || ".join(f"h{j * _ROWS + r}::VARCHAR" for r in range(_ROWS))
+    for j in range(_BANDS)
+)
+_eq_sum_sql = " + ".join(
+    f"(CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END)" for i in range(_K)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SH_CTE},
+minh AS (
+  SELECT doc_id,
+    {_minh_cols_sql}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([
+     {_band_keys_sql}
+  ]) AS band_key FROM minh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ({_eq_sum_sql}) / {float(_K)!r} AS est_jaccard
+FROM pairs
+JOIN minh ma ON doc_a = ma.doc_id
+JOIN minh mb ON doc_b = mb.doc_id
+WHERE ({_eq_sum_sql}) / {float(_K)!r} >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(K=16) + LSH(4 bands × 4): near-dup candidate pairs with
+    estimated Jaccard ≥ 0.5.
+
+    Scale path: shingle explode is narrow; the K minhashes are one
+    groupBy(doc_id) with K MIN aggregates (map-side partial); LSH
+    banding turns pair discovery into an equi-join on band keys —
+    never O(n²). The band self-join is the only quadratic risk and
+    only within identical-signature buckets (true near-dups)."""
+    sh = _doc_shingles(spark, sf_dir)
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(u60(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.concat(F.lit(f"{j}:"), F.col(f"h{j * _ROWS}").cast("string")),
+                *[F.col(f"h{j * _ROWS + r}").cast("string") for r in range(1, _ROWS)],
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    bands = minh.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = minh.alias("ma")
+    mb = minh.alias("mb")
+    eq_sum = sum(
+        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    return (
+        pairs.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "doc_a", "doc_b", (eq_sum / F.lit(float(_K))).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit signatures)
+# --------------------------------------------------------------------------
+
+_BITS = 32
+
+_bit_sums_sql = ",\n    ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_BITS)
+)
+_sig_sql = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_BITS)
+)
+
+_SIMHASH_ORACLE = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, {u60_sql('w')} AS th FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {_bit_sums_sql}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, ({_sig_sql})::BIGINT AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token 60-bit hash votes on 32 signature bits.
+    One explode + one groupBy(doc_id) with 32 conditional sums (all
+    map-side combinable). Near-dup docs differ in few bits; pairing by
+    hamming distance is a band-join away (see dedup_minhash_lsh)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", u60(F.col("w")).alias("th"))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_BITS)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(_BITS)
+    )
+    return votes.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# N-gram (3-word shingle) exact Jaccard via inverted index
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_SH_CTE},
+df AS (
+  SELECT s, COUNT(*) AS doc_freq FROM sh GROUP BY s
+),
+sh_kept AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.doc_freq <= 50
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh_kept GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh_kept a JOIN sh_kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       i / (na.n + nb.n - i)::DOUBLE AS jaccard_sim
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i / (na.n + nb.n - i)::DOUBLE >= 0.3
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard ≥ 0.3 via inverted index:
+    |A∩B| from a self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    The doc-frequency cap (≤50) drops stop-shingles that would create
+    quadratic buckets — the standard guard that keeps this join bounded
+    at 100 TB (and it's part of the operator's contract, mirrored in
+    the oracle)."""
+    sh = _doc_shingles(spark, sf_dir)
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("doc_freq"))
+    sh_kept = (
+        sh.join(df_counts, "s")
+        .filter(F.col("doc_freq") <= 50)
+        .select("doc_id", "s")
+    )
+    sizes = sh_kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= 0.3)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- ``ann_cosine_topk``: exact brute-force top-k — the correctness
+  baseline. Query set is broadcast; per-row cosine is a narrow JVM-side
+  higher-order-function expression; top-k is one shuffle on query id.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets cut
+  the candidate set before exact re-ranking; at 100 TB the bucket join
+  replaces the full cross product.  Hyperplane weights are ±1 derived
+  from md5 (deterministic, no driver-side randomness to ship).
+- ``dedup_embedding_cosine``: near-duplicate pairs (cosine ≥ 0.99)
+  via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.functions.hashing import u60
+from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+_DIM = 64
+_N_QUERIES = 5
+_TOPK = 10
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {cosine_sql('q.q_emb', 'e.embedding', _DIM)} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@register("ann_cosine_topk", oracle=_ANN_ORACLE, tags=("similarity", "ann"))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a broadcast query set.
+
+    The dot products run as built-in higher-order functions (zip_with +
+    aggregate) in double with fixed fold order — JVM-side, codegen'd,
+    and bit-identical to the oracle's sequential list sum. Top-k is a
+    rank window partitioned by query id (k small → rank-limit pushdown
+    keeps state tiny)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        q.join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH machinery (random hyperplanes, md5-derived ±1 weights)
+# --------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, sig): random-hyperplane signature in [0, 2^planes).
+
+    Weights w[p][d] = ±1 from md5("p:d") parity — computed inside the
+    expression, so executors need no broadcast side data. The signature
+    is one narrow select: for each plane, sign(Σ_d w·x_d) → bit."""
+    plane_bits = []
+    for p in range(_N_PLANES):
+        # fold over dims: acc + (±1 * emb[d])
+        weighted = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(_DIM - 1)),
+                lambda x, d: F.when(
+                    u60(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2 == 0,
+                    x.cast("double"),
+                ).otherwise(-x.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        plane_bits.append(F.when(weighted >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = plane_bits[0]
+    for b in plane_bits[1:]:
+        sig = sig + b
+    return emb.select("vec_id", "embedding", sig.alias("sig"))
+
+
+@register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine re-rank. Recall vs the exact baseline is
+    property-tested (tests/test_similarity.py); no SQL oracle — the
+    bucket pruning is the non-relational part. At scale: bucket join
+    replaces the cross product; signatures are computed in one narrow
+    pass and the join key is a single int."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = _signatures(spark, e)
+    q = F.broadcast(
+        sigs.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sig").alias("q_sig"),
+        )
+    )
+    cand = q.join(
+        sigs,
+        (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register("dedup_embedding_cosine", oracle=None, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH bucket → exact cosine ≥ 0.99.
+    Bucketed self-join keeps candidate generation sub-quadratic; exact
+    verification only inside buckets. Rows-only check (bucketing is
+    approximate); brute-force parity is pytest-verified on a sample."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = _signatures(spark, e)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.99)

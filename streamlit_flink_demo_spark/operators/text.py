@@ -1,0 +1,196 @@
+"""Text-analysis operators over ``documents``.
+
+All pure built-in expressions (regexp_count / regexp_extract_all /
+length) — no Python in the row path, so these run inside whole-stage
+codegen and scale linearly. Regex patterns are restricted to syntax
+that Java regex (Spark) and RE2 (DuckDB) interpret identically, so the
+oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Quality / stats scoring
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_STOP_PAT = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+_STATS_ORACLE = rf"""
+SELECT
+  doc_id,
+  length(text) AS n_chars_m,
+  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+  len(regexp_extract_all(lower(text), '{_STOP_PAT}'))
+    / GREATEST(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE
+    AS stopword_ratio,
+  length(regexp_replace(text, '\s', '', 'g'))
+    / GREATEST(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE
+    AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_quality_stats", oracle=_STATS_ORACLE, tags=("text",))
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: char/token/punct counts, stopword
+    ratio, mean token length. Narrow projection — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]")).alias("n_punct"),
+        (
+            F.regexp_count(F.lower(F.col("text")), F.lit(_STOP_PAT)) / denom
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")) / denom
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-voting heuristic)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "de": ("der", "und", "ist", "das"),
+    "fr": ("le", "et", "est", "les"),
+    "es": ("el", "y", "es", "los"),
+}
+
+
+def _marker_pat(lang: str) -> str:
+    return r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+
+
+_lang_scores_sql = ",\n  ".join(
+    f"len(regexp_extract_all(lower(text), '{_marker_pat(lang)}')) AS s_{lang}"
+    for lang in _LANG_MARKERS
+)
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_actual,
+  {_lang_scores_sql}
+  FROM documents
+)
+SELECT doc_id, lang_actual,
+  CASE
+    WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_guess
+FROM scores
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ORACLE, tags=("text", "langid"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword votes, determinstic
+    priority argmax (en > de > fr > es on ties), 'unknown' when no
+    marker fires. A real deployment would swap the marker lists for
+    character-n-gram profiles — the plan shape (narrow projection)
+    stays the same."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(_marker_pat(lang)))
+        for lang in _LANG_MARKERS
+    }
+    guess = (
+        F.when(
+            (scores["en"] == 0)
+            & (scores["de"] == 0)
+            & (scores["fr"] == 0)
+            & (scores["es"] == 0),
+            "unknown",
+        )
+        .when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_actual"), guess.alias("lang_guess")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting (BPE-ish regex segmentation)
+# --------------------------------------------------------------------------
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKENS_ORACLE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       CEIL(length(text) / 4.0)::BIGINT AS n_chars_div4
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKENS_ORACLE, tags=("text", "tokens"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: BPE-ish regex segmentation (letters /
+    digits / single punctuation — the GPT-2 pre-tokenizer shape),
+    whitespace tokens, and the chars/4 heuristic. Narrow projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (min-hash over rolling char 8-grams)
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_min([{u60_sql("substr(text, i, 8)")}
+                 for i in range(1, GREATEST(length(text) - 6, 2))])
+         AS fingerprint,
+       length(text) AS n_chars_m
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum 60-bit hash over all
+    sliding char-8-grams (a bottom-1 sketch — equal fingerprints flag
+    likely shared content). Computed with array higher-order functions
+    per row; no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(2)) - 1),
+            lambda i: u60(F.expr("text").substr(i, F.lit(8))),
+        )
+    )
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_m")
+    )

@@ -1,0 +1,82 @@
+"""Parquet-backed catalog.
+
+The reference scopes every statement to a configured catalog/database
+(reference ``api/statements.py:27-31``, ``config.template.ini:41-44``);
+tables appear implicitly (Kafka topics become Flink tables).  Our batch
+equivalent: a scale-factor directory of parquet files registered as temp
+views, one per table.
+
+Parquet + column pruning + predicate pushdown is the scan path that
+survives 100 TB: Catalyst pushes filters and projections into the scan
+(visible as ``PushedFilters`` / ``ReadSchema`` in ``.explain``), and
+partitioned layouts prune entire files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always small relative to the fact tables and
+# safe to broadcast at any scale factor (region: 5 rows, nation: 25 —
+# fixed cardinality in the TPC-H-style schema regardless of SF).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Lazy — no I/O until an action runs.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark refuses to map to TimestampType; we read nanos as LONG
+    (legacy conf) and convert to a microsecond timestamp exactly the
+    way DuckDB does (truncation), so oracle comparisons agree.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table in ``sf_dir`` as a temp view; return the dfs.
+
+    Mirrors the reference's implicit catalog: after this, SQL can say
+    ``FROM lineitem`` the way the reference says ``FROM `user```
+    (reference ``dashboard.py:83``).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

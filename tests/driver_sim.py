@@ -1,0 +1,72 @@
+"""Simulate the round driver: smoke entry(), then oracle-compare every
+queries() entry at sf0.01 exactly like CORRECTNESS_r{N}.json."""
+import sys, math, time
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# --- entry smoke (driver does this at sf0.001) ---
+df = E.entry(spark)
+rows = df.collect()
+print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema]}")
+assert len(rows) > 0
+
+# --- correctness gate at sf0.01 ---
+SF = "/root/testdata/sf0.01"
+qs = E.queries()
+oracles = E.oracle_sql()
+assert set(oracles) <= set(qs), "oracle keys not subset of queries"
+print(f"{len(qs)} queries, {len(oracles)} with oracles")
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def norm(v):
+        if isinstance(v, float) and math.isnan(v): return "NaN"
+        return v
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+fails = []
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        status = f"rows={len(srows)}"
+        if name in oracles:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = [tuple(r) for r in res.fetchall()]
+            if sorted(scols) != sorted(dcols):
+                fails.append((name, f"cols {sorted(scols)} vs {sorted(dcols)}")); status="COLS-MISMATCH"
+            elif len(srows) != len(drows):
+                fails.append((name, f"rowcount {len(srows)} vs {len(drows)}")); status="COUNT-MISMATCH"
+            else:
+                s, d = canon(srows, scols), canon(drows, dcols)
+                bad = sum(1 for a, b in zip(s, d) if a != b)
+                if bad: fails.append((name, f"{bad} value mismatches")); status=f"VALUE-MISMATCH({bad})"
+                else: status += " MATCH"
+        print(f"  {name:32s} {status:24s} {time.time()-t0:5.1f}s")
+    except Exception as ex:
+        fails.append((name, str(ex)[:200])); print(f"  {name:32s} ERROR {str(ex)[:120]}")
+
+print("RESULT:", "FAIL " + repr(fails) if fails else "ALL MATCH")
+sys.exit(1 if fails else 0)
