@@ -1,0 +1,104 @@
+"""Kafka + Confluent-Avro source (SURVEY.md §2.1 S1).
+
+The reference's input path: JR → Avro-generic (Schema Registry wire
+format) → Kafka topic ``user`` → Flink dynamic table (reference
+``README.md:108-112``, ``jrconfig.json:5-8``,
+``schema-registry-config.template.properties:1-3``). Spark equivalent:
+
+    spark.readStream.format("kafka") …
+      → strip the 5-byte Confluent wire-format header
+      → from_avro(payload, schema_json)
+      → temp view ``user``
+
+This container ships neither the spark-sql-kafka nor the spark-avro
+connector jar, so the entry points raise ``ConnectorUnavailable`` with
+the spark-submit coordinates a real cluster would add; the pure-
+expression pieces (header strip, JSON fallback decode) are fully
+functional and tested on batch data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0"
+AVRO_PACKAGE = "org.apache.spark:spark-avro_2.13:4.0.0"
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def strip_confluent_header(value: Column) -> Column:
+    """Remove the Confluent Schema Registry wire-format prefix: one
+    magic byte (0x00) + 4-byte big-endian schema id; the Avro body
+    follows. Pure expression — works on batch or stream."""
+    return F.expr(
+        "CASE WHEN octet_length(value) > 5 "
+        "THEN substring(value, 6, octet_length(value) - 5) "
+        "ELSE CAST(NULL AS BINARY) END"
+    ).alias("avro_body")
+
+
+def confluent_schema_id(value: Column) -> Column:
+    """The 4-byte big-endian schema id from the wire-format header —
+    used to look the writer schema up in the registry."""
+    b = lambda i: F.expr(f"CAST(conv(hex(substring(value, {i}, 1)), 16, 10) AS INT)")
+    return (
+        b(2) * F.lit(1 << 24) + b(3) * F.lit(1 << 16) + b(4) * F.lit(1 << 8) + b(5)
+    ).alias("schema_id")
+
+
+def decode_avro(body: Column, schema_json: str) -> Column:
+    """Avro decode via spark-avro; raises with remedy if jar missing."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(body, schema_json).alias("record")
+    except Exception as ex:  # pragma: no cover - jar-dependent
+        raise ConnectorUnavailable(
+            f"spark-avro not on classpath; add --packages {AVRO_PACKAGE}"
+        ) from ex
+
+
+def decode_json_value(body: Column, schema_ddl: str) -> Column:
+    """JSON fallback decode (for JR's json serializer mode) — always
+    available; used by tests to exercise the full decode pipeline."""
+    return F.from_json(body.cast("string"), schema_ddl).alias("record")
+
+
+def kafka_user_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "user",
+    avro_schema_json: str | None = None,
+    json_schema_ddl: str | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The reference's dynamic table over topic ``user``.
+
+    Scale posture: one Kafka partition maps to one Spark input
+    partition; parallelism follows the topic, no repartition before
+    per-record decode (narrow). Decode is JVM-side from_avro.
+    """
+    try:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        raw = reader.load()
+    except Exception as ex:
+        raise ConnectorUnavailable(
+            f"kafka source unavailable; add --packages {KAFKA_PACKAGE}"
+        ) from ex
+    body = strip_confluent_header(F.col("value"))
+    if avro_schema_json is not None:
+        rec = decode_avro(body, avro_schema_json)
+    elif json_schema_ddl is not None:
+        rec = decode_json_value(F.col("value"), json_schema_ddl)
+    else:
+        raise ValueError("provide avro_schema_json or json_schema_ddl")
+    return raw.select(rec).select("record.*")

@@ -1,0 +1,258 @@
+"""Statements façade — the reference's REST-client surface, engine-side.
+
+Mirrors the lifecycle of the reference's ``StatementsEndpoint``
+(reference ``api/statements.py:20-192``) so a client written against
+the reference (or its dashboard) ports with a URL/transport change:
+
+- ``create(sql)``         → statement envelope, generated name
+                            (reference ``:65-94``; ``random_id`` ``:11-13``)
+- ``get(name)``           → envelope with current phase
+                            (reference ``:54-63``; unknown name → KeyError
+                            like the 404 at ``:57-59``)
+- ``wait_for_status``     → poll until target phase, None on 'failed',
+                            TimeoutError after 120 s (reference ``:171-192``)
+- ``results(name, continuous)`` → generator of row records; ``None``
+                            keep-alives on empty pages of continuous
+                            queries (reference ``:105-169``)
+
+Execution is Spark: batch statements run via ``spark.sql`` on a worker
+thread (phases pending→running→completed); streaming statements start
+a ``StreamingQuery`` with a ChangelogEmitter foreachBatch sink (phase
+running until stopped). Result records use the reference wire shape:
+``{"op": n, "row": [...]}`` for changelog results, ``{"row": [...]}``
+for batch results (reference ``:146-169``).
+"""
+
+from __future__ import annotations
+
+import re
+import secrets
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from streamlit_flink_demo_spark.streaming.emitter import (
+    ChangelogEmitter,
+    ResultBuffer,
+)
+
+PHASE_PENDING = "pending"
+PHASE_RUNNING = "running"
+PHASE_COMPLETED = "completed"
+PHASE_FAILED = "failed"
+PHASE_STOPPED = "stopped"
+
+
+def random_name(prefix: str = "") -> str:
+    # same shape as the reference's names: prefix + 12 hex chars
+    return f"{prefix}{secrets.token_hex(6)}"
+
+
+def _json_safe(v: Any) -> Any:
+    """Values as JSON-wire-friendly types (timestamps → ISO strings)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ")
+    return v
+
+
+def infer_key_cols(sql: str, out_cols: list[str]) -> list[str]:
+    """Group-by key inference for retract emission: plain identifiers
+    in the GROUP BY clause that also appear in the output schema."""
+    m = re.search(
+        r"\bgroup\s+by\s+(.*?)(?:\border\s+by\b|\bhaving\b|\blimit\b|$)",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return []
+    keys = []
+    for part in m.group(1).split(","):
+        ident = part.strip().strip("`").split(".")[-1].strip("`").strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident) and ident in out_cols:
+            keys.append(ident)
+    return keys
+
+
+@dataclass
+class Statement:
+    name: str
+    sql: str
+    properties: dict
+    phase: str = PHASE_PENDING
+    columns: list[str] = field(default_factory=list)
+    buffer: ResultBuffer = field(default_factory=ResultBuffer)
+    emitter: ChangelogEmitter | None = None
+    error: str | None = None
+    streaming: bool = False
+    _query: Any = None  # StreamingQuery handle
+    _thread: threading.Thread | None = None
+
+    def envelope(self) -> dict:
+        """The reference's statement JSON shape (api/statements.py:78-88;
+        schema read-back at dashboard.py:201)."""
+        return {
+            "name": self.name,
+            "spec": {
+                "statement": self.sql,
+                "properties": self.properties,
+            },
+            "status": {
+                "phase": self.phase,
+                "detail": self.error or "",
+                "traits": {
+                    "schema": {"columns": [{"name": c} for c in self.columns]}
+                },
+            },
+        }
+
+
+class StatementsService:
+    """Submit/poll/paginate over Spark executions (reference
+    ``StatementsEndpoint``, minus HTTP)."""
+
+    poll_s = 0.02  # local in-process polling (reference used 300 ms HTTP)
+
+    def __init__(self, spark: SparkSession, defaults: dict | None = None):
+        self.spark = spark
+        # reference: catalog/database defaults from config
+        # (api/statements.py:27-31, config.template.ini:41-44)
+        self.defaults = dict(defaults or {})
+        self._statements: dict[str, Statement] = {}
+
+    # -- create ------------------------------------------------------------
+    def create(
+        self,
+        sql: str,
+        properties: dict | None = None,
+        prefix: str = "stmt-",
+        key_cols: list[str] | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> dict:
+        props = {**self.defaults, **(properties or {})}
+        stmt = Statement(name=random_name(prefix), sql=sql, properties=props)
+        self._statements[stmt.name] = stmt
+        try:
+            df = self.spark.sql(sql)
+            stmt.columns = list(df.columns)
+            stmt.streaming = df.isStreaming
+        except Exception as ex:  # parse/analysis error
+            stmt.phase = PHASE_FAILED
+            stmt.error = str(ex)
+            return stmt.envelope()
+
+        if stmt.streaming:
+            keys = key_cols if key_cols is not None else infer_key_cols(
+                sql, stmt.columns
+            )
+            stmt.emitter = ChangelogEmitter(
+                stmt.columns, keys, stmt.buffer, checkpoint_dir
+            )
+            try:
+                writer = (
+                    df.writeStream.outputMode("update")
+                    .foreachBatch(stmt.emitter)
+                    .queryName(stmt.name)
+                )
+                if checkpoint_dir:
+                    # Spark offsets/state checkpoint lives NEXT TO the
+                    # emitter snapshot so restart recovery is
+                    # consistent: Spark replays at most the last
+                    # uncommitted batch, the emitter's batch-id dedup
+                    # makes re-emission exactly-once.
+                    import os as _os
+
+                    writer = writer.option(
+                        "checkpointLocation", _os.path.join(checkpoint_dir, "spark")
+                    )
+                stmt._query = writer.start()
+                stmt.phase = PHASE_RUNNING
+            except Exception as ex:
+                stmt.phase = PHASE_FAILED
+                stmt.error = str(ex)
+        else:
+            def run_batch() -> None:
+                stmt.phase = PHASE_RUNNING
+                try:
+                    rows = df.collect()
+                    stmt.buffer.append(
+                        [{"row": [_json_safe(v) for v in r]} for r in rows]
+                    )
+                    stmt.phase = PHASE_COMPLETED
+                except Exception as ex:
+                    stmt.phase = PHASE_FAILED
+                    stmt.error = str(ex)
+
+            stmt._thread = threading.Thread(target=run_batch, daemon=True)
+            stmt._thread.start()
+        return stmt.envelope()
+
+    # -- lifecycle -----------------------------------------------------------
+    def get(self, name: str) -> dict:
+        if name not in self._statements:
+            raise KeyError(f"statement {name!r} not found")  # ref :57-59 (404)
+        return self._statements[name].envelope()
+
+    def wait_for_status(
+        self, stmt: dict | str, *statuses: str, timeout: float = 120.0
+    ) -> dict | None:
+        """Poll until the statement reaches one of ``statuses``.
+        'failed' short-circuits to None unless explicitly awaited
+        (reference api/statements.py:171-192)."""
+        name = stmt if isinstance(stmt, str) else stmt["name"]
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            env = self.get(name)
+            phase = env["status"]["phase"]
+            if phase in statuses:
+                return env
+            if phase == PHASE_FAILED:
+                return None
+            time.sleep(self.poll_s)
+        raise TimeoutError(
+            f"statement {name} did not reach {statuses} within {timeout}s"
+        )
+
+    def stop(self, name: str) -> None:
+        s = self._statements[name]
+        if s._query is not None:
+            s._query.stop()
+            s._query.awaitTermination(30)
+        if s.phase == PHASE_RUNNING:
+            s.phase = PHASE_STOPPED if s.streaming else s.phase
+
+    def process_available(self, name: str) -> None:
+        """Test/synchronous helper: drain all available source data
+        through a streaming statement (microbatches run to quiescence)."""
+        s = self._statements[name]
+        if s._query is not None:
+            s._query.processAllAvailable()
+
+    # -- results ----------------------------------------------------------
+    def results(self, name: str, continuous_query: bool = False, page_size: int = 100):
+        """Generator of result records; None keep-alives while a
+        continuous query has no new data (reference :105-169)."""
+        offset = 0
+        while True:
+            s = self._statements[name]
+            chunk, offset = s.buffer.read(offset, page_size)
+            if chunk:
+                yield from chunk
+                continue
+            if s.phase == PHASE_FAILED:
+                return
+            if not s.streaming:
+                if s.phase == PHASE_COMPLETED and offset >= s.buffer.size():
+                    return
+                time.sleep(self.poll_s)
+                continue
+            if continuous_query:
+                yield None  # keep-alive (reference :110-141)
+            else:
+                if s.phase in (PHASE_STOPPED,):
+                    return
+                yield None

@@ -1,0 +1,193 @@
+"""Changelog (retract-stream) emission from Structured Streaming.
+
+THE hard part of reference parity (SURVEY.md §7 M2): Spark's update
+output mode surfaces per-microbatch upserts but never UPDATE_BEFORE;
+Flink result streams carry full retract semantics (+I/-U/+U/-D,
+reference ``api/statements.py:160-169``). We synthesize the retract
+pairs in ``foreachBatch`` by diffing each batch's upserted keyed rows
+against a shadow snapshot of the previous state:
+
+    key unseen            →  +I new
+    key seen, value same  →  (nothing)
+    key seen, changed     →  -U old, +U new      (emitted adjacently)
+    key gone (complete
+    mode diff only)       →  -D old
+
+Scale posture: the shadow snapshot holds one entry per *group key* of
+the aggregate (not per input row) — the same cardinality Spark's own
+state store holds for the aggregation, so driver memory is bounded by
+result cardinality, which for dashboard-style queries is small. The
+result buffer is a bounded ring. For restart recovery the snapshot is
+JSON-checkpointed per batch and rehydrated on construction, keeping
+the emitted stream consistent with Spark's checkpointed state store
+(same batchId replay → same diff → idempotent emission).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from streamlit_flink_demo_spark.changelog import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+)
+
+
+class ResultBuffer:
+    """Thread-safe bounded append log of changelog records.
+
+    Readers page with ``read(offset, limit)`` → (records, next_offset);
+    an empty page is the keep-alive signal (reference
+    ``api/statements.py:110-141`` yields None on empty pages).  The
+    bound keeps driver memory finite on unbounded queries; ``base``
+    tracks how many records have been evicted so offsets stay stable.
+    """
+
+    def __init__(self, max_records: int = 100_000):
+        self._lock = threading.Lock()
+        self._records: list[dict] = []
+        self._base = 0
+        self._max = max_records
+
+    def append(self, records: list[dict]) -> None:
+        with self._lock:
+            self._records.extend(records)
+            overflow = len(self._records) - self._max
+            if overflow > 0:
+                del self._records[:overflow]
+                self._base += overflow
+
+    def read(self, offset: int, limit: int) -> tuple[list[dict], int]:
+        with self._lock:
+            start = max(offset - self._base, 0)
+            chunk = self._records[start : start + limit]
+            return chunk, self._base + start + len(chunk)
+
+    def size(self) -> int:
+        with self._lock:
+            return self._base + len(self._records)
+
+
+class ChangelogEmitter:
+    """foreachBatch sink that turns upserts into a retract stream.
+
+    ``key_cols``: the aggregate's group-by columns (the upsert key).
+    Empty key_cols → append-only stream (every row +I), for
+    non-aggregated continuous projections like the reference's map
+    query (``dashboard.py:100``).
+    """
+
+    def __init__(
+        self,
+        columns: list[str],
+        key_cols: list[str],
+        buffer: ResultBuffer | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.columns = list(columns)
+        self.key_idx = [self.columns.index(k) for k in key_cols]
+        self.buffer = buffer if buffer is not None else ResultBuffer()
+        self._snapshot: dict[tuple, list[Any]] = {}
+        self._ckpt_dir = checkpoint_dir
+        self._last_batch = -1
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            self._rehydrate()
+
+    # -- restart recovery ------------------------------------------------
+    def _ckpt_path(self) -> str:
+        return os.path.join(self._ckpt_dir, "snapshot.json")
+
+    def _rehydrate(self) -> None:
+        path = self._ckpt_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                payload = json.load(f)
+            self._last_batch = payload["batch_id"]
+            self._snapshot = {
+                tuple(k): v for k, v in payload["entries"]
+            }
+
+    def _persist(self, batch_id: int) -> None:
+        if not self._ckpt_dir:
+            return
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "entries": [[list(k), v] for k, v in self._snapshot.items()],
+                },
+                f,
+                default=str,
+            )
+        os.replace(tmp, self._ckpt_path())
+
+    # -- the sink ----------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Apply one microbatch of upserted rows (update output mode).
+
+        Replayed batches (batch_id ≤ last seen, happens on restart
+        recovery) are skipped — the snapshot already reflects them, so
+        re-diffing would emit nothing new but re-emitting is avoided
+        explicitly for exactly-once changelog output.
+        """
+        # Always consume the batch: Spark's state-store commit happens
+        # as part of executing the batch plan — returning early without
+        # an action fails commit validation (observed on Spark 4.1:
+        # STATE_STORE_COMMIT_VALIDATION_FAILED).
+        rows = [list(r) for r in batch_df.collect()]
+        if batch_id <= self._last_batch:
+            return  # replayed batch after restart: state applied, no re-emit
+        self.apply_upserts(rows)
+        self._last_batch = batch_id
+        self._persist(batch_id)
+
+    def apply_upserts(self, rows: list[list[Any]]) -> list[dict]:
+        """Diff upserted rows against the shadow snapshot; emit ops."""
+        out: list[dict] = []
+        if not self.key_idx:
+            out = [{"op": OP_INSERT, "row": r} for r in rows]
+        else:
+            for row in rows:
+                key = tuple(row[i] for i in self.key_idx)
+                old = self._snapshot.get(key)
+                if old is None:
+                    out.append({"op": OP_INSERT, "row": row})
+                elif old != row:
+                    out.append({"op": OP_UPDATE_BEFORE, "row": old})
+                    out.append({"op": OP_UPDATE_AFTER, "row": row})
+                # unchanged → no emission
+                self._snapshot[key] = row
+        self.buffer.append(out)
+        return out
+
+    def apply_full_snapshot(self, rows: list[list[Any]]) -> list[dict]:
+        """Complete-mode diff: also detects dropped keys → -D.
+
+        For sinks fed by ``outputMode("complete")`` (e.g. global top-k
+        where keys can leave the result)."""
+        out: list[dict] = []
+        new_snap: dict[tuple, list[Any]] = {}
+        for row in rows:
+            key = tuple(row[i] for i in self.key_idx) if self.key_idx else tuple(row)
+            new_snap[key] = row
+            old = self._snapshot.get(key)
+            if old is None:
+                out.append({"op": OP_INSERT, "row": row})
+            elif old != row:
+                out.append({"op": OP_UPDATE_BEFORE, "row": old})
+                out.append({"op": OP_UPDATE_AFTER, "row": row})
+        for key, old in self._snapshot.items():
+            if key not in new_snap:
+                out.append({"op": OP_DELETE, "row": old})
+        self._snapshot = new_snap
+        self.buffer.append(out)
+        return out

@@ -1,0 +1,99 @@
+"""Statements façade lifecycle tests (SURVEY.md §5.4).
+
+Mirrors the reference behaviors: create→running→completed phases,
+unknown statement → error, failed phase → wait returns None, timeout,
+pagination with keep-alive pages, schema read-back envelope shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamlit_flink_demo_spark.sources.catalog import register_tables
+from streamlit_flink_demo_spark.statements import (
+    PHASE_COMPLETED,
+    StatementsService,
+    infer_key_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def svc(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return StatementsService(spark)
+
+
+def test_batch_statement_lifecycle(svc):
+    env = svc.create("SELECT r_name, r_regionkey FROM region")
+    assert env["status"]["phase"] in ("pending", "running", "completed")
+    ready = svc.wait_for_status(env, "completed", timeout=60)
+    assert ready is not None
+    schema = ready["status"]["traits"]["schema"]
+    assert schema == {"columns": [{"name": "r_name"}, {"name": "r_regionkey"}]}
+    rows = [r for r in svc.results(env["name"]) if r is not None]
+    assert len(rows) == 5
+    assert all("op" not in r for r in rows)  # batch: no-changelog form
+    assert all(len(r["row"]) == 2 for r in rows)
+
+
+def test_statement_name_shape(svc):
+    env = svc.create("SELECT 1 AS one", prefix="widget-")
+    assert env["name"].startswith("widget-")
+    assert len(env["name"]) == len("widget-") + 12
+
+
+def test_unknown_statement_raises(svc):
+    with pytest.raises(KeyError):
+        svc.get("nope")
+
+
+def test_failed_statement_wait_returns_none(svc):
+    env = svc.create("SELECT FROM WHERE")  # parse error
+    assert svc.wait_for_status(env, "completed", timeout=5) is None
+    assert svc.get(env["name"])["status"]["phase"] == "failed"
+
+
+def test_wait_timeout(svc, spark):
+    # a statement that never reaches an impossible phase
+    env = svc.create("SELECT 1 AS one")
+    svc.wait_for_status(env, PHASE_COMPLETED, timeout=30)
+    with pytest.raises(TimeoutError):
+        svc.wait_for_status(env, "running", timeout=0.2)
+
+
+def test_results_pagination_and_completion(svc):
+    env = svc.create("SELECT c_custkey FROM customer")
+    svc.wait_for_status(env, "completed", timeout=60)
+    gen = svc.results(env["name"], page_size=7)
+    rows = list(gen)  # exhausts: completed batch → generator terminates
+    assert len([r for r in rows if r is not None]) == 150
+
+
+def test_default_properties_applied(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    svc2 = StatementsService(
+        spark, defaults={"sql.current-catalog": "spark_catalog"}
+    )
+    env = svc2.create("SELECT 1 AS one", properties={"x": "y"})
+    assert env["spec"]["properties"] == {
+        "sql.current-catalog": "spark_catalog",
+        "x": "y",
+    }
+
+
+def test_infer_key_cols():
+    assert infer_key_cols(
+        "SELECT eyeColor, count(*) AS n FROM user GROUP BY eyeColor",
+        ["eyeColor", "n"],
+    ) == ["eyeColor"]
+    assert infer_key_cols(
+        "SELECT `user`.eyeColor AS ec, count(*) FROM `user` GROUP BY `user`.eyeColor",
+        ["ec", "n"],
+    ) == []  # qualified key not in output names → no inference
+    assert infer_key_cols("SELECT a FROM t", ["a"]) == []
+    assert (
+        infer_key_cols(
+            "SELECT a, b, sum(x) s FROM t GROUP BY a, b ORDER BY a", ["a", "b", "s"]
+        )
+        == ["a", "b"]
+    )

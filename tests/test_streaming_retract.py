@@ -1,0 +1,181 @@
+"""Streaming retract-semantics tests (SURVEY.md §5.3).
+
+Feed scripted microbatches of `user` rows through the statements
+façade running the reference's three continuous queries
+(dashboard.py:83,100,118-132) and assert the emitted changelog op
+sequences match Flink's documented retract behavior
+(api/statements.py:160-169): first row of a key → +I; change → -U
+old, +U new, adjacent and in order.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamlit_flink_demo_spark.changelog import Changelog, MaterializedTable
+from streamlit_flink_demo_spark.sources.stream_fixtures import (
+    user_stream,
+    write_user_batch,
+)
+from streamlit_flink_demo_spark.statements import StatementsService
+
+EYE_SQL = "SELECT eyeColor, count(*) AS eye_color_count FROM user GROUP BY eyeColor"
+
+# the reference's map query (dashboard.py:100), verbatim shape
+MAP_SQL = """
+SELECT `user`.guid,
+       37.7 + (RAND() * (37.77 - 37.7)) AS latitude,
+       -122.50 + (RAND() * (-122.39 - (-122.50))) AS longitude
+FROM `user`
+"""
+
+# the reference's age-group query (dashboard.py:118-132), verbatim shape
+AGE_SQL = """
+WITH users_with_age_groups AS (
+  SELECT
+    CASE
+      WHEN age BETWEEN 20 AND 29 THEN '20-29'
+      WHEN age BETWEEN 30 AND 39 THEN '30-39'
+      WHEN age BETWEEN 40 AND 49 THEN '40-49'
+      WHEN age BETWEEN 50 AND 59 THEN '50-59'
+      ELSE 'other'
+    END AS age_group,
+    CAST(substring(balance FROM 2) AS DOUBLE) AS balance_double
+  FROM `user`
+)
+SELECT age_group, AVG(balance_double) AS avg_balance
+FROM users_with_age_groups
+GROUP BY age_group
+"""
+
+
+def _mk(spark, tmp_path, sql, **kw):
+    spool = str(tmp_path / "spool")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc = StatementsService(spark)
+    env = svc.create(sql, checkpoint_dir=str(tmp_path / "ckpt"), **kw)
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+    return svc, env, spool
+
+
+def _drain(svc, env, cl: Changelog) -> list[tuple]:
+    svc.process_available(env["name"])
+    new = []
+    while True:
+        got = cl.consume(100)
+        new.extend(got)
+        if len(got) < 100:
+            break
+    return new
+
+
+def test_groupby_count_retract_sequence(spark, tmp_path):
+    svc, env, spool = _mk(spark, tmp_path, EYE_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["eyeColor", "eye_color_count"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    write_user_batch(spark, spool, 0, [{"guid": "g1", "eyeColor": "brown",
+                                        "age": 30, "balance": "$10.00",
+                                        "name": "u", "registered": None}])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(0, ("brown", 1))]  # first key → +I
+
+    write_user_batch(spark, spool, 1, [{"guid": "g2", "eyeColor": "brown",
+                                        "age": 31, "balance": "$11.00",
+                                        "name": "u", "registered": None}])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(1, ("brown", 1)), (2, ("brown", 2))]  # -U then +U
+
+    write_user_batch(spark, spool, 2, [{"guid": "g3", "eyeColor": "blue",
+                                        "age": 32, "balance": "$12.00",
+                                        "name": "u", "registered": None}])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(0, ("blue", 1))]  # unrelated key untouched
+
+    # materialization: the snapshot equals the batch answer
+    table = cl.collapse()
+    assert sorted(map(tuple, table.rows)) == [("blue", 1), ("brown", 2)]
+    svc.stop(env["name"])
+
+
+def test_map_query_appends_with_bounds(spark, tmp_path):
+    svc, env, spool = _mk(spark, tmp_path, MAP_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["guid", "latitude", "longitude"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_row
+
+    write_user_batch(spark, spool, 0, [user_row(i) for i in range(20)])
+    recs = _drain(svc, env, cl)
+    assert len(recs) == 20
+    assert all(r["op"] == 0 for r in recs)  # projection: append-only +I
+    for r in recs:
+        _, lat, lon = r["row"]
+        assert 37.7 <= lat <= 37.77
+        assert -122.50 <= lon <= -122.39
+    svc.stop(env["name"])
+
+
+def test_age_group_avg_with_cast_null_semantics(spark, tmp_path):
+    svc, env, spool = _mk(spark, tmp_path, AGE_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    # $25.50 parses; $1,100.00 has a comma → CAST yields NULL (ANSI off)
+    write_user_batch(spark, spool, 0, [
+        {"guid": "a", "eyeColor": "brown", "age": 25, "balance": "$25.50",
+         "name": "u", "registered": None},
+        {"guid": "b", "eyeColor": "blue", "age": 27, "balance": "$1,100.00",
+         "name": "u", "registered": None},
+    ])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    # both rows are 20-29; NULL excluded from AVG → avg = 25.50
+    assert ops == [(0, ("20-29", 25.5))]
+
+    # second parseable balance moves the average → retract pair
+    write_user_batch(spark, spool, 1, [
+        {"guid": "c", "eyeColor": "green", "age": 22, "balance": "$74.50",
+         "name": "u", "registered": None},
+    ])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(1, ("20-29", 25.5)), (2, ("20-29", 50.0))]
+    svc.stop(env["name"])
+
+
+def test_three_concurrent_continuous_queries(spark, tmp_path):
+    """The reference dashboard runs 3 continuous statements at once
+    (BASELINE.md); verify concurrent statements don't interfere."""
+    spool = str(tmp_path / "spool")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc = StatementsService(spark)
+    envs = [
+        svc.create(EYE_SQL, checkpoint_dir=str(tmp_path / "c1")),
+        svc.create(MAP_SQL, checkpoint_dir=str(tmp_path / "c2")),
+        svc.create(AGE_SQL, checkpoint_dir=str(tmp_path / "c3")),
+    ]
+    assert all(e["status"]["phase"] == "running" for e in envs)
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_row
+
+    write_user_batch(spark, spool, 0, [user_row(i) for i in range(30)])
+    for e in envs:
+        svc.process_available(e["name"])
+
+    cls = {
+        e["name"]: Changelog(
+            [c["name"] for c in e["status"]["traits"]["schema"]["columns"]],
+            svc.results(e["name"], continuous_query=True),
+        )
+        for e in envs
+    }
+    counts = {}
+    for name, cl in cls.items():
+        got = cl.consume(500)
+        counts[name] = len(got)
+    assert counts[envs[0]["name"]] == 3   # three eye colors → 3 × +I
+    assert counts[envs[1]["name"]] == 30  # 30 appended locations
+    assert counts[envs[2]["name"]] >= 1
+    for e in envs:
+        svc.stop(e["name"])
