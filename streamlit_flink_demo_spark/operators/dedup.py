@@ -77,9 +77,25 @@ sh AS (
 )
 """
 
+# Hashed variant: downstream operators join/aggregate on the 60-bit
+# shingle hash, never the string — joins shuffle 8-byte keys instead of
+# ~20-40 byte strings, and md5 runs once per (doc, shingle).
+_SHH_CTE = _SH_CTE + f""",
+shh AS (
+  SELECT doc_id, {{u60_s}} AS h FROM sh
+)
+""".format(u60_s=u60_sql("s"))
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-word shingles. Narrow transform + explode."""
+    """(doc_id, s): distinct 3-word shingles. Narrow transform + explode.
+
+    persist(): minhash and jaccard each reference this frame several
+    times (bands, pair-verify sides); without materialization Spark
+    re-runs the tokenize+explode lineage per reference. Spark's cache
+    manager dedups by canonicalized plan, so both operators share one
+    cached copy. At 100 TB the equivalent is a checkpointed/staged
+    intermediate table."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
@@ -88,6 +104,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+        .persist()
+    )
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): 60-bit shingle hashes — the compact frame minhash
+    and jaccard actually consume (see _SHH_CTE note)."""
+    return (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", u60(F.col("s")).alias("h"))
+        .persist()
     )
 
 
@@ -99,8 +126,25 @@ _K = 16  # minhash functions
 _BANDS = 4  # 4 bands × 4 rows
 _ROWS = _K // _BANDS
 
+# One md5 per shingle, then K affine hashes h_i = (A_i·x + B_i) mod P
+# (P Mersenne-prime 2^31-1 keeps every product < 2^62: no 64-bit
+# overflow in either engine). 16× cheaper than K independent md5s and
+# still bit-identical across Spark/DuckDB. Constants are md5-derived at
+# import time and baked into both expression texts as literals.
+_P = 2_147_483_647
+
+
+def _affine_const(tag: str, i: int, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"minhash-{tag}-{i}".encode()).hexdigest()[:15], 16) % mod
+
+
+_A = [_affine_const("a", i, _P - 1) + 1 for i in range(_K)]
+_B = [_affine_const("b", i, _P) for i in range(_K)]
+
 _minh_cols_sql = ",\n    ".join(
-    "MIN(" + u60_sql("s || ':%d'" % i) + ") AS h%d" % i for i in range(_K)
+    f"MIN(({_A[i]} * (h % {_P}) + {_B[i]}) % {_P}) AS h{i}" for i in range(_K)
 )
 _band_keys_sql = ",\n     ".join(
     "'"
@@ -114,11 +158,11 @@ _eq_sum_sql = " + ".join(
 )
 
 _MINHASH_ORACLE = f"""
-WITH {_SH_CTE},
+WITH {_SHH_CTE},
 minh AS (
   SELECT doc_id,
     {_minh_cols_sql}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, unnest([
@@ -149,13 +193,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding turns pair discovery into an equi-join on band keys —
     never O(n²). The band self-join is the only quadratic risk and
     only within identical-signature buckets (true near-dups)."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    base = F.col("h") % F.lit(_P)
     minh = sh.groupBy("doc_id").agg(
         *[
-            F.min(u60(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"h{i}")
+            F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
             for i in range(_K)
         ]
-    )
+    ).persist()
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -265,19 +310,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _JACCARD_ORACLE = f"""
-WITH {_SH_CTE},
+WITH {_SHH_CTE},
 df AS (
-  SELECT s, COUNT(*) AS doc_freq FROM sh GROUP BY s
+  SELECT h, COUNT(*) AS doc_freq FROM shh GROUP BY h
 ),
 sh_kept AS (
-  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.doc_freq <= 50
+  SELECT shh.doc_id, shh.h FROM shh JOIN df USING (h) WHERE df.doc_freq <= 50
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh_kept GROUP BY doc_id
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM sh_kept a JOIN sh_kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh_kept a JOIN sh_kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -297,12 +342,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic buckets — the standard guard that keeps this join bounded
     at 100 TB (and it's part of the operator's contract, mirrored in
     the oracle)."""
-    sh = _doc_shingles(spark, sf_dir)
-    df_counts = sh.groupBy("s").agg(F.count("*").alias("doc_freq"))
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("doc_freq"))
     sh_kept = (
-        sh.join(df_counts, "s")
+        sh.join(df_counts, "h")
         .filter(F.col("doc_freq") <= 50)
-        .select("doc_id", "s")
+        .select("doc_id", "h")
+        .persist()
     )
     sizes = sh_kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_kept.alias("a")
@@ -310,7 +356,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

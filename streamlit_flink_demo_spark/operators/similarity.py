@@ -16,8 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamlit_flink_demo_spark.functions.hashing import u60
-from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql
+from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
 from streamlit_flink_demo_spark.plans import register
 from streamlit_flink_demo_spark.sources.catalog import load_table
 
@@ -55,17 +54,30 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window partitioned by query id (k small → rank-limit pushdown
     keeps state tiny)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Hoist the norms out of the pair loop: candidate norms are one
+    # narrow pass over the table, query norms live in the broadcast —
+    # the scoring join then does ONE dot product per pair instead of
+    # three. Same IEEE values as computing cosine inline (the oracle's
+    # inline norms produce identical doubles).
+    cand = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("c_norm")
+    )
     q = F.broadcast(
-        e.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        cand.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("c_norm").alias("q_norm"),
         )
     )
     scored = (
-        q.join(e, F.col("vec_id") != F.col("q_id"))
+        q.join(cand, F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window as W
@@ -85,24 +97,33 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 
 
+def _plane_weights() -> list[list[float]]:
+    """±1 hyperplane weights from md5(p:d) parity — computed ONCE on
+    the driver (they're constants) and baked into the plan as array
+    literals; the per-row cost is a plain dot product, no hashing."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+_WEIGHTS = _plane_weights()
+
+
 def _signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """(vec_id, sig): random-hyperplane signature in [0, 2^planes).
-
-    Weights w[p][d] = ±1 from md5("p:d") parity — computed inside the
-    expression, so executors need no broadcast side data. The signature
-    is one narrow select: for each plane, sign(Σ_d w·x_d) → bit."""
+    One narrow select: per plane, sign(Σ_d w·x_d) → bit."""
     plane_bits = []
     for p in range(_N_PLANES):
-        # fold over dims: acc + (±1 * emb[d])
+        w = F.array(*[F.lit(v) for v in _WEIGHTS[p]])
         weighted = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.lit(_DIM - 1)),
-                lambda x, d: F.when(
-                    u60(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2 == 0,
-                    x.cast("double"),
-                ).otherwise(-x.cast("double")),
-            ),
+            F.zip_with(F.col("embedding"), w, lambda x, wv: x.cast("double") * wv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -63,7 +63,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_suppkey,
        strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
-       CAST(SUM(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))))
+       CAST(SUM(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))
             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_revenue
@@ -84,7 +84,7 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "DECIMAL(30,6)"
+                    "DECIMAL(18,6)"
                 )
             ).alias("day_rev_dec")
         )
@@ -173,7 +173,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cust_avg AS (
   SELECT o_custkey AS k,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
            AS avg_price
   FROM orders GROUP BY o_custkey
 )
@@ -190,7 +190,7 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cust_avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
         (
-            F.sum(F.col("o_totalprice").cast("DECIMAL(30,6)")).cast("double")
+            F.sum(F.col("o_totalprice").cast("DECIMAL(18,6)")).cast("double")
             / F.count("*")
         ).alias("avg_price")
     )

@@ -256,9 +256,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_ORACLE = f"""
 SELECT
   CAST(100.00 * SUM(CAST(CASE WHEN p_type = 'PROMO'
-        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6)))
+        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6)))
     AS DOUBLE)
-  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
     AS DOUBLE) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -282,8 +282,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo.cast("DECIMAL(30,6)")).cast("double")
-                / F.sum(disc.cast("DECIMAL(30,6)")).cast("double")
+                * F.sum(promo.cast("DECIMAL(18,6)")).cast("double")
+                / F.sum(disc.cast("DECIMAL(18,6)")).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
