@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correct results aren't enough: these tests pin the plan shapes that
+make the operators viable at 100 TB — filters pushed into the parquet
+scan, column pruning, broadcast joins for fixed-cardinality dims,
+whole-stage codegen, no cartesian products, rank-limit pushdown.
+If a refactor silently turns a broadcast join into a cartesian
+product, this file fails before the bench does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamlit_flink_demo_spark.plans import load_all
+
+REG = load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_q6_filters_push_into_scan(spark, sf_dir):
+    p = plan_str(REG["q6_revenue_forecast"].fn(spark, sf_dir))
+    assert "PushedFilters" in p
+    # all four predicates reach the scan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in p or frag in p.split("PushedFilters", 1)[1].split("\n", 2)[0] or frag in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    p = plan_str(REG["q6_revenue_forecast"].fn(spark, sf_dir))
+    read_schema = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # only the 4 needed columns are read from the 11-column table
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    for col in ("l_partkey", "l_returnflag", "l_tax", "l_orderkey"):
+        assert col not in read_schema
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    p = plan_str(REG["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
+    df = REG["q1_pricing_summary"].fn(spark, sf_dir)
+    p = plan_str(df)
+    assert "HashAggregate" in p
+    # partial + final pair ⇒ map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+    # exactly one shuffle (the group-by exchange)
+    assert p.count("Exchange") <= 2  # agg exchange (+ AQE read)
+    # whole-stage codegen actually fires (AQE wraps the plan before
+    # execution, hiding codegen subtrees — disable it for inspection)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = plan_str(REG["q1_pricing_summary"].fn(spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen
+    assert "Found 0 WholeStageCodegen" not in codegen
+
+
+def test_projection_query_is_narrow(spark, sf_dir):
+    """ref_map_locations is a pure projection — any Exchange in its
+    plan means someone introduced an accidental shuffle."""
+    p = plan_str(REG["ref_map_locations"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_topk_rank_limit_pushdown(spark, sf_dir):
+    """row_number ≤ k filters inside the window operator
+    (WindowGroupLimit) instead of materializing every ranked row."""
+    p = plan_str(REG["topk_orders_per_customer"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    p = plan_str(REG["top_revenue_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_anti_join_prunes_build_side(spark, sf_dir):
+    p = plan_str(REG["customers_without_orders"].fn(spark, sf_dir))
+    read = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema:")[1:]]
+    orders_reads = [s for s in read if "o_custkey" in s]
+    assert orders_reads and all(
+        "o_totalprice" not in s and "o_orderdate" not in s for s in orders_reads
+    )
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    p = plan_str(REG["ann_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

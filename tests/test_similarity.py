@@ -1,0 +1,114 @@
+"""Similarity-search quality tests: LSH recall vs the exact baseline,
+and multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+from streamlit_flink_demo_spark.plans import load_all
+
+REG = load_all()
+
+
+def _topk_sets(df, k_col="vec_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r[k_col])
+    return out
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    """Banded LSH must recover a reasonable fraction of the true
+    top-10 per query (single-probe, 4 bands × 2 planes: expected
+    per-neighbor candidate probability well above 50% for the high-
+    cosine neighbors that matter)."""
+    exact = _topk_sets(REG["ann_cosine_topk"].fn(spark, sf_dir))
+    approx = _topk_sets(REG["ann_lsh_topk"].fn(spark, sf_dir))
+    assert set(exact) == set(approx.keys() | exact.keys())
+    total, hit = 0, 0
+    for q, truth in exact.items():
+        got = approx.get(q, set())
+        total += len(truth)
+        hit += len(truth & got)
+    recall = hit / total
+    assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
+
+
+def test_embedding_near_dup_pairs_are_verified(spark, sf_dir):
+    """Every emitted pair must actually clear the cosine threshold
+    (LSH may miss pairs — it must never emit a false positive)."""
+    rows = REG["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["cos_sim"] >= 0.45
+        assert r["vec_a"] < r["vec_b"]
+
+
+def test_multimodal_decode_batch_shape(spark, sf_dir):
+    """mapInPandas plumbing: output schema fixed, one row per input,
+    deterministic fake decode (same bytes → same dims)."""
+    df = REG["multimodal_decode_fake"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema] == [
+        "doc_id", "n_bytes", "width", "height", "mean_luma",
+    ]
+    rows = df.collect()
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in df.collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == (r["width"], r["height"])
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    """The non-fake path must fail loudly (no silent fake data in
+    production pipelines)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        decode_binary_batch,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(2).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|decode"):
+        decode_binary_batch(d, fake=False).collect()
+
+
+def test_confluent_header_strip(spark):
+    """Kafka wire-format plumbing on batch binary data: 5-byte header
+    removed, schema id extracted big-endian."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.sources.kafka_avro import (
+        confluent_schema_id,
+        strip_confluent_header,
+    )
+
+    payload = b"\x00\x00\x00\x01\x02hello-avro"
+    df = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    out = df.select(
+        strip_confluent_header(F.col("value")),
+        confluent_schema_id(F.col("value")),
+    ).collect()[0]
+    assert bytes(out["avro_body"]) == b"hello-avro"
+    assert out["schema_id"] == (1 << 8) + 2
+
+    short = spark.createDataFrame([(bytearray(b"\x00\x01"),)], "value binary")
+    assert short.select(strip_confluent_header(F.col("value"))).collect()[0][
+        "avro_body"
+    ] is None
+
+
+def test_decode_json_fallback(spark):
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.sources.kafka_avro import decode_json_value
+
+    df = spark.createDataFrame(
+        [(bytearray(b'{"guid": "g1", "age": 30}'),)], "value binary"
+    )
+    rec = df.select(
+        decode_json_value(F.col("value"), "guid string, age int")
+    ).select("record.*").collect()[0]
+    assert (rec["guid"], rec["age"]) == ("g1", 30)
