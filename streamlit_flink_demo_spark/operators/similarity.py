@@ -95,11 +95,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _N_PLANES = 8
-_N_BANDS = 4  # 4 tables × 2 planes: P(candidate) = 1-(1-p²)⁴, high
-# recall for near neighbors while each 2-bit table still prunes 4×.
+_N_BANDS = 4  # top-k ANN: 4 tables × 2 planes — P(candidate) =
+# 1-(1-p²)⁴ keeps recall high; the tiny broadcast query side makes the
+# coarse 4-buckets-per-band pruning affordable (work ∝ n/4 per query).
+
+# Near-dup pairing is a SELF-join: bucket size drives quadratic cost,
+# so it needs far more selective buckets — 4 tables × 8 planes
+# (256 buckets/band). Recall concentrates on truly-similar pairs
+# (cos 0.95 → ~90% with 4 bands), which is the production use case.
+_DUP_PLANES_PER_BAND = 8
+_DUP_BANDS = 4
 
 
-def _plane_weights() -> list[list[float]]:
+def _plane_weights(n_planes: int, salt: str = "") -> list[list[float]]:
     """±1 hyperplane weights from md5(p:d) parity — computed ONCE on
     the driver (they're constants) and baked into the plan as array
     literals; the per-row cost is a plain dot product, no hashing."""
@@ -107,60 +115,61 @@ def _plane_weights() -> list[list[float]]:
 
     return [
         [
-            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            1.0
+            if int(
+                hashlib.md5(f"{salt}{p}:{d}".encode()).hexdigest()[:15], 16
+            ) % 2 == 0
             else -1.0
             for d in range(_DIM)
         ]
-        for p in range(_N_PLANES)
+        for p in range(n_planes)
     ]
-
-
-_WEIGHTS = _plane_weights()
-
-
-def _signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding, sig): full 8-bit random-hyperplane signature.
-    One narrow select: per plane, sign(Σ_d w·x_d) → bit."""
-    plane_bits = []
-    for p in range(_N_PLANES):
-        w = F.array(*[F.lit(v) for v in _WEIGHTS[p]])
-        weighted = F.aggregate(
-            F.zip_with(F.col("embedding"), w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        plane_bits.append(F.when(weighted >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = plane_bits[0]
-    for b in plane_bits[1:]:
-        sig = sig + b
-    return emb.select("vec_id", "embedding", sig.alias("sig"))
 
 
 _PLANES_PER_BAND = _N_PLANES // _N_BANDS
 
 
-def _band_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding, band, bsig): banded LSH — the signature split
-    into _N_BANDS independent hash tables (same trick as minhash
-    banding). A pair is a candidate if it collides in ANY band:
-    P = 1-(1-p^r)^b instead of p^planes — the recall/selectivity knob.
-    One explode of a tiny array; the bucket join key is (band, bsig)."""
-    sigs = _signatures(spark, emb)
-    mask = (1 << _PLANES_PER_BAND) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.shiftright(F.col("sig"), band * _PLANES_PER_BAND)
-                .bitwiseAND(F.lit(mask))
-                .alias("bsig"),
+def _banded_sigs(
+    emb: DataFrame, n_bands: int, planes_per_band: int, salt: str = ""
+) -> DataFrame:
+    """(vec_id, embedding, band, bsig): banded LSH — independent hash
+    tables (same trick as minhash banding). A pair is a candidate if it
+    collides in ANY band: P = 1-(1-p^r)^b — the recall/selectivity
+    knob, with bucket count 2^r per band bounding self-join fan-out.
+    One explode of a tiny struct array; bucket key is (band, bsig)."""
+    weights = _plane_weights(n_bands * planes_per_band, salt)
+    band_structs = []
+    for band in range(n_bands):
+        bits = []
+        for r in range(planes_per_band):
+            w = F.array(*[F.lit(v) for v in weights[band * planes_per_band + r]])
+            weighted = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), w, lambda x, wv: x.cast("double") * wv
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for band in range(_N_BANDS)
-        ]
+            bits.append(F.when(weighted >= 0, F.lit(1 << r)).otherwise(F.lit(0)))
+        bsig = bits[0]
+        for b in bits[1:]:
+            bsig = bsig + b
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), bsig.alias("bsig"))
+        )
+    return emb.select(
+        "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("b.band").alias("band"),
+        F.col("b.bsig").alias("bsig"),
     )
-    return sigs.select(
-        "vec_id", "embedding", F.explode(bands).alias("b")
-    ).select("vec_id", "embedding", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig"))
+
+
+def _band_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Top-k ANN banding (coarse: recall-first, query side broadcast)."""
+    return _banded_sigs(emb, _N_BANDS, _PLANES_PER_BAND)
 
 
 @register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
@@ -223,7 +232,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation). Rows-only check (bucketing is approximate);
     brute-force recall is pytest-verified (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    bsigs = _band_signatures(spark, e)
+    bsigs = _banded_sigs(e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:").persist()
     a = bsigs.alias("a")
     b = bsigs.alias("b")
     pairs = a.join(

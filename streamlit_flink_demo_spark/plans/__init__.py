@@ -51,6 +51,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     """Import every plan/operator module so registration side-effects run."""
     from streamlit_flink_demo_spark.plans import (  # noqa: F401
         analytics,
+        breadth,
         reference,
         tpch,
     )

@@ -1,0 +1,268 @@
+"""Scalar-function and join breadth (SURVEY.md §2.5's "free from
+Spark" surface, made checkable): JSON extraction, exact percentiles,
+COUNT(DISTINCT), outer joins, string and date function families.
+
+Every query sticks to constructs whose semantics are bit-identical in
+Spark and DuckDB (or normalized where they aren't — see comments), so
+each has a strict value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# JSON extraction (events.props is a JSON string)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    oracle=f"""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+  COUNT(*) AS n,
+  {dsum_sql('value', 'sum_value')}
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
+""",
+    tags=("json", "agg"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction feeding an aggregate — stays JVM-side via
+    get_json_object (no Python JSON parsing in the row path)."""
+    e = load_table(spark, sf_dir, "events")
+    k_mod = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 10
+    ).alias("k_mod")
+    return e.groupBy(k_mod).agg(
+        F.count("*").alias("n"), dsum(F.col("value"), "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_price_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "percentile"),
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based, same linear-
+    interpolation definition in both engines; ROUND(…,6) absorbs the
+    1-ulp difference between their interpolation formulas — true
+    values land on the 6-decimal grid, so rounding never ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 6).alias(name)
+            for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# COUNT(DISTINCT) per group (TPC-H Q16 shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "supplier_part_diversity",
+    oracle="""
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("agg", "distinct"),
+)
+def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT)s in one aggregate — Spark expands to
+    an expand + two-phase aggregate; still a single logical pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join of two aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_customer_supplier_balance",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+         {dsum_sql('c_acctbal', 'cust_bal')}
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+         {dsum_sql('s_acctbal', 'supp_bal')}
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(cust_bal, 0.0) AS cust_bal,
+       COALESCE(n_supp, 0) AS n_supp,
+       COALESCE(supp_bal, 0.0) AS supp_bal
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    tags=("join", "outer"),
+)
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate before
+    join: the join input is |nations|, not |customers|)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"), dsum(F.col("c_acctbal"), "cust_bal"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"), dsum(F.col("s_acctbal"), "supp_bal"))
+    )
+    return c.join(s, c.nk == s.snk, "full_outer").select(
+        F.coalesce("nk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_name_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS name_snake,
+       substr(p_name, 1, 8) AS name_prefix,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+       split_part(p_name, ' ', 1) AS first_word
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def part_name_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-function surface in one projection (all codegen'd
+    built-ins; split_part/lpad/replace behave identically in DuckDB)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time-function family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_date_parts",
+    oracle=f"""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+       EXTRACT(MONTH FROM o_orderdate) AS mo,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 'revenue')},
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders
+WHERE EXTRACT(DOW FROM o_orderdate) NOT IN (0, 6)  -- weekdays only
+GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+""",
+    tags=("scalar", "date"),
+)
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + weekday filter + monthly rollup.
+    DOW normalization: DuckDB EXTRACT(DOW) is 0=Sunday..6=Saturday;
+    Spark dayofweek() is 1=Sunday..7 — (dayofweek-1) aligns them."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = F.dayofweek("o_orderdate") - 1
+    return (
+        o.filter(~dow.isin(0, 6))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions over embeddings (element-wise surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_array_stats",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(list_aggregate([embedding[i+1]::DOUBLE for i in range(64)], 'sum'), 6)
+         AS el_sum,
+       ROUND(list_aggregate([abs(embedding[i+1]::DOUBLE) for i in range(64)], 'max'), 6)
+         AS el_absmax
+FROM embeddings
+""",
+    tags=("scalar", "array"),
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: per-row fold (sum) and max over
+    the embedding — the element-wise surface similarity search builds
+    on, all JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    el_sum = F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
+    el_absmax = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(el_sum, 6).alias("el_sum"),
+        F.round(el_absmax, 6).alias("el_absmax"),
+    )

@@ -25,6 +25,7 @@ for batch results (reference ``:146-169``).
 
 from __future__ import annotations
 
+import os
 import re
 import secrets
 import threading
@@ -117,12 +118,30 @@ class StatementsService:
 
     poll_s = 0.02  # local in-process polling (reference used 300 ms HTTP)
 
-    def __init__(self, spark: SparkSession, defaults: dict | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        defaults: dict | None = None,
+        stream_shuffle_partitions: int = 4,
+    ):
         self.spark = spark
         # reference: catalog/database defaults from config
         # (api/statements.py:27-31, config.template.ini:41-44)
         self.defaults = dict(defaults or {})
         self._statements: dict[str, Statement] = {}
+        # Streaming microbatch latency is dominated by per-partition
+        # state-store open/commit: 32 shuffle partitions ≈ 1-3 s per
+        # batch, 4 ≈ 0.4 s (measured). Dashboard-style continuous
+        # aggregates have tiny key cardinality, so statements start
+        # their StreamingQuery under a low partition count (the query's
+        # cloned session captures it at start; batch SQL is untouched).
+        # At real scale, size this to key cardinality × executors.
+        self.stream_shuffle_partitions = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
+                str(stream_shuffle_partitions),
+            )
+        )
 
     # -- create ------------------------------------------------------------
     def create(
@@ -164,12 +183,20 @@ class StatementsService:
                     # consistent: Spark replays at most the last
                     # uncommitted batch, the emitter's batch-id dedup
                     # makes re-emission exactly-once.
-                    import os as _os
-
                     writer = writer.option(
-                        "checkpointLocation", _os.path.join(checkpoint_dir, "spark")
+                        "checkpointLocation", os.path.join(checkpoint_dir, "spark")
                     )
-                stmt._query = writer.start()
+                prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(self.stream_shuffle_partitions),
+                )
+                try:
+                    # start() clones the session; the clone keeps the
+                    # low partition count for the query's lifetime
+                    stmt._query = writer.start()
+                finally:
+                    self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
                 stmt.phase = PHASE_RUNNING
             except Exception as ex:
                 stmt.phase = PHASE_FAILED
