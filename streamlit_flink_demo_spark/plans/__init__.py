@@ -54,11 +54,13 @@ def load_all() -> dict[str, RegisteredQuery]:
         breadth,
         reference,
         tpch,
+        tpch2,
     )
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
         similarity,
+        skew,
         text,
     )
 
