@@ -55,6 +55,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         reference,
         tpch,
         tpch2,
+        tpch3,
     )
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
         dedup,
