@@ -122,7 +122,7 @@ class StatementsService:
         self,
         spark: SparkSession,
         defaults: dict | None = None,
-        stream_shuffle_partitions: int = 4,
+        stream_shuffle_partitions: int = 2,
     ):
         self.spark = spark
         # reference: catalog/database defaults from config
@@ -131,11 +131,12 @@ class StatementsService:
         self._statements: dict[str, Statement] = {}
         # Streaming microbatch latency is dominated by per-partition
         # state-store open/commit: 32 shuffle partitions ≈ 1-3 s per
-        # batch, 4 ≈ 0.4 s (measured). Dashboard-style continuous
-        # aggregates have tiny key cardinality, so statements start
-        # their StreamingQuery under a low partition count (the query's
-        # cloned session captures it at start; batch SQL is untouched).
-        # At real scale, size this to key cardinality × executors.
+        # batch, 4 ≈ 0.35 s, 2 ≈ 0.33 s, 1 ≈ 0.30 s (measured).
+        # Dashboard-style continuous aggregates have tiny key
+        # cardinality, so statements start their StreamingQuery under a
+        # low partition count (the query's cloned session captures it
+        # at start; batch SQL is untouched). At real scale, size this
+        # to key cardinality × executors.
         self.stream_shuffle_partitions = int(
             os.environ.get(
                 "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
