@@ -56,6 +56,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         tpch,
         tpch2,
         tpch3,
+        windows,
     )
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
         dedup,
