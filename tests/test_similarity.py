@@ -41,6 +41,46 @@ def test_embedding_near_dup_pairs_are_verified(spark, sf_dir):
         assert r["vec_a"] < r["vec_b"]
 
 
+def test_ivf_exhaustive_probe_is_exact(spark, sf_dir):
+    """With nprobe = n_clusters, IVF scores every vector — the result
+    must be EXACTLY the brute-force top-k (ids, ranks, and scores):
+    cluster pruning is the only approximation in the operator."""
+    from streamlit_flink_demo_spark.operators.similarity import ivf_topk
+
+    exact = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in REG["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(spark, sf_dir, n_clusters=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_default_probe_shape_and_honesty(spark, sf_dir):
+    """Default (pruned) IVF: k results per query, no self-matches, and
+    every returned score must be a true cosine (spot-check by
+    recomputing against the exact scores: any (q, vec) pair IVF
+    returns that brute-force also ranked must carry the same score)."""
+    ivf = REG["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    per_q = {}
+    for r in ivf:
+        assert r["vec_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 10
+        assert sorted(r["rk"] for r in rows) == list(range(1, 11))
+    exact_scores = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in REG["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    for r in ivf:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-12
+
+
 def test_multimodal_decode_batch_shape(spark, sf_dir):
     """mapInPandas plumbing: output schema fixed, one row per input,
     deterministic fake decode (same bytes → same dims)."""
