@@ -100,3 +100,53 @@ def test_anti_join_prunes_build_side(spark, sf_dir):
 def test_ann_broadcasts_query_side(spark, sf_dir):
     p = plan_str(REG["ann_cosine_topk"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_q19_disjunction_prunes_both_scans(spark, sf_dir):
+    """The OR-of-ANDs can only run post-join, but its per-side
+    implications must reach the scans: the part scan sees the brand
+    set, the lineitem scan sees the quantity band."""
+    p = plan_str(REG["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    pushed = [seg.split("]", 1)[0] for seg in p.split("PushedFilters: [")[1:]]
+    assert any("p_brand" in s for s in pushed)
+    assert any("l_quantity" in s for s in pushed)
+
+
+def test_q4_semi_join_probe_is_key_pruned(spark, sf_dir):
+    """The EXISTS side must shuffle only (l_orderkey, l_returnflag) —
+    reading any measure column into a semi-join build side is wasted
+    I/O at 100 TB."""
+    p = plan_str(REG["q4_order_priority_check"].fn(spark, sf_dir))
+    assert "LeftSemi" in p
+    reads = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema:")[1:]]
+    lineitem_reads = [s for s in reads if "l_orderkey" in s]
+    assert lineitem_reads and all(
+        "l_extendedprice" not in s and "l_quantity" not in s
+        for s in lineitem_reads
+    )
+
+
+def test_ranking_family_shares_one_window(spark, sf_dir):
+    """rank/dense_rank/ntile/percent_rank over the same spec must
+    collapse into a single Window operator (one sort, one pass)."""
+    p = plan_str(REG["order_rank_quartiles"].fn(spark, sf_dir))
+    assert p.count("Window") - p.count("WindowGroupLimit") >= 1
+    # one shuffle for the partitionBy, no second sort for extra funcs
+    assert p.count("Exchange") <= 2
+
+
+def test_cube_uses_expand_single_shuffle(spark, sf_dir):
+    """CUBE evaluates all grouping sets via one Expand + one shuffle,
+    not one job per set."""
+    p = plan_str(REG["part_type_size_cube"].fn(spark, sf_dir))
+    assert "Expand" in p
+    assert p.count("Exchange") <= 2
+
+
+def test_q21_single_fact_aggregate_no_extra_scans(spark, sf_dir):
+    """The EXISTS + NOT EXISTS pair must fold into ONE per-order
+    aggregate: lineitem appears exactly twice in the plan (probe +
+    stats), never three times."""
+    p = plan_str(REG["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 2
