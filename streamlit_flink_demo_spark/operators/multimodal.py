@@ -119,3 +119,141 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return decode_binary_batch(d, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Resize — binary-in/binary-out mapInPandas (1 row → 1 row)
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, content binary, out_width int, out_height int, n_bytes_out int"
+)
+
+
+def resize_binary_batch(
+    df: DataFrame,
+    out_width: int = 224,
+    out_height: int = 224,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: binary in, binary out, fixed target dims — the
+    preprocessing step in front of any vision encoder. The fake
+    'resize' deterministically re-samples the byte stream to
+    out_width*out_height/64 bytes (stride sampling), so output size is
+    content-independent exactly like a real resize; swap the inner
+    function for PIL/cv2 where available. Binary stays in Arrow both
+    directions — no base64, no row-at-a-time pickling."""
+
+    def op(batches):
+        import pandas as _pd
+
+        target = max(out_width * out_height // 64, 1)
+
+        def resize(data: bytes) -> bytes:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/cv2 — not available here; "
+                    "use fake=True for the deterministic stride sampler"
+                )
+            if not data:
+                return bytes(target)
+            # deterministic stride re-sample to exactly `target` bytes
+            n = len(data)
+            return bytes(data[(i * n) // target] for i in range(target))
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(data) if data is not None else b""
+                out = resize(data)
+                rows.append((doc_id, out, out_width, out_height, len(out)))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "content", "out_width", "out_height", "n_bytes_out",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+@register("multimodal_resize_fake", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-image resize to 224×224 over the documents blob column.
+    Rows-only check; the byte-level determinism and 1-row-in/1-row-out
+    contract are pytest-verified."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return resize_binary_batch(d, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling — mapInPandas fan-out (1 row → N rows)
+# --------------------------------------------------------------------------
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, frame binary, frame_md5 string"
+)
+
+
+def sample_frames_batch(
+    df: DataFrame,
+    max_frames: int = 4,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: one 'video' blob → up to ``max_frames`` evenly
+    spaced 'frames' (fan-out mapInPandas — output batches need not
+    align 1:1 with input rows, which is exactly what makes this shape
+    impossible as a scalar UDF). The fake extractor slices the byte
+    stream into equal windows; a real one would seek keyframes with
+    pyav/ffmpeg. At 100 TB: repartition upstream by blob size so a
+    batch's decoded frames fit executor memory."""
+
+    def op(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def frames(data: bytes):
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires pyav/ffmpeg — not available "
+                    "here; use fake=True for the byte-window sampler"
+                )
+            if not data:
+                return [b""]
+            n_frames = min(max_frames, max(len(data) // 64, 1))
+            w = len(data) // n_frames
+            return [data[i * w : (i + 1) * w] for i in range(n_frames)]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(data) if data is not None else b""
+                fs = frames(data)
+                for i, fr in enumerate(fs):
+                    rows.append(
+                        (doc_id, i, len(fs), fr, _hl.md5(fr).hexdigest())
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "frame", "frame_md5"],
+            )
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling over the documents blob as a fake
+    video. Rows-only check; fan-out arity and per-frame determinism
+    are pytest-verified."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return sample_frames_batch(d, fake=True)

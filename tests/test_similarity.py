@@ -81,6 +81,39 @@ def test_ivf_default_probe_shape_and_honesty(spark, sf_dir):
             assert abs(r["cos_sim"] - exact_scores[key]) < 1e-12
 
 
+def test_multimodal_resize_contract(spark, sf_dir):
+    """Resize plumbing: 1 row in → 1 row out, output byte length is
+    content-independent (target-dims-determined), and re-running is
+    bit-deterministic."""
+    src = REG["multimodal_resize_fake"].fn(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in src.collect()}
+    n_docs = REG["multimodal_binary_meta"].fn(spark, sf_dir).count()
+    assert len(rows) == n_docs
+    target = 224 * 224 // 64
+    for r in rows.values():
+        assert r["n_bytes_out"] == target
+        assert len(r["content"]) == target
+    again = {r["doc_id"]: r for r in src.collect()}
+    assert all(bytes(rows[k]["content"]) == bytes(again[k]["content"]) for k in rows)
+
+
+def test_multimodal_frame_sample_fanout(spark, sf_dir):
+    """Frame sampling: ≥1 and ≤4 frames per doc, frame_idx dense from
+    0, n_frames consistent across a doc's rows, frames deterministic
+    (md5 matches content)."""
+    import hashlib
+
+    rows = REG["multimodal_frame_sample"].fn(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert hashlib.md5(bytes(r["frame"])).hexdigest() == r["frame_md5"]
+    for doc, frs in per_doc.items():
+        n = frs[0]["n_frames"]
+        assert 1 <= n <= 4 and len(frs) == n
+        assert sorted(f["frame_idx"] for f in frs) == list(range(n))
+
+
 def test_multimodal_decode_batch_shape(spark, sf_dir):
     """mapInPandas plumbing: output schema fixed, one row per input,
     deterministic fake decode (same bytes → same dims)."""
