@@ -61,6 +61,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         similarity,
         skew,
         text,
