@@ -181,10 +181,12 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the revenue view + scalar-max selection. The scalar
-    MAX is a 1-row broadcast over the already-aggregated revenue set
-    (|suppliers| rows), so the fact table is scanned exactly once.
-    Equality on the decimal-summed double is engine-stable. Ties all
-    surface, matching the view semantics."""
+    MAX is an unpartitioned window over the already-aggregated revenue
+    set (|suppliers| rows — never fact-sized), so the fact table is
+    scanned exactly once. Equality on the decimal-summed double is
+    engine-stable. Ties all surface, matching the view semantics."""
+    from pyspark.sql.window import Window as W
+
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -192,10 +194,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
-    top = revenue.agg(F.max("total_revenue").alias("best"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.crossJoin(F.broadcast(top))
+        revenue.withColumn(
+            "best", F.max("total_revenue").over(W.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("best"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
