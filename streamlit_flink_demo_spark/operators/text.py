@@ -165,6 +165,43 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Text normalization (pretraining cleanup pass)
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_md5,
+       length(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
+@register("text_normalize", oracle=_NORM_ORACLE, tags=("text", "normalize"))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass before dedup/tokenization: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim — emitted as a
+    content digest + length (the compact form downstream exact-dedup
+    keys on). Pure codegen projection, zero shuffles; Spark's
+    regexp_replace is global by default, the oracle passes the 'g'
+    flag for the same semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (min-hash over rolling char 8-grams)
 # --------------------------------------------------------------------------
 
