@@ -319,7 +319,16 @@ def ivf_topk(
     brute-force top-k (property-tested); smaller nprobe trades recall
     for a ~nprobe/n_clusters fraction of the scoring work."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(e, n_clusters)
+    # The trained quantizer is a k-row artifact used by TWO consumers
+    # (inverted-list assignment and query probing); materialize it once
+    # as literals instead of re-running the training subplan per use.
+    # k×dim doubles is driver-bounded at any corpus scale — this is
+    # exactly the offline-artifact shape a production IVF index ships.
+    cent_rows = _ivf_centroids(e, n_clusters).collect()
+    cents = spark.createDataFrame(
+        [(int(r["c_id"]), [float(v) for v in r["c_emb"]]) for r in cent_rows],
+        "c_id int, c_emb array<double>",
+    )
     inv = e.join(_ivf_assign(e, cents), "vec_id").select(
         "vec_id", "embedding", "cluster"
     )
