@@ -152,7 +152,12 @@ class StatementsService:
         prefix: str = "stmt-",
         key_cols: list[str] | None = None,
         checkpoint_dir: str | None = None,
+        output_mode: str = "update",
     ) -> dict:
+        """``output_mode``: 'update' (default — upsert diff, +I/-U/+U)
+        or 'complete' (full-result diff with drop detection, required
+        for streaming ORDER BY/LIMIT results where keys can LEAVE the
+        result — emits -D, reference op 3, api/statements.py:167)."""
         props = {**self.defaults, **(properties or {})}
         stmt = Statement(name=random_name(prefix), sql=sql, properties=props)
         self._statements[stmt.name] = stmt
@@ -170,11 +175,15 @@ class StatementsService:
                 sql, stmt.columns
             )
             stmt.emitter = ChangelogEmitter(
-                stmt.columns, keys, stmt.buffer, checkpoint_dir
+                stmt.columns,
+                keys,
+                stmt.buffer,
+                checkpoint_dir,
+                full_snapshot=(output_mode == "complete"),
             )
             try:
                 writer = (
-                    df.writeStream.outputMode("update")
+                    df.writeStream.outputMode(output_mode)
                     .foreachBatch(stmt.emitter)
                     .queryName(stmt.name)
                 )

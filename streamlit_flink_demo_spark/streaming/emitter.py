@@ -90,6 +90,7 @@ class ChangelogEmitter:
         key_cols: list[str],
         buffer: ResultBuffer | None = None,
         checkpoint_dir: str | None = None,
+        full_snapshot: bool = False,
     ):
         self.columns = list(columns)
         self.key_idx = [self.columns.index(k) for k in key_cols]
@@ -97,6 +98,9 @@ class ChangelogEmitter:
         self._snapshot: dict[tuple, list[Any]] = {}
         self._ckpt_dir = checkpoint_dir
         self._last_batch = -1
+        # complete-output-mode sinks receive the FULL result each batch:
+        # diff with drop detection (-D) instead of upsert-only.
+        self.full_snapshot = full_snapshot
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             self._rehydrate()
@@ -146,7 +150,10 @@ class ChangelogEmitter:
         rows = [list(r) for r in batch_df.collect()]
         if batch_id <= self._last_batch:
             return  # replayed batch after restart: state applied, no re-emit
-        self.apply_upserts(rows)
+        if self.full_snapshot:
+            self.apply_full_snapshot(rows)
+        else:
+            self.apply_upserts(rows)
         self._last_batch = batch_id
         self._persist(batch_id)
 

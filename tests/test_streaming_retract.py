@@ -144,6 +144,46 @@ def test_age_group_avg_with_cast_null_semantics(spark, tmp_path):
     svc.stop(env["name"])
 
 
+TOP1_SQL = (
+    "SELECT eyeColor, count(*) AS n FROM user "
+    "GROUP BY eyeColor ORDER BY n DESC, eyeColor LIMIT 1"
+)
+
+
+def test_complete_mode_emits_delete_on_key_exit(spark, tmp_path):
+    """Streaming ORDER BY/LIMIT runs in complete output mode; when the
+    leader changes, the displaced key must leave the result as a -D
+    (op 3, reference api/statements.py:167) — the one op code update
+    mode can never produce."""
+    svc, env, spool = _mk(
+        spark, tmp_path, TOP1_SQL, key_cols=["eyeColor"], output_mode="complete"
+    )
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    def user(g, color):
+        return {"guid": g, "eyeColor": color, "age": 30,
+                "balance": "$10.00", "name": "u", "registered": None}
+
+    write_user_batch(spark, spool, 0, [user("g1", "brown"), user("g2", "brown")])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(0, ("brown", 2))]  # +I leader
+
+    # green overtakes: 3 > 2 → brown exits (-D), green enters (+I)
+    write_user_batch(
+        spark, spool, 1, [user("g3", "green"), user("g4", "green"),
+                          user("g5", "green")]
+    )
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert (0, ("green", 3)) in ops
+    assert (3, ("brown", 2)) in ops  # the -D
+
+    # materialized snapshot is just the current leader
+    table = cl.collapse()
+    assert sorted(map(tuple, table.rows)) == [("green", 3)]
+    svc.stop(env["name"])
+
+
 def test_three_concurrent_continuous_queries(spark, tmp_path):
     """The reference dashboard runs 3 continuous statements at once
     (BASELINE.md); verify concurrent statements don't interfere."""
