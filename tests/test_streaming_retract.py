@@ -144,6 +144,44 @@ def test_age_group_avg_with_cast_null_semantics(spark, tmp_path):
     svc.stop(env["name"])
 
 
+def test_restart_recovery_exactly_once(spark, tmp_path):
+    """The SURVEY §7 'hardest risk': after a stop/restart with the
+    same checkpoint, committed batches must NOT re-emit (the emitter's
+    snapshot rehydration + batch-id dedup), and the retract stream
+    must continue from the recovered state — the first post-restart
+    change to an existing key emits -U of the PRE-restart value."""
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+
+    def user(g, color):
+        return {"guid": g, "eyeColor": color, "age": 30,
+                "balance": "$10.00", "name": "u", "registered": None}
+
+    svc1 = StatementsService(spark)
+    env1 = svc1.create(EYE_SQL, checkpoint_dir=ckpt)
+    cols = [c["name"] for c in env1["status"]["traits"]["schema"]["columns"]]
+    cl1 = Changelog(cols, svc1.results(env1["name"], continuous_query=True))
+    write_user_batch(spark, spool, 0, [user("g1", "brown")])
+    write_user_batch(spark, spool, 1, [user("g2", "brown")])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc1, env1, cl1)]
+    assert ops == [(0, ("brown", 1)), (1, ("brown", 1)), (2, ("brown", 2))]
+    svc1.stop(env1["name"])
+
+    # restart against the same checkpoint: fresh service, fresh buffer
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc2 = StatementsService(spark)
+    env2 = svc2.create(EYE_SQL, checkpoint_dir=ckpt)
+    cl2 = Changelog(cols, svc2.results(env2["name"], continuous_query=True))
+    # no new data: recovery must emit NOTHING (committed batches skip)
+    assert _drain(svc2, env2, cl2) == []
+    # new data: continues from recovered count 2, retracting it first
+    write_user_batch(spark, spool, 2, [user("g3", "brown")])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc2, env2, cl2)]
+    assert ops == [(1, ("brown", 2)), (2, ("brown", 3))]
+    svc2.stop(env2["name"])
+
+
 TOP1_SQL = (
     "SELECT eyeColor, count(*) AS n FROM user "
     "GROUP BY eyeColor ORDER BY n DESC, eyeColor LIMIT 1"
