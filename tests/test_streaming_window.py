@@ -126,3 +126,58 @@ def test_session_window_streaming(spark, tmp_path):
         assert ("00:30", 1) in got
     finally:
         q.stop()
+
+
+def test_stream_stream_temporal_join(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range
+    condition (purchase within 1 h after the click) — the temporal
+    join shape SURVEY §2.5 inherits from Structured Streaming. Both
+    sides keep bounded state: the watermark + range bound let Spark
+    evict rows older than ts - 1 h."""
+    import pyspark.sql.functions as F
+
+    cspool = str(tmp_path / "clicks")
+    pspool = str(tmp_path / "purchases")
+    os.makedirs(cspool)
+    os.makedirs(pspool)
+    schema = "event_id long, ts timestamp, value double"
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(cspool)
+        .withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("event_id", "user")
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(pspool)
+        .withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("event_id", "user")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user"] == purchases["user"])
+        & (purchases["p_ts"] >= clicks["c_ts"])
+        & (purchases["p_ts"] <= clicks["c_ts"] + F.expr("INTERVAL 1 HOUR")),
+    ).select(clicks["user"], "c_ts", "p_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        ts = _ts
+        # user 1 clicks at 00:10; user 2 clicks at 00:20
+        _write_batch(spark, cspool, 0, [(1, ts(0, 10), 0.0), (2, ts(0, 20), 0.0)])
+        # user 1 purchases at 00:40 (in range), user 2 at 02:00 (out)
+        _write_batch(spark, pspool, 0, [(1, ts(0, 40), 9.0), (2, ts(2, 0), 9.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user, c_ts, p_ts FROM ssj_out").collect()
+        got = {(r["user"], r["c_ts"].minute, r["p_ts"].minute) for r in rows}
+        assert (1, 10, 40) in got
+        assert all(u != 2 for u, _, _ in got)  # out-of-range never joins
+    finally:
+        q.stop()
