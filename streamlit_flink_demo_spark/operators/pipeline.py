@@ -97,18 +97,19 @@ def docs_quality_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16-byte digest, id) only; the semi-join back is on doc_id. At
     100 TB each stage stays linear and the only quadratic-risk step
     (duplicate groups) is bounded by true duplicate cardinality."""
+    from pyspark.sql.window import Window as W
+
     d = load_table(spark, sf_dir, "documents")
     kept = d.filter(
         F.col("n_chars").between(100, 500)
         & (F.regexp_count(F.col("text"), F.lit(_WS)) >= 20)
-    ).select("doc_id", "text", "source", "n_chars")
-    canonical = (
-        kept.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select("keep_id")
-    )
+    ).select("doc_id", F.md5("text").alias("h"), "source", "n_chars")
+    # keeper = min doc_id per digest as a window — ONE scan and ONE
+    # shuffle (the agg + semi-join decorrelation scans `kept` twice);
+    # the shuffle carries (digest, id, source, n_chars), never text.
     return (
-        kept.join(canonical, kept.doc_id == canonical.keep_id, "left_semi")
+        kept.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("h")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs_kept"),
