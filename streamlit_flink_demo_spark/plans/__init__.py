@@ -52,6 +52,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     from streamlit_flink_demo_spark.plans import (  # noqa: F401
         analytics,
         breadth,
+        breadth2,
         reference,
         tpch,
         tpch2,
