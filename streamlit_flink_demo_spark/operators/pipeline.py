@@ -125,6 +125,26 @@ def docs_quality_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTX_TOKENS = 256
 
 
+# --------------------------------------------------------------------------
+# Approximate distinct counting (HLL) — the cardinality probe at scale
+# --------------------------------------------------------------------------
+
+
+@register("events_approx_distinct", oracle=None, tags=("pipeline", "approx"))
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count
+    per event_type — at 100 TB the exact distinct needs a full
+    shuffle of the distinct values, the sketch is a fixed-size
+    mergeable state that never shuffles raw values. Rows-only driver
+    check (sketch estimates are engine-specific); the ≤5% relative
+    error vs exact is pytest-asserted."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
 @register(
     "docs_pack_contexts",
     oracle=f"""

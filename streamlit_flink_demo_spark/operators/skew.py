@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamlit_flink_demo_spark.functions.numeric import DEC, dsum_sql
+from streamlit_flink_demo_spark.functions.numeric import DEC, dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
 from streamlit_flink_demo_spark.sources.catalog import load_table
 
@@ -71,4 +71,67 @@ def skew_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return salted_agg(e, "event_type", F.col("value")).select(
         "event_type", "total", "n"
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted join — replicate the small side over salt buckets
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = _SALTS,
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a random-ish salt (from
+    spark_partition_id, no RNG to ship), the dim side is exploded
+    n_salts× with every salt value, and the join key becomes
+    (key, salt) — a hot fact key now lands on n_salts reducers instead
+    of one. The dim replication is n_salts×|dim| rows, which is the
+    deliberate trade: use it when AQE's skew split can't help (e.g.
+    the skew is in the JOIN key itself and the dim is modest). Result
+    is row-identical to the plain join."""
+    salted_fact = fact.withColumn(
+        "_salt", (F.spark_partition_id() % n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["_salt"] == salted_dim["_salt"]),
+    ).drop("_salt")
+
+
+@register(
+    "skew_salted_join_revenue",
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql('o_totalprice', 'revenue')},
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("skew", "join"),
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (orders⋈customer on custkey, salted over
+    16 buckets) feeding a per-nation rollup. The oracle is the PLAIN
+    join — the salted plan must be row-identical, proving the rewrite
+    only changes physical distribution. At 100 TB this is the escape
+    hatch when one customer owns 10% of all orders and the dim is too
+    large to broadcast but small enough to replicate 16×."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = salted_join(o, c, "o_custkey", "c_custkey")
+    return (
+        joined.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("o_totalprice"), "revenue"), F.count("*").alias("n_orders"))
     )

@@ -114,6 +114,34 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
         assert sorted(f["frame_idx"] for f in frs) == list(range(n))
 
 
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate within 5% of the exact per-group distinct."""
+    for r in REG["events_approx_distinct"].fn(spark, sf_dir).collect():
+        assert r["exact_users"] > 0
+        rel = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.05, (r["event_type"], rel)
+
+
+def test_salted_join_row_identical(spark, sf_dir):
+    """The salted join must produce exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.skew import salted_join
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    plain = sorted(
+        (r["o_orderkey"], r["c_nationkey"])
+        for r in o.join(c, o.o_custkey == c.c_custkey).collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_nationkey"])
+        for r in salted_join(o, c, "o_custkey", "c_custkey").collect()
+    )
+    assert salted == plain
+
+
 def test_multimodal_decode_batch_shape(spark, sf_dir):
     """mapInPandas plumbing: output schema fixed, one row per input,
     deterministic fake decode (same bytes → same dims)."""
