@@ -140,6 +140,21 @@ def _streaming_latency(spark) -> dict:
             if _t.perf_counter() - t0 > 30:
                 raise TimeoutError("changelog not visible within 30s")
         lat.append((_t.perf_counter() - t0) * 1000)
+
+    # Throughput: feed 5 batches × 20k events at once and drain —
+    # events/s the continuous aggregate sustains (the reference's JR
+    # profile is ~20 events/s; this measures our headroom).
+    n_big, big_rows = 5, 20_000
+    for b in range(10, 10 + n_big):
+        write_user_batch(
+            spark, stage, b, [user_row(b * big_rows + i) for i in range(big_rows)]
+        )
+    t0 = _t.perf_counter()
+    for b in range(10, 10 + n_big):
+        fname = f"batch_{b:05d}.parquet"
+        os.replace(os.path.join(stage, fname), os.path.join(spool, fname))
+    svc.process_available(env["name"])
+    thr_s = _t.perf_counter() - t0
     svc.stop(env["name"])
     return {
         "metric": "event_to_changelog_visible_ms",
@@ -147,6 +162,7 @@ def _streaming_latency(spark) -> dict:
         "max_ms": round(max(lat), 1),
         "batches": len(lat),
         "events_per_batch": 10,
+        "throughput_events_per_sec": round(n_big * big_rows / thr_s),
     }
 
 
