@@ -270,6 +270,16 @@ class StatementsService:
             s._query.processAllAvailable()
 
     # -- results ----------------------------------------------------------
+    def next_results(
+        self, name: str, cursor: int = 0, page_size: int = 100
+    ) -> tuple[list[dict], int]:
+        """Single-page fetch (reference ``next_results(url)``,
+        api/statements.py:96-103): returns (records, next_cursor).
+        An empty page with an unchanged cursor is the keep-alive
+        signal; the cursor is stable under ring-buffer eviction."""
+        s = self._statements[name]  # KeyError ≙ the reference's 404
+        return s.buffer.read(cursor, page_size)
+
     def results(self, name: str, continuous_query: bool = False, page_size: int = 100):
         """Generator of result records; None keep-alives while a
         continuous query has no new data (reference :105-169)."""

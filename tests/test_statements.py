@@ -69,6 +69,32 @@ def test_results_pagination_and_completion(svc):
     assert len([r for r in rows if r is not None]) == 150
 
 
+def test_next_results_single_page_contract(svc):
+    """The reference's next_results(url) page contract
+    (api/statements.py:96-103): bounded page, advancing cursor,
+    empty page + unchanged cursor once drained, KeyError for
+    unknown statements (the 404)."""
+    env = svc.create("SELECT c_custkey FROM customer")
+    svc.wait_for_status(env, "completed", timeout=60)
+    name = env["name"]
+    got, cursor, pages = 0, 0, 0
+    while True:
+        records, nxt = svc.next_results(name, cursor, page_size=40)
+        if not records:
+            assert nxt == cursor  # keep-alive: cursor unchanged
+            break
+        assert len(records) <= 40
+        assert nxt == cursor + len(records)
+        got += len(records)
+        cursor = nxt
+        pages += 1
+    assert got == 150 and pages == 4  # 40+40+40+30
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        svc.next_results("nope", 0)
+
+
 def test_default_properties_applied(spark, sf_dir):
     register_tables(spark, sf_dir)
     svc2 = StatementsService(
