@@ -63,7 +63,9 @@ def _json_safe(v: Any) -> Any:
 
 def infer_key_cols(sql: str, out_cols: list[str]) -> list[str]:
     """Group-by key inference for retract emission: plain identifiers
-    in the GROUP BY clause that also appear in the output schema."""
+    in the GROUP BY clause that also appear in the output schema, plus
+    event-time ``window(...)`` / ``session_window(...)`` group keys
+    (Spark names their output column ``window``/``session_window``)."""
     m = re.search(
         r"\bgroup\s+by\s+(.*?)(?:\border\s+by\b|\bhaving\b|\blimit\b|$)",
         sql,
@@ -71,8 +73,16 @@ def infer_key_cols(sql: str, out_cols: list[str]) -> list[str]:
     )
     if not m:
         return []
+    clause = m.group(1)
     keys = []
-    for part in m.group(1).split(","):
+    for fn in ("session_window", "window"):
+        if re.search(rf"\b{fn}\s*\(", clause, re.IGNORECASE) and fn in out_cols:
+            keys.append(fn)
+    # strip function-call fragments so their comma-split pieces don't
+    # masquerade as identifiers
+    clause = re.sub(r"\b(?:session_window|window)\s*\([^)]*\)", "", clause,
+                    flags=re.IGNORECASE)
+    for part in clause.split(","):
         ident = part.strip().strip("`").split(".")[-1].strip("`").strip()
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident) and ident in out_cols:
             keys.append(ident)

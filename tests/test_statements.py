@@ -123,3 +123,15 @@ def test_infer_key_cols():
         )
         == ["a", "b"]
     )
+    # event-time window group keys: the window(...) call maps to the
+    # 'window' output column; its comma-split fragments must not leak
+    assert infer_key_cols(
+        "SELECT window(ts, '1 hour') AS window, ec, count(*) n FROM t "
+        "GROUP BY window(ts, '1 hour'), ec",
+        ["window", "ec", "n"],
+    ) == ["window", "ec"]
+    assert infer_key_cols(
+        "SELECT session_window(ts, '5 minutes') AS session_window, count(*) n "
+        "FROM t GROUP BY session_window(ts, '5 minutes')",
+        ["session_window", "n"],
+    ) == ["session_window"]

@@ -222,6 +222,48 @@ def test_complete_mode_emits_delete_on_key_exit(spark, tmp_path):
     svc.stop(env["name"])
 
 
+WINDOWED_SQL = (
+    "SELECT window(registered, '1 hour') AS window, eyeColor, "
+    "count(*) AS n FROM user "
+    "GROUP BY window(registered, '1 hour'), eyeColor"
+)
+
+
+def test_windowed_continuous_query_retracts_per_window(spark, tmp_path):
+    """Event-time tumbling windows through the façade with INFERRED
+    (window, eyeColor) keys: same color in different hours is two
+    keys (+I each); a repeat inside one hour retracts only that
+    window's row."""
+    from datetime import datetime
+
+    svc, env, spool = _mk(spark, tmp_path, WINDOWED_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["window", "eyeColor", "n"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    def user(g, color, hour, minute):
+        return {"guid": g, "eyeColor": color, "age": 30, "balance": "$1.00",
+                "name": "u", "registered": datetime(2024, 1, 1, hour, minute)}
+
+    write_user_batch(spark, spool, 0, [user("g1", "brown", 10, 5)])
+    ops = [(r["op"], r["row"][0]["start"].hour, tuple(r["row"][1:]))
+           for r in _drain(svc, env, cl)]
+    assert ops == [(0, 10, ("brown", 1))]
+
+    # same color, NEXT hour → new key, +I only (no retraction of hour 10)
+    write_user_batch(spark, spool, 1, [user("g2", "brown", 11, 15)])
+    ops = [(r["op"], r["row"][0]["start"].hour, tuple(r["row"][1:]))
+           for r in _drain(svc, env, cl)]
+    assert ops == [(0, 11, ("brown", 1))]
+
+    # repeat inside hour 10 → retract exactly that window's row
+    write_user_batch(spark, spool, 2, [user("g3", "brown", 10, 45)])
+    ops = [(r["op"], r["row"][0]["start"].hour, tuple(r["row"][1:]))
+           for r in _drain(svc, env, cl)]
+    assert ops == [(1, 10, ("brown", 1)), (2, 10, ("brown", 2))]
+    svc.stop(env["name"])
+
+
 def test_three_concurrent_continuous_queries(spark, tmp_path):
     """The reference dashboard runs 3 continuous statements at once
     (BASELINE.md); verify concurrent statements don't interfere."""
