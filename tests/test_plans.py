@@ -150,3 +150,21 @@ def test_q21_single_fact_aggregate_no_extra_scans(spark, sf_dir):
     stats), never three times."""
     p = plan_str(REG["q21_waiting_suppliers"].fn(spark, sf_dir))
     assert p.count("lineitem.parquet") == 2
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [
+        ("supplier_value_concentration", "lineitem.parquet"),
+        ("q15_top_supplier", "lineitem.parquet"),
+        ("cheapest_order_per_customer", "orders.parquet"),
+        ("docs_quality_dedup_yield", "documents.parquet"),
+    ],
+)
+def test_global_scalar_queries_scan_fact_once(spark, sf_dir, name, table):
+    """Global-total / per-group-min / dedup-keeper queries are written
+    as window aggregates over the already-reduced set so the fact
+    table is scanned exactly ONCE — an agg + self-join decorrelation
+    would scan it twice (measured 2-5× slower at sf0.1)."""
+    p = plan_str(REG[name].fn(spark, sf_dir))
+    assert p.count(table) == 1
