@@ -264,6 +264,49 @@ def test_windowed_continuous_query_retracts_per_window(spark, tmp_path):
     svc.stop(env["name"])
 
 
+def test_complete_mode_restart_recovery(spark, tmp_path):
+    """Complete-mode (full-snapshot diff) restart: committed batches
+    don't re-emit; after recovery a leader change still produces the
+    -D of the PRE-restart leader — the shadow snapshot and Spark's
+    state store stay consistent across the restart boundary."""
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+
+    def user(g, color):
+        return {"guid": g, "eyeColor": color, "age": 30,
+                "balance": "$10.00", "name": "u", "registered": None}
+
+    svc1 = StatementsService(spark)
+    env1 = svc1.create(
+        TOP1_SQL, key_cols=["eyeColor"], checkpoint_dir=ckpt,
+        output_mode="complete",
+    )
+    cols = [c["name"] for c in env1["status"]["traits"]["schema"]["columns"]]
+    cl1 = Changelog(cols, svc1.results(env1["name"], continuous_query=True))
+    write_user_batch(spark, spool, 0, [user("g1", "brown"), user("g2", "brown")])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc1, env1, cl1)]
+    assert ops == [(0, ("brown", 2))]
+    svc1.stop(env1["name"])
+
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc2 = StatementsService(spark)
+    env2 = svc2.create(
+        TOP1_SQL, key_cols=["eyeColor"], checkpoint_dir=ckpt,
+        output_mode="complete",
+    )
+    cl2 = Changelog(cols, svc2.results(env2["name"], continuous_query=True))
+    assert _drain(svc2, env2, cl2) == []  # no re-emission on recovery
+    write_user_batch(
+        spark, spool, 1,
+        [user("g3", "green"), user("g4", "green"), user("g5", "green")],
+    )
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc2, env2, cl2)]
+    assert (0, ("green", 3)) in ops
+    assert (3, ("brown", 2)) in ops  # -D of the pre-restart leader
+    svc2.stop(env2["name"])
+
+
 def test_three_concurrent_continuous_queries(spark, tmp_path):
     """The reference dashboard runs 3 continuous statements at once
     (BASELINE.md); verify concurrent statements don't interfere."""
