@@ -58,6 +58,20 @@ def dsum_sql(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
 
 
+def bsum_sql(expr: str, alias: str) -> str:
+    """Integer SUM for the DuckDB oracle, pinned to BIGINT.
+
+    DuckDB widens SUM(integer) to HUGEINT (int128) while Spark's
+    SUM(int) is BIGINT; the external driver's value hasher serializes
+    the two differently even when every value is equal (a plain
+    Python ``==`` compare hides it). Every integer SUM an oracle
+    exposes as an output column must therefore be cast back to
+    BIGINT. tests/driver_sim.py enforces this with a result-schema
+    lint (no HUGEINT column may reach the compare).
+    """
+    return f"CAST(SUM({expr}) AS BIGINT) AS {alias}"
+
+
 def davg_sql(expr: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT({expr}) AS {alias}"

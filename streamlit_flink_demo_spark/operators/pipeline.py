@@ -37,7 +37,7 @@ SELECT CASE WHEN {u60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
             THEN 'train' ELSE 'eval' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """,
@@ -83,7 +83,7 @@ canonical AS (
 )
 SELECT k.source,
        COUNT(*) AS n_docs_kept,
-       SUM(k.n_chars) AS chars_kept
+       CAST(SUM(k.n_chars) AS BIGINT) AS chars_kept
 FROM kept k
 JOIN canonical c ON k.doc_id = c.keep_id
 GROUP BY k.source
@@ -163,7 +163,7 @@ cum AS (
 SELECT lang,
        CAST(start_tok // {_CTX_TOKENS} AS BIGINT) AS ctx_id,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS n_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM cum
 GROUP BY lang, CAST(start_tok // {_CTX_TOKENS} AS BIGINT)
 """,

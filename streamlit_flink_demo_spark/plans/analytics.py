@@ -291,9 +291,9 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+           AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -421,11 +421,11 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_matrix",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events
 GROUP BY user_id
 """,

@@ -141,8 +141,8 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT c_nationkey,
        COUNT(*) AS n,
-       SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
-                THEN 1 ELSE 0 END) AS n_building,
+       CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
        {dsum_sql("COALESCE(NULLIF(c_acctbal, 0.0), -1.0)", 'bal_or_flag')},
        {dsum_sql('GREATEST(c_acctbal, 1000.0)', 'bal_floor')},
        {dsum_sql('LEAST(c_acctbal, 5000.0)', 'bal_cap')}

@@ -52,6 +52,25 @@ for name in sorted(qs):
         srows = [tuple(r) for r in sdf.collect()]
         status = f"rows={len(srows)}"
         if name in oracles:
+            # Type lint: the external driver hashes values by serialized
+            # type, so a DuckDB HUGEINT (SUM over integers widens) or a
+            # DECIMAL column where Spark produces DOUBLE hash-mismatches
+            # even when every value compares equal in Python. Catch the
+            # class here, before the round gate does.
+            sdt = dict(sdf.dtypes)
+            for dcol, dtyp, *_ in con.execute(
+                "DESCRIBE " + oracles[name]
+            ).fetchall():
+                dt, st = dtyp.upper(), sdt.get(dcol, "")
+                if "HUGEINT" in dt:
+                    fails.append((name, f"oracle col {dcol} is HUGEINT — CAST the SUM to BIGINT (bsum_sql)"))
+                    status = "TYPE-LINT"
+                elif dt.startswith("DECIMAL") and st == "double":
+                    fails.append((name, f"oracle col {dcol} is {dtyp} but Spark emits double — cast to DOUBLE (dsum_sql)"))
+                    status = "TYPE-LINT"
+                elif dt in ("INTEGER", "SMALLINT", "TINYINT") and st == "bigint":
+                    fails.append((name, f"oracle col {dcol} is {dtyp} but Spark emits bigint"))
+                    status = "TYPE-LINT"
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = [tuple(r) for r in res.fetchall()]
