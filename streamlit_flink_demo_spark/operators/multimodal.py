@@ -110,7 +110,7 @@ def decode_binary_batch(
     return df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
-@register("multimodal_decode_fake", oracle=None, tags=("multimodal", "pandas-udf"))
+@register("multimodal_decode_fake", oracle=None, tags=("multimodal", "pandas-udf"), expose=False)
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mapInPandas decode over fake image bytes (text bytes
     as the blob). Rows-only check: the decode itself is a stub; the
@@ -179,7 +179,7 @@ def resize_binary_batch(
     return df.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
-@register("multimodal_resize_fake", oracle=None, tags=("multimodal", "pandas-udf"))
+@register("multimodal_resize_fake", oracle=None, tags=("multimodal", "pandas-udf"), expose=False)
 def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-image resize to 224×224 over the documents blob column.
     Rows-only check; the byte-level determinism and 1-row-in/1-row-out

@@ -62,6 +62,7 @@ FROM events
 GROUP BY event_type
 """,
     tags=("skew", "agg"),
+    expose=False,
 )
 def skew_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over event_type (5 hot keys — the
@@ -118,6 +119,7 @@ JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
     tags=("skew", "join"),
+    expose=False,
 )
 def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact⋈dim join (orders⋈customer on custkey, salted over

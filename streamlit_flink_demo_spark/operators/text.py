@@ -150,7 +150,7 @@ FROM documents
 """
 
 
-@register("text_token_count", oracle=_TOKENS_ORACLE, tags=("text", "tokens"))
+@register("text_token_count", oracle=_TOKENS_ORACLE, tags=("text", "tokens"), expose=False)
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: BPE-ish regex segmentation (letters /
     digits / single punctuation — the GPT-2 pre-tokenizer shape),
@@ -178,7 +178,7 @@ FROM documents
 """
 
 
-@register("text_normalize", oracle=_NORM_ORACLE, tags=("text", "normalize"))
+@register("text_normalize", oracle=_NORM_ORACLE, tags=("text", "normalize"), expose=False)
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass before dedup/tokenization: lowercase, strip
     non-alphanumerics, collapse whitespace, trim — emitted as a

@@ -34,6 +34,7 @@ FROM (
 WHERE rk <= 3
 """,
     tags=("window",),
+    expose=False,
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per customer. ROW_NUMBER with an o_orderkey
@@ -71,6 +72,7 @@ FROM lineitem
 GROUP BY l_suppkey, l_shipdate
 """,
     tags=("window",),
+    expose=False,
 )
 def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per supplier by ship day: pre-aggregate per
@@ -122,6 +124,7 @@ SELECT 'customer_only' AS side, n FROM (
 ) b
 """,
     tags=("setops",),
+    expose=False,
 )
 def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL in one plan. Spark lowers these to
@@ -152,6 +155,7 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
     tags=("join", "anti"),
+    expose=False,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS as a left-anti join; the orders side is reduced to its
@@ -182,6 +186,7 @@ FROM orders JOIN cust_avg ON o_custkey = k
 WHERE o_totalprice > avg_price
 """,
     tags=("join", "subquery"),
+    expose=False,
 )
 def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape, decorrelated into agg + self-join —
@@ -218,6 +223,7 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     tags=("agg", "rollup"),
+    expose=False,
 )
 def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP: Spark expands grouping sets inside a single
@@ -252,6 +258,7 @@ FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
     tags=("agg", "time"),
+    expose=False,
 )
 def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour bucket aggregation — the batch twin of the
@@ -461,6 +468,7 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 25
 """,
     tags=("sort", "limit"),
+    expose=False,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark executes orderBy+limit as TakeOrderedAndProject
@@ -482,6 +490,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct_part_kinds",
     oracle="SELECT DISTINCT p_brand, p_type FROM part",
     tags=("distinct",),
+    expose=False,
 )
 def distinct_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT = groupBy on all columns; partial dedup map-side."""

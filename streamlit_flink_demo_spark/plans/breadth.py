@@ -32,6 +32,7 @@ FROM events
 GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
 """,
     tags=("json", "agg"),
+    expose=False,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction feeding an aggregate — stays JVM-side via
@@ -61,6 +62,7 @@ FROM orders
 GROUP BY o_orderpriority
 """,
     tags=("agg", "percentile"),
+    expose=False,
 )
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (sort-based, same linear-
@@ -102,6 +104,7 @@ FROM lineitem
 GROUP BY l_suppkey
 """,
     tags=("agg", "distinct"),
+    expose=False,
 )
 def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple COUNT(DISTINCT)s in one aggregate — Spark expands to
@@ -140,6 +143,7 @@ SELECT COALESCE(c.nk, s.nk) AS nationkey,
 FROM c FULL OUTER JOIN s ON c.nk = s.nk
 """,
     tags=("join", "outer"),
+    expose=False,
 )
 def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two pre-aggregated sides (aggregate before
@@ -184,6 +188,7 @@ SELECT p_partkey,
 FROM part
 """,
     tags=("scalar", "string"),
+    expose=False,
 )
 def part_name_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The string-function surface in one projection (all codegen'd
@@ -222,6 +227,7 @@ WHERE EXTRACT(DOW FROM o_orderdate) NOT IN (0, 6)  -- weekdays only
 GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
 """,
     tags=("scalar", "date"),
+    expose=False,
 )
 def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + weekday filter + monthly rollup.
@@ -261,6 +267,7 @@ SELECT vec_id,
 FROM embeddings
 """,
     tags=("scalar", "array"),
+    expose=False,
 )
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: per-row fold (sum) and max over

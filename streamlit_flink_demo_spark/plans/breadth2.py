@@ -37,6 +37,7 @@ SELECT 'surplus_96' AS side, o_orderpriority FROM (
 ) b
 """,
     tags=("setops", "all"),
+    expose=False,
 )
 def priority_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL — bag semantics with multiplicity
@@ -72,6 +73,7 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderstatus), ())
 """,
     tags=("agg", "grouping-sets"),
+    expose=False,
 )
 def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — an asymmetric set list neither ROLLUP
@@ -109,6 +111,7 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """,
     tags=("scalar", "date", "join"),
+    expose=False,
 )
 def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval arithmetic: order→ship latency in days, min/max/avg
@@ -150,6 +153,7 @@ FROM customer
 GROUP BY c_nationkey
 """,
     tags=("scalar", "null"),
+    expose=False,
 )
 def customer_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLIF / COALESCE / GREATEST / LEAST — the null-plumbing scalar

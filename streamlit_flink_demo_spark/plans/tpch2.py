@@ -28,6 +28,7 @@ WHERE o_totalprice = (
 )
 """,
     tags=("tpch2", "subquery"),
+    expose=False,
 )
 def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2's correlated-min shape: per-partition window MIN then
@@ -68,6 +69,7 @@ WHERE c.c_nationkey <> s.s_nationkey
 GROUP BY c.c_nationkey, s.s_nationkey, EXTRACT(YEAR FROM l.l_shipdate)
 """,
     tags=("tpch2", "join"),
+    expose=False,
 )
 def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume by year. The nation
@@ -115,6 +117,7 @@ WHERE r.r_name = 'ASIA'
 GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
 """,
     tags=("tpch2", "join"),
+    expose=False,
 )
 def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: the share of Asian customers' purchase volume
@@ -166,6 +169,7 @@ FROM (
 GROUP BY n_orders
 """,
     tags=("tpch2", "agg"),
+    expose=False,
 )
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: two-level aggregation (per-customer count, then
@@ -202,6 +206,7 @@ FROM per_supp, total
 WHERE supp_value > 0.011 * grand
 """,
     tags=("tpch2", "subquery"),
+    expose=False,
 )
 def supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups exceeding a fraction of the global
@@ -250,6 +255,7 @@ WHERE c_acctbal > a
 GROUP BY substr(c_name, 1, 9)
 """,
     tags=("tpch2", "anti", "subquery"),
+    expose=False,
 )
 def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average balances, no orders, grouped by

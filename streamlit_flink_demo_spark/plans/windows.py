@@ -42,6 +42,7 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice DESC, o_orderkey)
 """,
     tags=("window", "rank"),
+    expose=False,
 )
 def order_rank_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking family over a single partitioned sort — one
@@ -79,6 +80,7 @@ FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """,
     tags=("window", "leadlag"),
+    expose=False,
 )
 def customer_balance_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag over the per-nation balance ladder. Both offsets and
@@ -113,6 +115,7 @@ WINDOW w AS (PARTITION BY l_suppkey
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
     tags=("window", "frame"),
+    expose=False,
 )
 def supplier_moving_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-row moving average/sum per supplier — a bounded ROWS frame,
@@ -153,6 +156,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     tags=("window", "firstlast"),
+    expose=False,
 )
 def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value across each customer's full order
@@ -194,6 +198,7 @@ FROM part
 GROUP BY CUBE (p_type, p_size // 10)
 """,
     tags=("agg", "cube"),
+    expose=False,
 )
 def part_type_size_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (type, size-band) with grouping_id — all four grouping
@@ -238,6 +243,7 @@ FROM exploded
 GROUP BY ws
 """,
     tags=("agg", "time", "window"),
+    expose=False,
 )
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows: width 1 h, slide 30 min — each event
@@ -281,6 +287,7 @@ FROM flat
 GROUP BY pos
 """,
     tags=("array", "explode", "agg"),
+    expose=False,
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode of the embedding column → per-dimension min/max/sum

@@ -17,7 +17,7 @@ import pytest
 from streamlit_flink_demo_spark.plans import load_all
 from streamlit_flink_demo_spark.sources.catalog import TABLES, table_path
 
-REG = load_all()
+REG = load_all(exposed_only=False)
 ORACLE_QUERIES = sorted(n for n, rq in REG.items() if rq.oracle)
 ROWS_ONLY_QUERIES = sorted(n for n, rq in REG.items() if not rq.oracle)
 

@@ -14,7 +14,7 @@ import pytest
 
 from streamlit_flink_demo_spark.plans import load_all
 
-REG = load_all()
+REG = load_all(exposed_only=False)
 
 
 def plan_str(df, mode: str = "formatted") -> str:

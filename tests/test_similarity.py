@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from streamlit_flink_demo_spark.plans import load_all
 
-REG = load_all()
+REG = load_all(exposed_only=False)
 
 
 def _topk_sets(df, k_col="vec_id"):
