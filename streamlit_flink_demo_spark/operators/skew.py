@@ -101,10 +101,20 @@ def salted_join(
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return salted_fact.join(
+    # key columns qualified via the parent frames (like the _salt
+    # columns): an unqualified F.col(fact_key) == F.col(dim_key) is
+    # ambiguous — or trivially self-referential — whenever both sides
+    # share the key column name, a common case for a generic helper.
+    joined = salted_fact.join(
         salted_dim,
-        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["_salt"] == salted_dim["_salt"]),
-    ).drop("_salt")
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+    ).drop(salted_fact["_salt"]).drop(salted_dim["_salt"])
+    if fact_key == dim_key:
+        # equi-join on a shared name: keep one copy so downstream
+        # selects by name aren't ambiguous
+        joined = joined.drop(salted_dim[dim_key])
+    return joined
 
 
 @register(

@@ -61,6 +61,50 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+def infer_key_cols_from_plan(df: Any) -> list[str] | None:
+    """Group-by keys read from the ANALYZED plan's Aggregate node —
+    exact for any grouping expression shape, including the reference's
+    ``GROUP BY CASE WHEN …`` age-group query (dashboard.py:121-126)
+    where the clause text never matches the output alias, and
+    event-time ``window()``/``session_window()`` keys (the analyzed
+    plan groups on a plain attribute named ``window``).
+
+    For each output expression of the topmost Aggregate, the key set
+    collects its name when the expression (or the child it aliases)
+    semantically equals one of the grouping expressions. Returns None
+    when no Aggregate exists or the JVM walk fails (caller falls back
+    to the regex heuristic)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        stack = [node]
+        agg = None
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() == "Aggregate":
+                agg = n
+                break
+            children = n.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+        if agg is None:
+            return None
+        groups = [
+            agg.groupingExpressions().apply(i)
+            for i in range(agg.groupingExpressions().length())
+        ]
+        keys = []
+        for i in range(agg.aggregateExpressions().length()):
+            oe = agg.aggregateExpressions().apply(i)
+            target = (
+                oe.child() if oe.getClass().getSimpleName() == "Alias" else oe
+            )
+            if any(target.semanticEquals(g) for g in groups):
+                keys.append(oe.name())
+        return keys
+    except Exception:
+        return None
+
+
 def infer_key_cols(sql: str, out_cols: list[str]) -> list[str]:
     """Group-by key inference for retract emission: plain identifiers
     in the GROUP BY clause that also appear in the output schema, plus
@@ -181,9 +225,15 @@ class StatementsService:
             return stmt.envelope()
 
         if stmt.streaming:
-            keys = key_cols if key_cols is not None else infer_key_cols(
-                sql, stmt.columns
-            )
+            if key_cols is not None:
+                keys = key_cols
+            else:
+                plan_keys = infer_key_cols_from_plan(df)
+                keys = (
+                    plan_keys
+                    if plan_keys is not None
+                    else infer_key_cols(sql, stmt.columns)
+                )
             stmt.emitter = ChangelogEmitter(
                 stmt.columns,
                 keys,
@@ -225,10 +275,21 @@ class StatementsService:
             def run_batch() -> None:
                 stmt.phase = PHASE_RUNNING
                 try:
-                    rows = df.collect()
-                    stmt.buffer.append(
-                        [{"row": [_json_safe(v) for v in r]} for r in rows]
-                    )
+                    # Stream partitions through the driver instead of
+                    # collect(): driver memory is bounded by one
+                    # partition (+ prefetch) regardless of result size,
+                    # so `SELECT * FROM lineitem` through the façade
+                    # cannot OOM the driver — the ring buffer is the
+                    # only retained state, exactly like the reference's
+                    # paginated fetch (api/statements.py:96-141).
+                    chunk: list[dict] = []
+                    for r in df.toLocalIterator(prefetchPartitions=True):
+                        chunk.append({"row": [_json_safe(v) for v in r]})
+                        if len(chunk) >= 1000:
+                            stmt.buffer.append(chunk)
+                            chunk = []
+                    if chunk:
+                        stmt.buffer.append(chunk)
                     stmt.phase = PHASE_COMPLETED
                 except Exception as ex:
                     stmt.phase = PHASE_FAILED

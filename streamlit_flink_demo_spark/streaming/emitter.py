@@ -25,12 +25,15 @@ the emitted stream consistent with Spark's checkpointed state store
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import os
 import threading
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 
 from streamlit_flink_demo_spark.changelog import (
     OP_DELETE,
@@ -38,6 +41,67 @@ from streamlit_flink_demo_spark.changelog import (
     OP_UPDATE_AFTER,
     OP_UPDATE_BEFORE,
 )
+
+# -- snapshot value encoding ------------------------------------------------
+# Snapshot keys/rows must ROUND-TRIP through JSON exactly: a rehydrated
+# key that merely stringifies (json default=str) never equals a freshly
+# collected tuple, so every pre-restart key would re-emit as a spurious
+# +I and old rows in -U/-D would come back as strings. Values that
+# appear in collected Spark rows (timestamps, dates, decimals, binary,
+# window/session_window structs → Row, arrays, maps) get tagged
+# encodings; Rows decode to plain tuples, which compare and hash equal
+# to Row (a tuple subclass), so snapshot lookups still match live rows.
+
+
+def _enc(v: Any) -> Any:
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"$": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$": "dec", "v": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"$": "bin", "v": base64.b64encode(bytes(v)).decode()}
+    if isinstance(v, Row) and hasattr(v, "__fields__"):
+        # keep field names so recovered -U/-D rows still support
+        # row["start"]-style access on window/session_window structs
+        return {
+            "$": "row",
+            "f": list(v.__fields__),
+            "v": [_enc(x) for x in v],
+        }
+    if isinstance(v, tuple):
+        return {"$": "tup", "v": [_enc(x) for x in v]}
+    if isinstance(v, list):
+        return {"$": "list", "v": [_enc(x) for x in v]}
+    if isinstance(v, dict):
+        return {"$": "map", "v": [[_enc(k), _enc(x)] for k, x in v.items()]}
+    return {"$": "str", "v": str(v)}  # last resort (lossy, logged type)
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict) and "$" in v:
+        t, x = v["$"], v["v"]
+        if t == "ts":
+            return datetime.datetime.fromisoformat(x)
+        if t == "date":
+            return datetime.date.fromisoformat(x)
+        if t == "dec":
+            return decimal.Decimal(x)
+        if t == "bin":
+            return base64.b64decode(x)
+        if t == "row":
+            return Row(*v["f"])(*[_dec(e) for e in x])
+        if t == "tup":
+            return tuple(_dec(e) for e in x)
+        if t == "list":
+            return [_dec(e) for e in x]
+        if t == "map":
+            return {_dec(k): _dec(e) for k, e in x}
+        return x  # "str"
+    return v
 
 
 class ResultBuffer:
@@ -96,6 +160,9 @@ class ChangelogEmitter:
         self.key_idx = [self.columns.index(k) for k in key_cols]
         self.buffer = buffer if buffer is not None else ResultBuffer()
         self._snapshot: dict[tuple, list[Any]] = {}
+        # per-key multiplicity — only >1 in keyless complete mode, where
+        # the "key" is the whole row and duplicates must not collapse
+        self._counts: dict[tuple, int] = {}
         self._ckpt_dir = checkpoint_dir
         self._last_batch = -1
         # complete-output-mode sinks receive the FULL result each batch:
@@ -114,10 +181,19 @@ class ChangelogEmitter:
         if os.path.exists(path):
             with open(path) as f:
                 payload = json.load(f)
+            if payload.get("version") != 2:
+                # pre-typed-encoding snapshot: its stringified values
+                # can never equal live rows — starting fresh is the
+                # lesser evil (re-emits +I once) vs. permanently
+                # corrupted -U/-D payloads.
+                return
             self._last_batch = payload["batch_id"]
-            self._snapshot = {
-                tuple(k): v for k, v in payload["entries"]
-            }
+            self._snapshot = {}
+            self._counts = {}
+            for k, row, count in payload["entries"]:
+                key = tuple(_dec(e) for e in k)
+                self._snapshot[key] = _dec(row)
+                self._counts[key] = count
 
     def _persist(self, batch_id: int) -> None:
         if not self._ckpt_dir:
@@ -126,11 +202,18 @@ class ChangelogEmitter:
         with open(tmp, "w") as f:
             json.dump(
                 {
+                    "version": 2,
                     "batch_id": batch_id,
-                    "entries": [[list(k), v] for k, v in self._snapshot.items()],
+                    "entries": [
+                        [
+                            [_enc(e) for e in k],
+                            _enc(row),
+                            self._counts.get(k, 1),
+                        ]
+                        for k, row in self._snapshot.items()
+                    ],
                 },
                 f,
-                default=str,
             )
         os.replace(tmp, self._ckpt_path())
 
@@ -180,11 +263,49 @@ class ChangelogEmitter:
         """Complete-mode diff: also detects dropped keys → -D.
 
         For sinks fed by ``outputMode("complete")`` (e.g. global top-k
-        where keys can leave the result)."""
+        where keys can leave the result).
+
+        With no key_cols the result is a BAG of rows: per-row
+        multiplicity is diffed (duplicates don't collapse), and the
+        single-row global-aggregate case (one row before and after)
+        emits -U/+U — matching the update-mode upsert semantics for
+        the same query — rather than -D old / +I new."""
         out: list[dict] = []
-        new_snap: dict[tuple, list[Any]] = {}
+        if not self.key_idx:
+            new_snap: dict[tuple, list[Any]] = {}
+            new_counts: dict[tuple, int] = {}
+            for row in rows:
+                key = tuple(row)
+                new_snap[key] = row
+                new_counts[key] = new_counts.get(key, 0) + 1
+            if (
+                sum(self._counts.values()) == 1
+                and sum(new_counts.values()) == 1
+                and self._counts != new_counts
+            ):
+                (old_key,) = self._counts
+                out.append(
+                    {"op": OP_UPDATE_BEFORE, "row": self._snapshot[old_key]}
+                )
+                out.append({"op": OP_UPDATE_AFTER, "row": rows[0]})
+            else:
+                for key, row in new_snap.items():
+                    added = new_counts[key] - self._counts.get(key, 0)
+                    out.extend(
+                        {"op": OP_INSERT, "row": row} for _ in range(added)
+                    )
+                for key, old in self._snapshot.items():
+                    gone = self._counts[key] - new_counts.get(key, 0)
+                    out.extend(
+                        {"op": OP_DELETE, "row": old} for _ in range(gone)
+                    )
+            self._snapshot = new_snap
+            self._counts = new_counts
+            self.buffer.append(out)
+            return out
+        new_snap = {}
         for row in rows:
-            key = tuple(row[i] for i in self.key_idx) if self.key_idx else tuple(row)
+            key = tuple(row[i] for i in self.key_idx)
             new_snap[key] = row
             old = self._snapshot.get(key)
             if old is None:
@@ -196,5 +317,6 @@ class ChangelogEmitter:
             if key not in new_snap:
                 out.append({"op": OP_DELETE, "row": old})
         self._snapshot = new_snap
+        self._counts = {k: 1 for k in new_snap}
         self.buffer.append(out)
         return out

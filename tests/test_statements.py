@@ -95,6 +95,23 @@ def test_next_results_single_page_contract(svc):
         svc.next_results("nope", 0)
 
 
+def test_large_batch_statement_streams_through_driver(svc):
+    """Batch results flow via toLocalIterator in bounded chunks (no
+    full-result collect on the driver): a result far larger than the
+    1000-row chunk arrives complete and in working order."""
+    env = svc.create("SELECT l_orderkey, l_linenumber FROM lineitem")
+    svc.wait_for_status(env, "completed", timeout=120)
+    n = 0
+    cursor = 0
+    while True:
+        records, cursor = svc.next_results(env["name"], cursor, page_size=5000)
+        if not records:
+            break
+        n += len(records)
+    # sf0.001 lineitem cardinality (multiple chunks' worth)
+    assert n == svc.spark.table("lineitem").count() and n > 5000
+
+
 def test_default_properties_applied(spark, sf_dir):
     register_tables(spark, sf_dir)
     svc2 = StatementsService(

@@ -307,6 +307,83 @@ def test_complete_mode_restart_recovery(spark, tmp_path):
     svc2.stop(env2["name"])
 
 
+CASE_SQL = """
+SELECT CASE WHEN age < 40 THEN 'young' ELSE 'older' END AS bucket,
+       count(*) AS n
+FROM `user`
+GROUP BY CASE WHEN age < 40 THEN 'young' ELSE 'older' END
+"""
+
+
+def test_groupby_expression_infers_keys_from_plan(spark, tmp_path):
+    """GROUP BY <CASE expression> (the reference's age-group shape,
+    dashboard.py:121-126, without the CTE alias): the key must be
+    derived from the ANALYZED plan's grouping expressions — the regex
+    over the SQL text sees no plain identifier — so per-group
+    retraction works without callers passing key_cols."""
+    svc, env, spool = _mk(spark, tmp_path, CASE_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["bucket", "n"]
+    assert env["status"]["phase"] == "running"
+    keys = svc._statements[env["name"]].emitter.key_idx
+    assert keys == [0], "plan-derived key must be the aliased CASE column"
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    def user(g, age):
+        return {"guid": g, "eyeColor": "brown", "age": age,
+                "balance": "$1.00", "name": "u", "registered": None}
+
+    write_user_batch(spark, spool, 0, [user("g1", 30), user("g2", 50)])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert sorted(ops) == [(0, ("older", 1)), (0, ("young", 1))]
+
+    # second young user: ONLY the young bucket retracts
+    write_user_batch(spark, spool, 1, [user("g3", 25)])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(1, ("young", 1)), (2, ("young", 2))]
+    svc.stop(env["name"])
+
+
+def test_windowed_restart_recovery_struct_keys(spark, tmp_path):
+    """Restart with WINDOW-STRUCT group keys: the JSON snapshot must
+    round-trip the (start, end) timestamps exactly, so recovery emits
+    nothing for already-seen windows and the first post-restart change
+    retracts the typed pre-restart row (ADVICE: default=str snapshots
+    made every rehydrated key miss)."""
+    from datetime import datetime
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+
+    def user(g, hour, minute):
+        return {"guid": g, "eyeColor": "brown", "age": 30, "balance": "$1.00",
+                "name": "u", "registered": datetime(2024, 1, 1, hour, minute)}
+
+    svc1 = StatementsService(spark)
+    env1 = svc1.create(WINDOWED_SQL, checkpoint_dir=ckpt)
+    cols = [c["name"] for c in env1["status"]["traits"]["schema"]["columns"]]
+    cl1 = Changelog(cols, svc1.results(env1["name"], continuous_query=True))
+    write_user_batch(spark, spool, 0, [user("g1", 10, 5)])
+    ops = [(r["op"], r["row"][0]["start"].hour, tuple(r["row"][1:]))
+           for r in _drain(svc1, env1, cl1)]
+    assert ops == [(0, 10, ("brown", 1))]
+    svc1.stop(env1["name"])
+
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc2 = StatementsService(spark)
+    env2 = svc2.create(WINDOWED_SQL, checkpoint_dir=ckpt)
+    cl2 = Changelog(cols, svc2.results(env2["name"], continuous_query=True))
+    # recovery must be silent — the rehydrated window key matches live
+    assert _drain(svc2, env2, cl2) == []
+    # change inside the pre-restart window → -U of the recovered row
+    write_user_batch(spark, spool, 1, [user("g2", 10, 45)])
+    ops = [(r["op"], r["row"][0]["start"].hour, tuple(r["row"][1:]))
+           for r in _drain(svc2, env2, cl2)]
+    assert ops == [(1, 10, ("brown", 1)), (2, 10, ("brown", 2))]
+    svc2.stop(env2["name"])
+
+
 def test_three_concurrent_continuous_queries(spark, tmp_path):
     """The reference dashboard runs 3 continuous statements at once
     (BASELINE.md); verify concurrent statements don't interfere."""
