@@ -205,10 +205,24 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Document fingerprinting (min-hash over rolling char 8-grams)
 # --------------------------------------------------------------------------
 
+# Gram stride: hash every 2nd 8-gram position instead of all of them.
+# Measured at sf0.1 (forced evaluation): all-grams 2.94 s, stride-2
+# 1.50 s, stride-4 0.81 s; the md5 per gram dominates and is the only
+# cross-engine-stable hash (xxhash64 all-grams is 1.67 s but DuckDB
+# can't reproduce it → would demote the query to rows-only). Stride-2
+# is the chosen point: 2× throughput, and the sketch stays exact for
+# the primary use (byte-identical copies always collide since the
+# sampled positions are content-relative). Trade-off, documented: an
+# odd-length edit flips gram alignment downstream of the edit, so
+# near-dup (not exact) matches lose sensitivity vs all-grams — at
+# stride s the bottom-1 gram survives sampling with probability 1/s
+# on shifted content. Larger strides pay more of that for less gain.
+_FP_STRIDE = 2
+
 _FP_ORACLE = f"""
 SELECT doc_id,
        list_min([{u60_sql("substr(text, i, 8)")}
-                 for i in range(1, GREATEST(length(text) - 6, 2))])
+                 for i in range(1, GREATEST(length(text) - 6, 2), {_FP_STRIDE})])
          AS fingerprint,
        length(text) AS n_chars_m
 FROM documents
@@ -217,14 +231,19 @@ FROM documents
 
 @register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: minimum 60-bit hash over all
-    sliding char-8-grams (a bottom-1 sketch — equal fingerprints flag
-    likely shared content). Computed with array higher-order functions
-    per row; no explode, no shuffle."""
+    """Rolling-hash document fingerprint: minimum 60-bit hash over
+    stride-sampled sliding char-8-grams (a bottom-1 sketch — equal
+    fingerprints flag likely shared content; see _FP_STRIDE for the
+    measured sampling trade-off). Computed with array higher-order
+    functions per row; no explode, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.array_min(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(2)) - 1),
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - 6, F.lit(2)) - 1,
+                F.lit(_FP_STRIDE),
+            ),
             lambda i: u60(F.expr("text").substr(i, F.lit(8))),
         )
     )

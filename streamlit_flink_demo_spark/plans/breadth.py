@@ -35,12 +35,13 @@ GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
     expose=False,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction feeding an aggregate — stays JVM-side via
-    get_json_object (no Python JSON parsing in the row path)."""
+    """JSON path extraction feeding an aggregate — from_json with an
+    explicit one-field schema, so Jackson parses each document once
+    and materializes ONLY field k (schema pruning); get_json_object
+    re-tokenizes per path expression and was measured slower at sf0.1.
+    All JVM-side, no Python in the row path."""
     e = load_table(spark, sf_dir, "events")
-    k_mod = (
-        F.get_json_object(F.col("props"), "$.k").cast("int") % 10
-    ).alias("k_mod")
+    k_mod = (F.from_json("props", "k INT")["k"] % 10).alias("k_mod")
     return e.groupBy(k_mod).agg(
         F.count("*").alias("n"), dsum(F.col("value"), "sum_value")
     )

@@ -177,11 +177,13 @@ class StatementsService:
         spark: SparkSession,
         defaults: dict | None = None,
         stream_shuffle_partitions: int = 2,
+        name_prefix: str = "stmt-",
     ):
         self.spark = spark
         # reference: catalog/database defaults from config
         # (api/statements.py:27-31, config.template.ini:41-44)
         self.defaults = dict(defaults or {})
+        self.name_prefix = name_prefix
         self._statements: dict[str, Statement] = {}
         # Streaming microbatch latency is dominated by per-partition
         # state-store open/commit: 32 shuffle partitions ≈ 1-3 s per
@@ -198,22 +200,57 @@ class StatementsService:
             )
         )
 
+    @classmethod
+    def from_config(
+        cls, spark: SparkSession, config_file: str, **kwargs: Any
+    ) -> "StatementsService":
+        """Construct from a config.ini (reference ``dashboard.py:57-63``
+        + ``config.template.ini:41-44``): the ``[flink]`` section's
+        ``sql.current-catalog`` / ``sql.current-database`` become
+        default statement properties and ``name_prefix`` the default
+        statement-name prefix. Unreadable/empty files raise (the
+        reference prints and returns None; a library raises)."""
+        import configparser
+
+        config = configparser.ConfigParser()
+        config.read(config_file)
+        if not config.sections():
+            raise ValueError(f"cannot read configuration file: {config_file}")
+        flink = config["flink"] if config.has_section("flink") else {}
+        defaults = {
+            p: flink[p]
+            for p in ("sql.current-catalog", "sql.current-database")
+            if p in flink and flink[p]
+        }
+        prefix = flink.get("name_prefix") or "stmt-"
+        return cls(spark, defaults=defaults, name_prefix=prefix, **kwargs)
+
     # -- create ------------------------------------------------------------
     def create(
         self,
         sql: str,
         properties: dict | None = None,
-        prefix: str = "stmt-",
+        prefix: str | None = None,
         key_cols: list[str] | None = None,
         checkpoint_dir: str | None = None,
         output_mode: str = "update",
+        name: str | None = None,
     ) -> dict:
         """``output_mode``: 'update' (default — upsert diff, +I/-U/+U)
         or 'complete' (full-result diff with drop detection, required
         for streaming ORDER BY/LIMIT results where keys can LEAVE the
-        result — emits -D, reference op 3, api/statements.py:167)."""
+        result — emits -D, reference op 3, api/statements.py:167).
+
+        ``name``: honor a caller-generated statement name — the
+        reference client generates `prefix + random_id(12)` itself and
+        POSTs it (api/statements.py:65-77), so the HTTP façade passes
+        it through."""
         props = {**self.defaults, **(properties or {})}
-        stmt = Statement(name=random_name(prefix), sql=sql, properties=props)
+        if prefix is None:
+            prefix = self.name_prefix
+        stmt = Statement(
+            name=name or random_name(prefix), sql=sql, properties=props
+        )
         self._statements[stmt.name] = stmt
         try:
             df = self.spark.sql(sql)

@@ -124,6 +124,34 @@ def test_default_properties_applied(spark, sf_dir):
     }
 
 
+def test_service_from_config_ini(spark, tmp_path):
+    """config.ini → service defaults, mirroring the reference's
+    dashboard.py:57-63 + config.template.ini:41-44."""
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[flink]\n"
+        "name_prefix=jane-doe_demo-\n"
+        "sql.current-catalog=my_env\n"
+        "sql.current-database=my_cluster\n"
+    )
+    svc = StatementsService.from_config(spark, str(ini))
+    assert svc.defaults == {
+        "sql.current-catalog": "my_env",
+        "sql.current-database": "my_cluster",
+    }
+    env = svc.create("SELECT 1 AS one")
+    assert env["name"].startswith("jane-doe_demo-")
+    assert env["spec"]["properties"]["sql.current-database"] == "my_cluster"
+
+    # empty values are omitted (template ships them blank)
+    ini2 = tmp_path / "c2.ini"
+    ini2.write_text("[flink]\nsql.current-catalog=\n")
+    assert StatementsService.from_config(spark, str(ini2)).defaults == {}
+
+    with pytest.raises(ValueError):
+        StatementsService.from_config(spark, str(tmp_path / "missing.ini"))
+
+
 def test_infer_key_cols():
     assert infer_key_cols(
         "SELECT eyeColor, count(*) AS n FROM user GROUP BY eyeColor",
