@@ -51,7 +51,10 @@ def confluent_schema_id(value: Column) -> Column:
 
 
 def decode_avro(body: Column, schema_json: str) -> Column:
-    """Avro decode via spark-avro; raises with remedy if jar missing."""
+    """Avro decode via spark-avro; raises with remedy if jar missing.
+    (Jar-free alternative: ``decode_wire_format`` below, which decodes
+    the Avro body in Arrow-batched Python — same plan shape, no
+    connector required.)"""
     try:
         from pyspark.sql.avro.functions import from_avro
 
@@ -60,6 +63,28 @@ def decode_avro(body: Column, schema_json: str) -> Column:
         raise ConnectorUnavailable(
             f"spark-avro not on classpath; add --packages {AVRO_PACKAGE}"
         ) from ex
+
+
+def decode_wire_format(
+    df: DataFrame, schema_json: str, value_col: str = "value"
+) -> DataFrame:
+    """Full Confluent wire-format decode with NO connector jars: strip
+    the 5-byte header (JVM expression), then decode the Avro binary
+    body via the pure-Python Arrow-batched decoder
+    (sources/avro_decode.py). Works identically on batch and streaming
+    DataFrames — this is the sandbox-runnable twin of
+    ``from_avro(strip_confluent_header(value), schema)``."""
+    from streamlit_flink_demo_spark.sources.avro_decode import (
+        decode_avro_python,
+    )
+
+    stripped = df.select(
+        confluent_schema_id(F.col(value_col)),
+        strip_confluent_header(F.col(value_col)),
+    )
+    return decode_avro_python(
+        stripped, schema_json, binary_col="avro_body", keep_cols=("schema_id",)
+    )
 
 
 def decode_json_value(body: Column, schema_ddl: str) -> Column:
