@@ -420,6 +420,85 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Range (interval) join — clicks within 30 min before each purchase
+# --------------------------------------------------------------------------
+
+_RANGE_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_clicks,
+       CAST(MAX(c.event_id) AS BIGINT) AS last_click_id
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+GROUP BY p.event_id
+""",
+    tags=("join", "range", "interval"),
+    expose=False,
+)
+def range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range (interval) join — Spark has no native one (SURVEY §2.5;
+    Flink calls it an interval join). Naive form: equi-join on user_id
+    then filter the time range — one hash join whose groups are each
+    user's FULL history crossed per purchase; a hot user makes it
+    quadratic. Scalable form used here: bucketize time by the range
+    width W, explode each purchase to its two covering buckets
+    (a click's single bucket must be the purchase's own or the
+    previous), equi-join on (user_id, bucket) + exact range filter —
+    each join group is now one user-bucket, bounded by local density,
+    never a full history. A click matches exactly one of the two
+    exploded buckets, so no dedup is needed. LEFT semantics (purchases
+    with zero clicks) come from re-joining counts onto the purchase
+    set by purchase_id (broadcast-free, key-partitioned)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("p_us"),
+        (us / _RANGE_US).cast("bigint").alias("bucket"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("c_us"),
+        (us / _RANGE_US).cast("bigint").alias("c_bucket"),
+    )
+    pb = purchases.withColumn(
+        "jb", F.explode(F.array(F.col("bucket") - 1, F.col("bucket")))
+    )
+    matched = (
+        pb.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("jb") == F.col("c_bucket"))
+            & (F.col("c_us") >= F.col("p_us") - _RANGE_US)
+            & (F.col("c_us") < F.col("p_us")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("mn"),
+            F.max("click_id").alias("mlast"),
+        )
+    )
+    return purchases.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("mn", F.lit(0)).alias("n_clicks"),
+        F.col("mlast").alias("last_click_id"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Conditional-aggregation pivot (event matrix per user)
 # --------------------------------------------------------------------------
 

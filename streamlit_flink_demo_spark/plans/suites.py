@@ -570,6 +570,11 @@ SELECT 'top25', CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
        {_NULL_S}, {_NULL_B}, {_NULL_B},
        CAST(o_totalprice AS DOUBLE), {_NULL_D}
 FROM ({_o("top_revenue_orders")})
+UNION ALL
+SELECT 'interval', CAST(purchase_id AS BIGINT), {_NULL_B}, {_NULL_S},
+       CAST(n_clicks AS BIGINT), CAST(last_click_id AS BIGINT),
+       {_NULL_D}, {_NULL_D}
+FROM ({_o("range_join_clicks_before_purchase")})
 """,
     tags=("join", "suite"),
 )
@@ -578,8 +583,9 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation_customer_supplier_balance), NOT EXISTS anti-join
     (customers_without_orders), decorrelated aggregate self-join
     (orders_above_cust_avg), correlated per-group minimum via a window
-    (cheapest_order_per_customer), and global ORDER BY+LIMIT top-k as
-    TakeOrderedAndProject (top_revenue_orders)."""
+    (cheapest_order_per_customer), global ORDER BY+LIMIT top-k as
+    TakeOrderedAndProject (top_revenue_orders), and the bucketed range
+    (interval) join (range_join_clicks_before_purchase)."""
     fo = _fn("nation_customer_supplier_balance")(spark, sf_dir).select(
         F.lit("full_outer").alias("family"),
         F.col("nationkey").cast("bigint").alias("k1"),
@@ -630,7 +636,17 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(fo, an, aa, cm, tp)
+    iv = _fn("range_join_clicks_before_purchase")(spark, sf_dir).select(
+        F.lit("interval").alias("family"),
+        F.col("purchase_id").cast("bigint").alias("k1"),
+        _nb().alias("k2"),
+        _ns().alias("s1"),
+        F.col("n_clicks").cast("bigint").alias("i1"),
+        F.col("last_click_id").cast("bigint").alias("i2"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(fo, an, aa, cm, tp, iv)
 
 
 # --------------------------------------------------------------------------

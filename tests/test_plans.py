@@ -88,6 +88,14 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
 
 
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval join must execute as (user, bucket) equi-joins —
+    never a cartesian/nested-loop expansion of per-user histories."""
+    p = plan_str(REG["range_join_clicks_before_purchase"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_anti_join_prunes_build_side(spark, sf_dir):
     p = plan_str(REG["customers_without_orders"].fn(spark, sf_dir))
     read = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema:")[1:]]
