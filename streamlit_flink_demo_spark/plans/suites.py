@@ -99,13 +99,19 @@ UNION ALL
 SELECT 'sliding_1h_30m', window_start, {_NULL_S},
        CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE)
 FROM ({_o("events_sliding_windows")})
+UNION ALL
+SELECT resolution, bucket_start, {_NULL_S},
+       CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE)
+FROM ({_o("events_multires_rollup")})
 """,
     tags=("agg", "time", "window", "suite"),
 )
 def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding event-time window aggregation in one surface
-    (members: events_hourly_stats, events_sliding_windows — the batch
-    twins of the streaming window queries)."""
+    """Tumbling + sliding event-time window aggregation plus the
+    hypertable-style minute/hour/day hierarchical rollup in one
+    surface (members: events_hourly_stats, events_sliding_windows,
+    events_multires_rollup — the batch twins of the streaming window
+    queries)."""
     t = _fn("events_hourly_stats")(spark, sf_dir).select(
         F.lit("tumbling_1h").alias("wkind"),
         F.col("hour_start").alias("window_start"),
@@ -120,7 +126,14 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    return _u(t, s)
+    r = _fn("events_multires_rollup")(spark, sf_dir).select(
+        F.col("resolution").alias("wkind"),
+        F.col("bucket_start").alias("window_start"),
+        _ns().alias("event_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    return _u(t, s, r)
 
 
 # --------------------------------------------------------------------------

@@ -266,6 +266,76 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-resolution time rollup (hypertable continuous-aggregate shape)
+# --------------------------------------------------------------------------
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "events_multires_rollup",
+    oracle=f"""
+SELECT 'rollup_1m' AS resolution,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       COUNT(*) AS n_events, {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY date_trunc('minute', ts)
+UNION ALL
+SELECT 'rollup_1h', strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+       COUNT(*), {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY date_trunc('hour', ts)
+UNION ALL
+SELECT 'rollup_1d', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       COUNT(*), {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY date_trunc('day', ts)
+""",
+    tags=("agg", "time", "rollup"),
+    expose=False,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (minute/hour/day
+    continuous aggregates) computed HIERARCHICALLY: the fact table is
+    scanned and shuffled ONCE to minute grain, then hour and day
+    derive by re-aggregating the minute partials (|minutes| rows, then
+    |hours|) — at 100 TB that's one fact shuffle instead of three, and
+    the decimal partials re-sum exactly, so the result is
+    bit-identical to aggregating each resolution from raw (which is
+    precisely what the oracle does)."""
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("b")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("DECIMAL(18,6)")).alias("sv"),
+    )
+    # Without this, each UNION branch recomputes its lineage — three
+    # fact scans instead of one. The persisted frame is |minutes| rows
+    # (tiny relative to the fact table at any scale).
+    minute = minute.persist()
+
+    def level(src: DataFrame, grain: str) -> DataFrame:
+        return src.groupBy(F.date_trunc(grain, F.col("b")).alias("b")).agg(
+            F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
+        )
+
+    hour = level(minute, "hour")
+    day = level(hour, "day")
+
+    def out(src: DataFrame, tag: str) -> DataFrame:
+        return src.select(
+            F.lit(tag).alias("resolution"),
+            F.date_format("b", _TS_FMT).alias("bucket_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return (
+        out(minute, "rollup_1m")
+        .unionAll(out(hour, "rollup_1h"))
+        .unionAll(out(day, "rollup_1d"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Array unnest with position → per-dimension statistics
 # --------------------------------------------------------------------------
 
