@@ -126,6 +126,104 @@ _CTX_TOKENS = 256
 
 
 # --------------------------------------------------------------------------
+# Eval-set contamination (train ∩ eval shingle overlap)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_eval_contamination",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         {u60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         unnest(list_distinct([
+             lower(t[i+1]) || ' ' || lower(t[i+2]) || ' ' || lower(t[i+3])
+             for i in range(len(t) - 2)
+         ])) AS s
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE bucket >= 90
+),
+train AS (
+  SELECT doc_id, s FROM sh WHERE bucket < 90
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+),
+shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM train JOIN eval_sh USING (s)
+  GROUP BY doc_id
+)
+SELECT sizes.doc_id,
+       CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(n_shared, 0) / sizes.n_shingles::DOUBLE AS contamination
+FROM sizes LEFT JOIN shared ON sizes.doc_id = shared.doc_id
+""",
+    tags=("pipeline", "contamination", "join"),
+    expose=False,
+)
+def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan — the check a training pipeline runs
+    before a release: for every TRAIN document (hash-mod split, same
+    rule as docs_train_eval_split), the fraction of its distinct
+    3-word shingles that also occur anywhere in the EVAL split. The
+    eval shingle set is the small side by construction (10% of docs)
+    → broadcast semi-structure: train shingles never shuffle for the
+    membership probe, only the per-doc counts do. At 100 TB the eval
+    set is a fixed benchmark suite (orders of magnitude smaller
+    still); the train side stays a narrow explode."""
+    from pyspark.sql.window import Window as W  # noqa: F401  (parity w/ file style)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (u60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+        F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)").alias("t"),
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    # index carrier: positions 0..n-3 of the token array
+                    F.slice(F.col("t"), 1, F.size("t") - 2),
+                    lambda _, i: F.concat_ws(
+                        " ",
+                        F.lower(F.element_at(F.col("t"), i + 1)),
+                        F.lower(F.element_at(F.col("t"), i + 2)),
+                        F.lower(F.element_at(F.col("t"), i + 3)),
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    eval_sh = (
+        sh.filter(F.col("bucket") >= 90).select("s").distinct()
+    )
+    train = sh.filter(F.col("bucket") < 90).select("doc_id", "s").persist()
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return sizes.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (
+            F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct counting (HLL) — the cardinality probe at scale
 # --------------------------------------------------------------------------
 

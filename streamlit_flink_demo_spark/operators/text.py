@@ -202,6 +202,65 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction (pretraining scrub pass)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 read identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+_PII_NUM = r"\d+"
+
+_REDACT_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_NUM}')) AS n_nums,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_NUM}', '<NUM>', 'g'))
+         AS redacted_md5
+FROM documents
+"""
+
+
+@register(
+    "text_redact_pii",
+    oracle=_REDACT_ORACLE,
+    tags=("text", "redact", "pii"),
+    expose=False,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass for a pretraining corpus: emails / URLs / phone
+    numbers / bare numbers replaced by typed placeholder tokens, with
+    per-category match counts and the digest of the redacted text
+    (what downstream dedup keys on — redaction must happen BEFORE
+    dedup or the same document with two emails survives twice). Order
+    matters: emails and URLs are matched before the bare-number rule
+    so their digits don't get shredded into <NUM>. Pure codegen
+    projection, zero shuffles; driver-checked inside
+    scalar_funcs_suite (family redact_pii)."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.col("text")
+    for pat, tok in (
+        (_PII_EMAIL, "<EMAIL>"),
+        (_PII_URL, "<URL>"),
+        (_PII_PHONE, "<PHONE>"),
+        (_PII_NUM, "<NUM>"),
+    ):
+        redacted = F.regexp_replace(redacted, pat, tok)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_URL)).alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_PII_NUM)).alias("n_nums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (min-hash over rolling char 8-grams)
 # --------------------------------------------------------------------------
 

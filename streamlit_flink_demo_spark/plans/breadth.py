@@ -257,6 +257,57 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_aggregate([abs(embedding[i+1]::DOUBLE) for i in range(64)],
+                        'max') / 127.0 AS scale,
+         [embedding[i+1]::DOUBLE for i in range(64)] AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       CAST(len(list_filter(
+           [round(v[i+1] / scale) for i in range(64)],
+           x -> abs(x) >= 127)) AS BIGINT) AS n_saturated,
+       ROUND(list_aggregate(
+           [pow(v[i+1] - round(v[i+1] / scale) * scale, 2)
+            for i in range(64)], 'sum') / 64.0, 12) AS recon_mse
+FROM q
+WHERE scale > 0
+""",
+    tags=("scalar", "array", "quantize"),
+    expose=False,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before shipping vectors to an ANN index at
+    100 TB (4 bytes→1 byte per dim). Per-vector absmax scale,
+    round-to-nearest quantized values, saturation count, and
+    reconstruction MSE, all as JVM higher-order functions over the
+    array (zero shuffles, zero UDFs). Spark's ROUND and DuckDB's
+    round() both round half away from zero on doubles, and the
+    per-row double arithmetic is IEEE-identical, so the oracle is
+    exact (outputs rounded to fixed scales to absorb formatting, not
+    value, differences). Driver-checked inside scalar_funcs_suite
+    (family quantize)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0
+    q = F.transform(dbl, lambda x: F.round(x / scale))
+    sat = F.size(F.filter(q, lambda x: F.abs(x) >= 127))
+    err2 = F.zip_with(dbl, q, lambda x, qi: F.pow(x - qi * scale, 2))
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / 64.0
+    return e.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        sat.cast("bigint").alias("n_saturated"),
+        F.round(mse, 12).alias("recon_mse"),
+    ).filter(F.col("scale") > 0)
+
+
+@register(
     "embedding_array_stats",
     oracle="""
 SELECT vec_id,

@@ -412,6 +412,16 @@ SELECT 'date_arith', {_NULL_B}, o_orderpriority, {_NULL_S},
        CAST(min_days AS BIGINT), CAST(max_days AS BIGINT), {_NULL_B},
        CAST(avg_days AS DOUBLE), {_NULL_D}, {_NULL_D}
 FROM ({_o("order_ship_latency")})
+UNION ALL
+SELECT 'redact_pii', CAST(doc_id AS BIGINT), {_NULL_S}, redacted_md5,
+       CAST(n_emails AS BIGINT), CAST(n_urls AS BIGINT),
+       CAST(n_phones AS BIGINT), CAST(n_nums AS DOUBLE), {_NULL_D}, {_NULL_D}
+FROM ({_o("text_redact_pii")})
+UNION ALL
+SELECT 'quantize', CAST(vec_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(n_saturated AS BIGINT), {_NULL_B}, {_NULL_B},
+       CAST(scale AS DOUBLE), CAST(recon_mse AS DOUBLE), {_NULL_D}
+FROM ({_o("embedding_quantize")})
 """,
     tags=("scalar", "suite"),
 )
@@ -515,7 +525,31 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(nf, dp, sf_, ar, ds, js, da)
+    rp = _fn("text_redact_pii")(spark, sf_dir).select(
+        F.lit("redact_pii").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        _ns().alias("k2"),
+        F.col("redacted_md5").alias("s1"),
+        F.col("n_emails").cast("bigint").alias("i1"),
+        F.col("n_urls").cast("bigint").alias("i2"),
+        F.col("n_phones").cast("bigint").alias("n"),
+        F.col("n_nums").cast("double").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    qz = _fn("embedding_quantize")(spark, sf_dir).select(
+        F.lit("quantize").alias("family"),
+        F.col("vec_id").cast("bigint").alias("k1"),
+        _ns().alias("k2"),
+        _ns().alias("s1"),
+        F.col("n_saturated").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("n"),
+        F.col("scale").cast("double").alias("v1"),
+        F.col("recon_mse").cast("double").alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz)
 
 
 # --------------------------------------------------------------------------
@@ -588,6 +622,11 @@ SELECT 'interval', CAST(purchase_id AS BIGINT), {_NULL_B}, {_NULL_S},
        CAST(n_clicks AS BIGINT), CAST(last_click_id AS BIGINT),
        {_NULL_D}, {_NULL_D}
 FROM ({_o("range_join_clicks_before_purchase")})
+UNION ALL
+SELECT 'contamination', CAST(doc_id AS BIGINT), {_NULL_B}, {_NULL_S},
+       CAST(n_shingles AS BIGINT), CAST(n_shared AS BIGINT),
+       CAST(contamination AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_eval_contamination")})
 """,
     tags=("join", "suite"),
 )
@@ -659,7 +698,17 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(fo, an, aa, cm, tp, iv)
+    ct = _fn("docs_eval_contamination")(spark, sf_dir).select(
+        F.lit("contamination").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        _nb().alias("k2"),
+        _ns().alias("s1"),
+        F.col("n_shingles").cast("bigint").alias("i1"),
+        F.col("n_shared").cast("bigint").alias("i2"),
+        F.col("contamination").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(fo, an, aa, cm, tp, iv, ct)
 
 
 # --------------------------------------------------------------------------
