@@ -97,6 +97,35 @@ def test_keyless_complete_checkpoint_roundtrip(tmp_path):
     assert [o["op"] for o in e2.apply_full_snapshot([[1]])] == [3]
 
 
+def test_full_snapshot_diff_reconstructs_bag_property():
+    """Property: for ANY sequence of keyless complete-mode snapshots,
+    folding the emitted ops into a bag reproduces each snapshot
+    exactly (multiplicity included) — the invariant every changelog
+    consumer relies on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(st.integers(min_value=0, max_value=3), max_size=6)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(rows, min_size=1, max_size=6))
+    def run(snapshots):
+        e = ChangelogEmitter(["v"], [], full_snapshot=True)
+        bag: Counter = Counter()
+        for snap in snapshots:
+            for op in e.apply_full_snapshot([[v] for v in snap]):
+                key = tuple(op["row"])
+                if op["op"] in (0, 2):  # +I / +U
+                    bag[key] += 1
+                elif op["op"] in (1, 3):  # -U / -D
+                    bag[key] -= 1
+            assert +bag == Counter((v,) for v in snap)
+
+    run()
+
+
 def test_legacy_snapshot_version_ignored(tmp_path):
     """A pre-v2 (default=str) snapshot can't round-trip — rehydration
     must ignore it rather than load corrupted keys."""
