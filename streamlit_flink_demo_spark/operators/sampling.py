@@ -1,0 +1,311 @@
+"""Deterministic sampling, sharding and mixture control for training
+corpora.
+
+A pretraining pipeline rarely trains on the raw crawl: it samples
+strata at different rates (quality tiers, languages), rebalances the
+domain mixture toward a target recipe, and writes the result as
+shuffled shards whose order must be reproducible run-to-run. RAND()
+breaks all three (not re-derivable, not resumable, engine-specific),
+so every operator here derives its randomness from the md5-based u60
+hash (functions/hashing.py) with a per-operator salt prefix — the
+same document gets independent "random" draws for splitting,
+stratified sampling and shuffling, yet any engine recomputes the
+identical decision.
+
+Companion to operators/pipeline.py (split / quality-yield / packing);
+like it, nothing here exists in the reference (SURVEY.md §2.5) — this
+is the LLM-data-pipeline extension surface. All four operators are
+suite members (expose=False): the driver checks them through
+scalar_funcs_suite / group_agg_suite branches, and
+tests/test_oracle_parity.py checks each against its own oracle.
+
+Scale posture (100 TB): every operator is a projection or a
+shard-local window + one hash aggregation — no global sort, no
+driver-side state, no UDFs; the hash math stays in whole-stage
+codegen. Shard count and rate tables are literals in the plan, so
+partition pruning and map-side combine apply as usual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.functions.numeric import bsum_sql
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Stratified sampling: per-language keep rates in basis points
+# --------------------------------------------------------------------------
+
+# lang -> keep rate in basis points (of 10_000). Any unlisted stratum
+# falls back to the tail rate.
+_STRATA_BPS = {"en": 10_000, "es": 5_000, "fr": 5_000, "de": 2_500, "zh": 2_500}
+_TAIL_BPS = 1_000
+
+
+def _rate_bps_col() -> F.Column:
+    expr = None
+    for lang, bps in _STRATA_BPS.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, bps) if expr is None else expr.when(cond, bps)
+    return expr.otherwise(_TAIL_BPS).cast("bigint")
+
+
+def _rate_bps_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bps}" for lang, bps in _STRATA_BPS.items()
+    )
+    return f"CAST(CASE lang {whens} ELSE {_TAIL_BPS} END AS BIGINT)"
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_rate_bps_sql()} AS rate_bps,
+       CAST(CASE WHEN {u60_sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000
+                 < {_rate_bps_sql()}
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents
+""",
+    tags=("pipeline", "sampling"),
+    expose=False,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling with deterministic membership:
+    keep a document iff u60('strat:' || doc_id) mod 10000 falls under
+    its stratum's basis-point rate. The 'strat:' salt decorrelates
+    this draw from the train/eval split's hash (pipeline.py) — a
+    document's sampling fate and its split assignment are independent,
+    as two uses of RAND() would be, but reproducibly so. Pure
+    projection; at 100 TB the filter form (kept=1) pushes straight
+    into the scan's row-group pruning when membership is materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    draw = u60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 10_000
+    return d.select(
+        "doc_id",
+        "lang",
+        _rate_bps_col().alias("rate_bps"),
+        F.when(draw < _rate_bps_col(), 1).otherwise(0).cast("bigint").alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic shuffle-shard: reproducible training order
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "docs_shuffle_shard",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {u60_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+  FROM documents
+), pos AS (
+  SELECT doc_id, sort_key,
+         sort_key % {_N_SHARDS} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY sort_key % {_N_SHARDS}
+                            ORDER BY sort_key, doc_id) AS pos
+  FROM keyed
+)
+SELECT CAST(shard AS VARCHAR) AS shard,
+       COUNT(*) AS n_docs,
+       {bsum_sql(f"(pos * (sort_key % 997)) % 1000003", "order_digest")},
+       CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc
+FROM pos
+GROUP BY shard
+""",
+    tags=("pipeline", "sampling", "shard"),
+    expose=False,
+)
+def docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding: shard =
+    u60('shuf:' || doc_id) mod N, within-shard order = (sort_key,
+    doc_id). This is how a 100 TB corpus becomes N training shards
+    whose byte order is identical on every run/engine — the
+    prerequisite for resumable data loaders. The verification output
+    is per-shard: row count, a positional checksum
+    SUM((pos * (sort_key % 997)) % 1000003) that pins the entire
+    permutation, and the head document. Scale: the window partitions
+    by shard (N grows with the corpus, e.g. 65 536), so each sort is
+    shard-local — there is no global sort, and the groupBy reuses the
+    shard partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        u60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    ).withColumn("shard", F.col("sort_key") % _N_SHARDS)
+    win = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(win))
+    return pos.groupBy(F.col("shard").cast("string").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("pos") * (F.col("sort_key") % 997)) % 1_000_003
+        ).alias("order_digest"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("head_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain mixture rebalancing: sampling rates toward a target recipe
+# --------------------------------------------------------------------------
+
+# Target mixture by source-id band: the first five sources carry half
+# the training mix, the next five 30%, the long tail shares 20%.
+_MIX_BANDS = ((0, 4, 0.10), (5, 9, 0.06), (10, 19, 0.02))
+
+
+def _target_frac_col(src_num: F.Column) -> F.Column:
+    expr = None
+    for lo, hi, w in _MIX_BANDS:
+        cond = (src_num >= lo) & (src_num <= hi)
+        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+    return expr.otherwise(0.0)
+
+
+def _target_frac_sql(src_num: str) -> str:
+    whens = " ".join(
+        f"WHEN {src_num} BETWEEN {lo} AND {hi} THEN {w}"
+        for lo, hi, w in _MIX_BANDS
+    )
+    # CAST: DuckDB types the 0.10/0.06 literals as DECIMAL, which would
+    # make the rate arithmetic exact where Spark's double math is not.
+    return f"CAST(CASE {whens} ELSE 0.0 END AS DOUBLE)"
+
+
+@register(
+    "docs_domain_mix",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(substr(source, 4) AS INTEGER) AS src_num,
+         COUNT(*) AS n_docs
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per_src
+)
+SELECT source,
+       n_docs,
+       {_target_frac_sql("src_num")} AS target_frac,
+       LEAST(1.0, ({_target_frac_sql("src_num")} * total_docs) / n_docs)
+         AS rate,
+       CAST(FLOOR(LEAST(1.0, ({_target_frac_sql("src_num")} * total_docs)
+                             / n_docs) * n_docs) AS BIGINT) AS expected_kept
+FROM per_src, tot
+""",
+    tags=("pipeline", "sampling", "mixture"),
+    expose=False,
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: given a target recipe (fraction of
+    the training mix per source band), derive each source's
+    down-sampling rate = min(1, target_frac * total_docs / n_docs) and
+    the expected kept count. Over-represented domains are
+    down-sampled toward the recipe; under-represented ones keep
+    everything (rate capped at 1 — upsampling is a loader concern).
+    The per-source aggregate broadcasts against the single-row global
+    total, so at 100 TB this is one map-side-combined count per
+    source plus a broadcast join — no second scan of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = per_src.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    src_num = F.substring(F.col("source"), 4, 9).cast("int")
+    target = _target_frac_col(src_num)
+    rate = F.least(F.lit(1.0), (target * F.col("total_docs")) / F.col("n_docs"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        target.alias("target_frac"),
+        rate.alias("rate"),
+        F.floor(rate * F.col("n_docs")).cast("bigint").alias("expected_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, w,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+       CAST(list_max(list_transform(list_distinct(w),
+                     x -> len(list_filter(w, y -> y = x)))) AS BIGINT)
+         AS top_word_n,
+       CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+         AS dup_word_frac,
+       CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / NULLIF(len(bg), 0)
+         AS dup_bigram_frac
+FROM b
+""",
+    tags=("text", "quality", "repetition"),
+    expose=False,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics in the style of the Gopher quality filters
+    (Rae et al. 2021, §A1.1): per-document word count, distinct-word
+    count, most-frequent-word count, duplicate-word fraction and
+    duplicate-bigram fraction — the signals that catch boilerplate
+    and degenerate repetition. Spark path: one posexplode, bigrams
+    via lead() over the (doc_id, pos) window, then two hash
+    aggregations joined on doc_id — linear in corpus size, no O(n²)
+    per-document work (the oracle's list_filter scan is fine at
+    sf0.01 but would not be at 100 TB, which is exactly why the
+    engine path explodes instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    ex = ex.withColumn("nxt", F.lead("word").over(win)).withColumn(
+        "bigram",
+        F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "word", "nxt")),
+    )
+    wcnt = ex.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    stats = wcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"),
+    )
+    bg = ex.groupBy("doc_id").agg(
+        F.count("bigram").alias("nb"),
+        F.countDistinct("bigram").alias("nbd"),
+    )
+    return stats.join(bg, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+        F.col("top_word_n").cast("bigint").alias("top_word_n"),
+        (
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+            / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (
+            (F.col("nb") - F.col("nbd")).cast("double")
+            / F.nullif(F.col("nb"), F.lit(0))
+        ).alias("dup_bigram_frac"),
+    )

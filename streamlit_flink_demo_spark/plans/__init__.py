@@ -85,6 +85,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         dedup,
         multimodal,
         pipeline,
+        sampling,
         similarity,
         skew,
         text,

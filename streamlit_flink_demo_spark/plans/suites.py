@@ -42,6 +42,7 @@ from streamlit_flink_demo_spark.plans import (  # noqa: F401
 )
 from streamlit_flink_demo_spark.operators import (  # noqa: F401
     multimodal,
+    sampling,
     skew,
     text,
 )
@@ -288,6 +289,16 @@ SELECT 'count_distinct', CAST(l_suppkey AS VARCHAR), {_NULL_S},
        CAST(n_parts AS BIGINT), CAST(n_orders AS BIGINT), CAST(n_items AS BIGINT),
        {_NULL_D}, {_NULL_D}, {_NULL_D}
 FROM ({_o("supplier_part_diversity")})
+UNION ALL
+SELECT 'shuffle_shard', shard, {_NULL_S},
+       CAST(order_digest AS BIGINT), CAST(head_doc AS BIGINT),
+       CAST(n_docs AS BIGINT), {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_shuffle_shard")})
+UNION ALL
+SELECT 'domain_mix', source, {_NULL_S},
+       CAST(expected_kept AS BIGINT), {_NULL_B}, CAST(n_docs AS BIGINT),
+       CAST(target_frac AS DOUBLE), CAST(rate AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_domain_mix")})
 """,
     tags=("agg", "suite"),
 )
@@ -363,7 +374,29 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd)
+    sh = _fn("docs_shuffle_shard")(spark, sf_dir).select(
+        F.lit("shuffle_shard").alias("family"),
+        F.col("shard").alias("k1"),
+        _ns().alias("k2"),
+        F.col("order_digest").cast("bigint").alias("i1"),
+        F.col("head_doc").cast("bigint").alias("i2"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    dm = _fn("docs_domain_mix")(spark, sf_dir).select(
+        F.lit("domain_mix").alias("family"),
+        F.col("source").alias("k1"),
+        _ns().alias("k2"),
+        F.col("expected_kept").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("target_frac").cast("double").alias("v1"),
+        F.col("rate").cast("double").alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm)
 
 
 # --------------------------------------------------------------------------
@@ -422,6 +455,17 @@ SELECT 'quantize', CAST(vec_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(n_saturated AS BIGINT), {_NULL_B}, {_NULL_B},
        CAST(scale AS DOUBLE), CAST(recon_mse AS DOUBLE), {_NULL_D}
 FROM ({_o("embedding_quantize")})
+UNION ALL
+SELECT 'stratified', CAST(doc_id AS BIGINT), lang, {_NULL_S},
+       CAST(rate_bps AS BIGINT), CAST(kept AS BIGINT), {_NULL_B},
+       {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_stratified_sample")})
+UNION ALL
+SELECT 'repetition', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(n_words AS BIGINT), CAST(n_distinct_words AS BIGINT),
+       CAST(top_word_n AS BIGINT),
+       CAST(dup_word_frac AS DOUBLE), CAST(dup_bigram_frac AS DOUBLE), {_NULL_D}
+FROM ({_o("text_repetition")})
 """,
     tags=("scalar", "suite"),
 )
@@ -549,7 +593,31 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("recon_mse").cast("double").alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz)
+    st = _fn("docs_stratified_sample")(spark, sf_dir).select(
+        F.lit("stratified").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("lang").alias("k2"),
+        _ns().alias("s1"),
+        F.col("rate_bps").cast("bigint").alias("i1"),
+        F.col("kept").cast("bigint").alias("i2"),
+        _nb().alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    rep = _fn("text_repetition")(spark, sf_dir).select(
+        F.lit("repetition").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        _ns().alias("k2"),
+        _ns().alias("s1"),
+        F.col("n_words").cast("bigint").alias("i1"),
+        F.col("n_distinct_words").cast("bigint").alias("i2"),
+        F.col("top_word_n").cast("bigint").alias("n"),
+        F.col("dup_word_frac").cast("double").alias("v1"),
+        F.col("dup_bigram_frac").cast("double").alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz, st, rep)
 
 
 # --------------------------------------------------------------------------
