@@ -1,0 +1,96 @@
+"""Training-shard writer: deterministic layout, one file per shard,
+within-shard order identical to the docs_shuffle_shard oracle."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from streamlit_flink_demo_spark.sinks import (
+    read_shard,
+    with_shard,
+    write_training_shards,
+)
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def shard_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards") / "docs")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_training_shards(docs, path, key_col="doc_id", n_shards=N_SHARDS)
+    return path
+
+
+def shard_files(path: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for d in glob.glob(os.path.join(path, "shard=*")):
+        k = int(d.rsplit("=", 1)[1])
+        out[k] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def test_one_file_per_shard(shard_path):
+    files = shard_files(shard_path)
+    assert sorted(files) == list(range(N_SHARDS))
+    for k, fs in files.items():
+        assert len(fs) == 1, f"shard {k} has {len(fs)} files"
+
+
+def test_within_shard_order_matches_sort_key(spark, sf_dir, shard_path):
+    """Each shard file's physical row order is (sort_key, doc_id) —
+    the ROW_NUMBER() ordering the docs_shuffle_shard oracle pins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    expect = {
+        k: [r.doc_id for r in rows]
+        for k, rows in (
+            (k, with_shard(docs, "doc_id", N_SHARDS)
+                .filter(f"shard = {k}")
+                .orderBy("sort_key", "doc_id")
+                .collect())
+            for k in range(N_SHARDS)
+        )
+    }
+    files = shard_files(shard_path)
+    total = 0
+    for k, fs in files.items():
+        got = pq.read_table(fs[0], columns=["doc_id"])["doc_id"].to_pylist()
+        assert got == expect[k], f"shard {k} order mismatch"
+        total += len(got)
+    n_docs = docs.count()
+    assert total == n_docs
+
+
+def test_rewrite_is_byte_deterministic_rowwise(spark, sf_dir, shard_path, tmp_path):
+    """A second run over the same input produces identical row
+    sequences per shard (the resumable-loader contract)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path2 = str(tmp_path / "docs2")
+    write_training_shards(docs, path2, key_col="doc_id", n_shards=N_SHARDS)
+    f1, f2 = shard_files(shard_path), shard_files(path2)
+    assert sorted(f1) == sorted(f2)
+    for k in f1:
+        t1 = pq.read_table(f1[k][0]).to_pylist()
+        t2 = pq.read_table(f2[k][0]).to_pylist()
+        assert t1 == t2, f"shard {k} differs between runs"
+
+
+def test_read_shard_prunes_partitions(spark, shard_path):
+    df = read_shard(spark, shard_path, 3)
+    rows = df.collect()
+    assert rows and all(r.shard == 3 for r in rows)
+    # Partition pruning: the files actually read are shard=3's only
+    # (inputFiles() lists the pre-pruning relation, so ask at runtime).
+    from pyspark.sql import functions as F
+
+    read = {
+        r[0]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    dirs = {"/" + os.path.dirname(f).removeprefix("file:").lstrip("/") for f in read}
+    assert dirs == {os.path.join(shard_path, "shard=3")}
