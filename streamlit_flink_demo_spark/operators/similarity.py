@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -167,9 +169,46 @@ def _banded_sigs(
     )
 
 
+def _banded_sigs_arrow(
+    emb: DataFrame, n_bands: int, planes_per_band: int, salt: str = ""
+) -> DataFrame:
+    """Arrow-batched twin of ``_banded_sigs``: all band signatures in
+    ONE numpy matmul per batch (B×dim @ dim×planes), bits packed per
+    band. Same (vec_id, embedding, band, bsig) output.
+
+    Why a pandas UDF here when the rest of the engine avoids Python:
+    n_bands×planes_per_band interpreted higher-order aggregates cost
+    ~1 ms/row (measured at 32 planes) — a per-row constant that
+    multiplies by corpus size at 100 TB. The matmul form is sub-µs/row
+    after Arrow transfer; this is the one shape (dense linear algebra)
+    where vectorized Python beats Catalyst expressions by orders of
+    magnitude. Sign decisions are identical to the sequential JVM fold
+    except when |projection| < ~1e-15 (reassociated summation);
+    tests/test_similarity.py pins path agreement on the test corpus."""
+    W = np.array(
+        _plane_weights(n_bands * planes_per_band, salt), dtype=np.float64
+    )
+    shifts = 1 << np.arange(planes_per_band)
+
+    @F.pandas_udf("array<int>")
+    def band_sigs(e_: pd.Series) -> pd.Series:
+        if not len(e_):
+            return pd.Series([], dtype=object)
+        M = np.vstack(e_.to_numpy()).astype(np.float64)
+        bits = (M @ W.T >= 0).astype(np.int64)
+        sigs = bits.reshape(len(M), n_bands, planes_per_band) @ shifts
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(band_sigs(F.col("embedding"))).alias("band", "bsig"),
+    )
+
+
 def _band_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Top-k ANN banding (coarse: recall-first, query side broadcast)."""
-    return _banded_sigs(emb, _N_BANDS, _PLANES_PER_BAND)
+    return _banded_sigs_arrow(emb, _N_BANDS, _PLANES_PER_BAND)
 
 
 @register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
@@ -232,7 +271,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation). Rows-only check (bucketing is approximate);
     brute-force recall is pytest-verified (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    bsigs = _banded_sigs(e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:").persist()
+    bsigs = _banded_sigs_arrow(
+        e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:"
+    ).persist()
     a = bsigs.alias("a")
     b = bsigs.alias("b")
     pairs = a.join(

@@ -227,3 +227,27 @@ def test_decode_json_fallback(spark):
         decode_json_value(F.col("value"), "guid string, age int")
     ).select("record.*").collect()[0]
     assert (rec["guid"], rec["age"]) == ("g1", 30)
+
+
+def test_arrow_sigs_match_jvm_sigs(spark, sf_dir):
+    """The Arrow-batched matmul signature path must agree with the
+    sequential JVM higher-order-function path on every (vec, band) —
+    they evaluate the same ±1 projections, differing only in summation
+    order (a sign can flip only for |projection| < ~1e-15, absent in
+    this corpus)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _banded_sigs,
+        _banded_sigs_arrow,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm = {
+        (r.vec_id, r.band): r.bsig
+        for r in _banded_sigs(e, 4, 8, salt="dup:").collect()
+    }
+    arrow = {
+        (r.vec_id, r.band): r.bsig
+        for r in _banded_sigs_arrow(e, 4, 8, salt="dup:").collect()
+    }
+    assert jvm == arrow
