@@ -319,19 +319,46 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_assign_arrow(vecs: DataFrame, cents_np) -> DataFrame:
+    """(vec_id, cluster) via one Arrow batch matmul: argmax of
+    row-normalized embeddings against the normalized centroid matrix
+    (equivalent to argmax cosine). The centroid matrix is a k×dim
+    numpy constant shipped in the UDF closure — the same offline-
+    artifact shape a production IVF index broadcasts. Same
+    rationale as _banded_sigs_arrow: k interpreted cosines per row is
+    a per-row constant the matmul removes. Ties (exactly equal
+    cosines, measure-zero for float data) resolve to the lowest
+    cluster id."""
+    Cn = cents_np / np.linalg.norm(cents_np, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(e_: pd.Series) -> pd.Series:
+        if not len(e_):
+            return pd.Series([], dtype="int32")
+        M = np.vstack(e_.to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+
+    return vecs.select("vec_id", assign(F.col("embedding")).alias("cluster"))
+
+
 def _ivf_centroids(e: DataFrame, k: int) -> DataFrame:
     """Train the coarse quantizer: deterministic seeds (the first k
     vectors by id) + one Lloyd refinement (assign → per-dimension
-    mean). Entirely DataFrame ops: the mean is posexplode → avg per
+    mean). The seed matrix is k rows — collected once and shipped as
+    the assignment UDF's constant; the mean is posexplode → avg per
     (cluster, dim) → re-assembled with array_sort(collect_list) so
     element order is by dimension. In production the quantizer would
     be trained once offline and broadcast; the engine-side shape is
     identical."""
-    seeds = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
+    seed_rows = (
+        e.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    a0 = _ivf_assign(e, seeds)
+    seeds_np = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    a0 = _ivf_assign_arrow(e, seeds_np)
     return (
         e.join(a0, "vec_id")
         .select("cluster", F.posexplode("embedding").alias("pos", "v"))
@@ -365,12 +392,13 @@ def ivf_topk(
     # as literals instead of re-running the training subplan per use.
     # k×dim doubles is driver-bounded at any corpus scale — this is
     # exactly the offline-artifact shape a production IVF index ships.
-    cent_rows = _ivf_centroids(e, n_clusters).collect()
+    cent_rows = sorted(_ivf_centroids(e, n_clusters).collect(), key=lambda r: r["c_id"])
     cents = spark.createDataFrame(
         [(int(r["c_id"]), [float(v) for v in r["c_emb"]]) for r in cent_rows],
         "c_id int, c_emb array<double>",
     )
-    inv = e.join(_ivf_assign(e, cents), "vec_id").select(
+    cents_np = np.array([r["c_emb"] for r in cent_rows], dtype=np.float64)
+    inv = e.join(_ivf_assign_arrow(e, cents_np), "vec_id").select(
         "vec_id", "embedding", "cluster"
     )
     q = e.filter(F.col("vec_id") < n_queries).select(

@@ -251,3 +251,30 @@ def test_arrow_sigs_match_jvm_sigs(spark, sf_dir):
         for r in _banded_sigs_arrow(e, 4, 8, salt="dup:").collect()
     }
     assert jvm == arrow
+
+
+def test_arrow_assign_matches_jvm_assign(spark, sf_dir):
+    """Arrow matmul cluster assignment must agree with the JVM
+    struct-max cosine argmax for every vector (ties are measure-zero
+    for float embeddings)."""
+    import numpy as np
+
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_assign_arrow,
+        _ivf_centroids,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        _ivf_centroids(e, 8).collect(), key=lambda r: r["c_id"]
+    )
+    cents = spark.createDataFrame(
+        [(int(r["c_id"]), [float(v) for v in r["c_emb"]]) for r in cent_rows],
+        "c_id int, c_emb array<double>",
+    )
+    cents_np = np.array([r["c_emb"] for r in cent_rows], dtype=np.float64)
+    jvm = {r.vec_id: r.cluster for r in _ivf_assign(e, cents).collect()}
+    arrow = {r.vec_id: r.cluster for r in _ivf_assign_arrow(e, cents_np).collect()}
+    assert jvm == arrow
