@@ -230,18 +230,23 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_approx_distinct", oracle=None, tags=("pipeline", "approx"))
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event_type — a
-    fixed-size mergeable sketch that never shuffles raw values, vs the
-    exact distinct's full value shuffle at 100 TB. Sketch-ONLY here
-    (the registered query is the scale path; an exact count beside it
-    would force the expensive distinct expand it exists to avoid —
-    measured 0.26 s → 0.19 s at sf0.1 for dropping it). Rows-only
-    driver check (sketch estimates are engine-specific); the ≤5%
-    relative error vs the exact count is asserted in
-    tests/test_similarity.py, which computes the exact side itself."""
+    """The approximate-aggregation probe per event_type:
+    approx_count_distinct (HyperLogLog++) and percentile_approx
+    (KLL-style quantile sketch) — fixed-size mergeable sketches that
+    never shuffle raw values, vs the exact forms' full value shuffle /
+    single-buffer sort at 100 TB. Sketch-ONLY here (the registered
+    query is the scale path; exact counterparts beside it would force
+    the expensive paths it exists to avoid — measured 0.26 s → 0.19 s
+    at sf0.1 for dropping the exact distinct). Rows-only driver check
+    (sketch estimates are engine-specific); error bounds vs the exact
+    answers (≤5% on the cardinality, rank-error-bounded quantiles) are
+    asserted in tests/test_similarity.py, which computes the exact
+    sides itself."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("p50_value"),
+        F.percentile_approx("value", 0.95, 1000).alias("p95_value"),
     )
 
 

@@ -136,6 +136,34 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert rel <= 0.05, (r["event_type"], rel)
 
 
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
+    check each sketch quantile lands within ±2% of the group's rank
+    space around its target percentile (generous vs the guarantee,
+    tight enough to catch a wired-wrong column)."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et in vals:
+        vals[et].sort()
+    for r in REG["events_approx_distinct"].fn(spark, sf_dir).collect():
+        v = vals[r["event_type"]]
+        n = len(v)
+        for pct, got in ((0.5, r["p50_value"]), (0.95, r["p95_value"])):
+            import bisect
+
+            rank = bisect.bisect_left(v, got)
+            assert abs(rank - pct * n) <= max(2, 0.02 * n), (
+                r["event_type"], pct, rank, n,
+            )
+
+
 def test_salted_join_row_identical(spark, sf_dir):
     """The salted join must produce exactly the plain join's rows."""
     from pyspark.sql import functions as F
