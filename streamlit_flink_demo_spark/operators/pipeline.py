@@ -303,3 +303,79 @@ def docs_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus pass: quality -> dedup -> stratified sample -> split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_e2e_pipeline",
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, text, lang, n_chars
+  FROM documents
+  WHERE n_chars BETWEEN 100 AND 500
+    AND len(regexp_extract_all(text, '{_WS}')) >= 20
+),
+canonical AS (
+  SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+),
+uniq AS (
+  SELECT k.doc_id, k.lang, k.n_chars
+  FROM kept k JOIN canonical c ON k.doc_id = c.keep_id
+),
+sampled AS (
+  SELECT doc_id, lang, n_chars
+  FROM uniq
+  WHERE {u60_sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+        CASE lang WHEN 'en' THEN 10000 WHEN 'es' THEN 5000
+                  WHEN 'fr' THEN 5000 WHEN 'de' THEN 2500
+                  WHEN 'zh' THEN 2500 ELSE 1000 END
+)
+SELECT CASE WHEN {u60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "e2e"),
+    expose=False,
+)
+def docs_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus pass composed end-to-end: quality gate (length
+    + token floor) -> exact dedup (lowest doc_id per content digest)
+    -> per-language stratified sampling -> train/eval split -> yield
+    accounting per (split, lang). Each stage is the already-verified
+    operator's exact logic (docs_quality_dedup_yield,
+    docs_stratified_sample, docs_train_eval_split); the point of this
+    query is that the COMPOSITION holds under one optimizer pass: one
+    scan of documents, digest-only dedup shuffle, hash-gated sampling
+    and splitting in codegen, one final aggregation."""
+    from pyspark.sql.window import Window as W
+
+    from streamlit_flink_demo_spark.operators.sampling import _rate_bps_col
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.regexp_count(F.col("text"), F.lit(_WS)) >= 20)
+    ).select("doc_id", F.md5("text").alias("h"), "lang", "n_chars")
+    uniq = (
+        kept.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("h")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("h", "keep_id")
+    )
+    draw = u60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 10_000
+    sampled = uniq.filter(draw < _rate_bps_col())
+    split = F.when(
+        u60(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("eval")
+    return (
+        sampled.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )

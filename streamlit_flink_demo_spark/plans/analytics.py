@@ -574,3 +574,36 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT = groupBy on all columns; partial dedup map-side."""
     return load_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@register(
+    "user_event_unpivot",
+    oracle="""
+SELECT user_id, etype, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+  FROM events
+  GROUP BY user_id
+) UNPIVOT (n FOR etype IN (n_click, n_view, n_purchase, n_signup, n_error))
+""",
+    tags=("agg", "unpivot"),
+    expose=False,
+)
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of user_event_matrix's conditional-
+    aggregation pivot, via the native DataFrame.unpivot — wide matrix
+    back to (user_id, etype, n) long form. Like the pivot, no
+    driver-side distinct-value collection; the value-column list is
+    explicit in the plan."""
+    m = user_event_matrix(spark, sf_dir)
+    return m.unpivot(
+        ["user_id"],
+        ["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        "etype",
+        "n",
+    ).select("user_id", "etype", F.col("n").cast("bigint").alias("n"))

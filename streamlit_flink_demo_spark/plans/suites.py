@@ -299,6 +299,11 @@ SELECT 'domain_mix', source, {_NULL_S},
        CAST(expected_kept AS BIGINT), {_NULL_B}, CAST(n_docs AS BIGINT),
        CAST(target_frac AS DOUBLE), CAST(rate AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_domain_mix")})
+UNION ALL
+SELECT 'unpivot', CAST(user_id AS VARCHAR), etype,
+       {_NULL_B}, {_NULL_B}, CAST(n AS BIGINT),
+       {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("user_event_unpivot")})
 """,
     tags=("agg", "suite"),
 )
@@ -396,7 +401,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate").cast("double").alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm)
+    up = _fn("user_event_unpivot")(spark, sf_dir).select(
+        F.lit("unpivot").alias("family"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("etype").alias("k2"),
+        _nb().alias("i1"),
+        _nb().alias("i2"),
+        F.col("n").cast("bigint").alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up)
 
 
 # --------------------------------------------------------------------------
@@ -695,6 +711,11 @@ SELECT 'contamination', CAST(doc_id AS BIGINT), {_NULL_B}, {_NULL_S},
        CAST(n_shingles AS BIGINT), CAST(n_shared AS BIGINT),
        CAST(contamination AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_eval_contamination")})
+UNION ALL
+SELECT 'e2e_pipeline', {_NULL_B}, {_NULL_B}, split || ':' || lang,
+       CAST(n_docs AS BIGINT), CAST(total_chars AS BIGINT),
+       {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_e2e_pipeline")})
 """,
     tags=("join", "suite"),
 )
@@ -776,7 +797,17 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contamination").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(fo, an, aa, cm, tp, iv, ct)
+    e2e = _fn("docs_e2e_pipeline")(spark, sf_dir).select(
+        F.lit("e2e_pipeline").alias("family"),
+        _nb().alias("k1"),
+        _nb().alias("k2"),
+        F.concat_ws(":", "split", "lang").alias("s1"),
+        F.col("n_docs").cast("bigint").alias("i1"),
+        F.col("total_chars").cast("bigint").alias("i2"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(fo, an, aa, cm, tp, iv, ct, e2e)
 
 
 # --------------------------------------------------------------------------
