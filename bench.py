@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +38,20 @@ def main() -> int:
     # Warm the JVM + parquet footers with a trivial action so query #1
     # doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    # Warm the Python UDF workers too (fork + Arrow init, one per
+    # core): the Arrow-batched kernels (LSH signatures, IVF assign,
+    # multimodal decode) should be charged their per-batch cost, not
+    # the one-time worker spin-up.
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 256, 1, 32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Streaming latency is measured FIRST (on the warmed, otherwise
     # quiet session): it is an engine-latency metric, and running it
