@@ -607,3 +607,91 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype",
         "n",
     ).select("user_id", "etype", F.col("n").cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Sequence / funnel detection (the MATCH_RECOGNIZE shape, CEP-lite)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS reached_stage,
+       (epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1000000.0
+         AS sec_to_convert
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    tags=("funnel", "sequence", "cep"),
+    expose=False,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) detection: the earliest
+    view -> click -> purchase chain per user, where each stage must
+    strictly follow the previous one in event time — the shape SQL
+    engines express with MATCH_RECOGNIZE (absent from both the
+    reference and Spark SQL; SURVEY.md §2.5). Composition: one staged
+    conditional-MIN aggregation per funnel step, each a groupBy on the
+    type-filtered slice joined to the previous stage's timestamps.
+    At 100 TB each pass is filter-pruned to one event type, shuffles
+    only (user_id, ts), and the stage joins are aggregate-sized — no
+    per-user event arrays are ever materialized, which is what keeps
+    a hot user (millions of events) from becoming a memory spike."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("reached_stage"),
+            # exact µs integers, ONE rounding at the division — the
+            # epoch-seconds double subtraction loses ULP-level bits
+            (
+                (F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+                / 1_000_000.0
+            ).alias("sec_to_convert"),
+        )
+    )

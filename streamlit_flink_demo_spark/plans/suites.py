@@ -716,6 +716,11 @@ SELECT 'e2e_pipeline', {_NULL_B}, {_NULL_B}, split || ':' || lang,
        CAST(n_docs AS BIGINT), CAST(total_chars AS BIGINT),
        {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_e2e_pipeline")})
+UNION ALL
+SELECT 'funnel', CAST(user_id AS BIGINT), {_NULL_B}, {_NULL_S},
+       CAST(reached_stage AS BIGINT), {_NULL_B},
+       CAST(sec_to_convert AS DOUBLE), {_NULL_D}
+FROM ({_o("events_funnel")})
 """,
     tags=("join", "suite"),
 )
@@ -807,7 +812,17 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(fo, an, aa, cm, tp, iv, ct, e2e)
+    fu = _fn("events_funnel")(spark, sf_dir).select(
+        F.lit("funnel").alias("family"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        _nb().alias("k2"),
+        _ns().alias("s1"),
+        F.col("reached_stage").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        F.col("sec_to_convert").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(fo, an, aa, cm, tp, iv, ct, e2e, fu)
 
 
 # --------------------------------------------------------------------------
