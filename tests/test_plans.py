@@ -176,3 +176,54 @@ def test_global_scalar_queries_scan_fact_once(spark, sf_dir, name, table):
     would scan it twice (measured 2-5× slower at sf0.1)."""
     p = plan_str(REG[name].fn(spark, sf_dir))
     assert p.count(table) == 1
+
+
+def test_stratified_sample_is_pure_projection(spark, sf_dir):
+    """Hash-gated sampling must be a scan + project — no shuffle, no
+    UDF; the sampling hash stays in codegen."""
+    p = plan_str(REG["docs_stratified_sample"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "text" not in read_schema  # never reads the payload column
+
+
+def test_shuffle_shard_single_exchange_no_global_sort(spark, sf_dir):
+    """One hash exchange on the shard id feeds both the shard-local
+    window sort and the aggregation; there must be no global Sort
+    (SortExec without partitioning would single-thread the corpus)."""
+    p = plan_str(REG["docs_shuffle_shard"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2  # window + agg reuse
+    assert "Exchange rangepartitioning" not in p  # = global sort
+
+
+def test_domain_mix_broadcasts_global_total(spark, sf_dir):
+    p = plan_str(REG["docs_domain_mix"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_no_cartesian_and_type_pruned_scans(spark, sf_dir):
+    """Each funnel stage scans one event type (filter pushed) and all
+    stage joins are equi-joins on user_id."""
+    p = plan_str(REG["events_funnel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    pushed = [
+        seg.split("]", 1)[0]
+        for seg in p.split("PushedFilters: [")[1:]
+    ]
+    assert any("event_type" in s for s in pushed)
+
+
+def test_e2e_pipeline_single_documents_scan(spark, sf_dir):
+    """The composed pipeline must remain ONE scan of documents — the
+    window keeper + hash gates all hang off the same read."""
+    p = plan_str(REG["docs_e2e_pipeline"].fn(spark, sf_dir))
+    assert p.count("documents.parquet") <= 1 or p.count("Scan parquet") <= 1
+
+
+def test_repetition_no_python_and_partial_aggs(spark, sf_dir):
+    p = plan_str(REG["text_repetition"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
