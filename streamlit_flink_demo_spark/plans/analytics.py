@@ -695,3 +695,82 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sec_to_convert"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling + forward fill (the timeseries-DB staple)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n, {dsum_sql('value', 'sum_value')}
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM h GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM b
+)
+SELECT strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       s.event_type,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap_filled,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_sum
+FROM spine s
+LEFT JOIN h ON h.event_type = s.event_type AND h.bucket = s.bucket
+""",
+    tags=("time", "gapfill"),
+    expose=False,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-spine gap filling with forward fill — the timeseries-DB
+    staple (TimescaleDB time_bucket_gapfill + locf): build each
+    series' full hourly spine with sequence(min, max, 1 hour), left
+    join the sparse hourly aggregate, zero-fill counts, and carry the
+    last seen sum forward with last(ignorenulls) over a
+    series-partitioned window. At 100 TB the spine is |series| ×
+    |buckets| rows — generated, never scanned — and both the join and
+    the fill window partition by series key, so no global sort and no
+    skew beyond a series' own length (bound the spine with explicit
+    range predicates when a series is unbounded)."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+    spine = (
+        h.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(h, ["event_type", "bucket"], "left")
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("bigint").alias(
+            "gap_filled"
+        ),
+        F.last("sum_value", ignorenulls=True).over(win).alias("carry_sum"),
+    )

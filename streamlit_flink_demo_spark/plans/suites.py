@@ -104,6 +104,10 @@ UNION ALL
 SELECT resolution, bucket_start, {_NULL_S},
        CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE)
 FROM ({_o("events_multires_rollup")})
+UNION ALL
+SELECT 'gapfill_1h_g' || gap_filled, hour_start, event_type,
+       CAST(n_events AS BIGINT), CAST(carry_sum AS DOUBLE)
+FROM ({_o("events_gapfill")})
 """,
     tags=("agg", "time", "window", "suite"),
 )
@@ -134,7 +138,16 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    return _u(t, s, r)
+    g = _fn("events_gapfill")(spark, sf_dir).select(
+        F.concat(F.lit("gapfill_1h_g"), F.col("gap_filled").cast("string")).alias(
+            "wkind"
+        ),
+        F.col("hour_start").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("carry_sum").cast("double").alias("sum_value"),
+    )
+    return _u(t, s, r, g)
 
 
 # --------------------------------------------------------------------------
