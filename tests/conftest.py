@@ -8,7 +8,10 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
-SF_DIR = "/root/testdata/sf0.001"
+# Default sf0.001 keeps the suite fast; override for the heavier
+# sweeps (e.g. SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 replicates the
+# oracle comparison at bench scale — the three-scale parity evidence).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
