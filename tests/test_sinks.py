@@ -94,3 +94,23 @@ def test_read_shard_prunes_partitions(spark, shard_path):
     }
     dirs = {"/" + os.path.dirname(f).removeprefix("file:").lstrip("/") for f in read}
     assert dirs == {os.path.join(shard_path, "shard=3")}
+
+
+def test_empty_input_writes_success_marker_only(spark, sf_dir, tmp_path):
+    """Zero-row input: the write succeeds (a _SUCCESS marker, no shard
+    dirs — dynamic partitioning only creates populated partitions);
+    reading it back raises Spark's schema-inference error, which is
+    the caller's signal that the corpus was empty."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "empty")
+    write_training_shards(docs.filter("doc_id < 0"), out, n_shards=4)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [d for d in os.listdir(out) if d.startswith("shard=")]
+
+
+def test_sparse_input_creates_only_populated_shards(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "one")
+    write_training_shards(docs.limit(1), out, n_shards=4)
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(dirs) == 1
