@@ -46,19 +46,30 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Lazy — no I/O until an action runs.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark refuses to map to TimestampType; we read nanos as LONG
-    (legacy conf) and convert to a microsecond timestamp exactly the
-    way DuckDB does (truncation), so oracle comparisons agree.
+    ``events.parquet`` has shipped ``ts`` in three vintages: parquet
+    TIMESTAMP(NANOS) (which Spark refuses to map to TimestampType — we
+    read nanos as LONG via the legacy conf and truncate to micros the
+    way DuckDB does), TIMESTAMP(MICROS) without timezone (Spark maps it
+    to TIMESTAMP_NTZ), and TIMESTAMP(MICROS) UTC.  Normalize all three
+    to session-local TimestampType (session tz is pinned UTC in
+    ``session.py``, so the NTZ cast is numerically the identity and
+    agrees with DuckDB's naive read) so downstream operators always see
+    one type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
