@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import load_table, spread
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -95,8 +95,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs the tokenize+explode lineage per reference. Spark's cache
     manager dedups by canonicalized plan, so both operators share one
     cached copy. At 100 TB the equivalent is a checkpointed/staged
-    intermediate table."""
-    d = load_table(spark, sf_dir, "documents")
+    intermediate table.
+
+    spread(): the tokenize→shingle→hash kernel is the expensive part
+    of every shingle-family operator; without it the kernel inherits
+    the scan's (possibly 1-task) parallelism."""
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -275,8 +279,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token 60-bit hash votes on 32 signature bits.
     One explode + one groupBy(doc_id) with 32 conditional sums (all
     map-side combinable). Near-dup docs differ in few bits; pairing by
-    hamming distance is a band-join away (see dedup_minhash_lsh)."""
-    d = load_table(spark, sf_dir, "documents")
+    hamming distance is a band-join away (see dedup_minhash_lsh).
+    spread(): the tokenize+hash explode is the heavy kernel."""
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select(
             "doc_id",

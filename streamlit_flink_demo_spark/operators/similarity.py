@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import load_table, spread
 
 _DIM = 64
 _N_QUERIES = 5
@@ -55,7 +55,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-identical to the oracle's sequential list sum. Top-k is a
     rank window partitioned by query id (k small → rank-limit pushdown
     keeps state tiny)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     # Hoist the norms out of the pair loop: candidate norms are one
     # narrow pass over the table, query norms live in the broadcast —
     # the scoring join then does ONE dot product per pair instead of
@@ -219,7 +219,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket pruning is the non-relational part. At scale: bucket join
     replaces the cross product; signatures are computed in one narrow
     pass and the join key is a single int."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     bsigs = _band_signatures(spark, e)
     q = F.broadcast(
         bsigs.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -270,7 +270,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold verification inside buckets only (sub-quadratic candidate
     generation). Rows-only check (bucketing is approximate);
     brute-force recall is pytest-verified (tests/test_similarity.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     bsigs = _banded_sigs_arrow(
         e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:"
     ).persist()
@@ -386,7 +386,7 @@ def ivf_topk(
     n_clusters the search is exhaustive and exactly reproduces the
     brute-force top-k (property-tested); smaller nprobe trades recall
     for a ~nprobe/n_clusters fraction of the scoring work."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     # The trained quantizer is a k-row artifact used by TWO consumers
     # (inverted-list assignment and query probing); materialize it once
     # as literals instead of re-running the training subplan per use.

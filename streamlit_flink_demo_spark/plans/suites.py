@@ -42,6 +42,7 @@ from streamlit_flink_demo_spark.plans import (  # noqa: F401
 )
 from streamlit_flink_demo_spark.operators import (  # noqa: F401
     multimodal,
+    pipeline,
     sampling,
     skew,
     text,

@@ -73,6 +73,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition UP to engine parallelism before a
+    compute-heavy per-row kernel (shingling, per-gram hashing, codec
+    UDFs, JSON parsing, array explodes).
+
+    Why: a parquet file is splittable only at row-group boundaries, so
+    a single-row-group file scans as ONE task and every downstream
+    narrow transform inherits that 1-task parallelism — the kernel
+    runs on one core of the cluster. Spreading first costs one
+    round-robin shuffle of the (pruned, filtered — Catalyst pushes
+    both through Repartition) input rows, which is trivial next to the
+    kernel it parallelizes.
+
+    When NOT to use: cheap scans feeding aggregations/joins — partial
+    aggregation in the scan stage beats an extra full-row shuffle
+    (measured: plain groupBy 0.25 s direct vs 0.46 s spread at sf0.1).
+
+    At 100 TB inputs arrive as many well-sized files, so the gate
+    (only repartition UP, never down) makes this a no-op there; it
+    exists for small/skewed file layouts, which also happen at scale
+    (one giant consolidated file, a skewed compaction)."""
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
