@@ -220,7 +220,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the cross product; signatures are computed in one narrow
     pass and the join key is a single int."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    bsigs = _band_signatures(spark, e)
+    # persist: the signature frame feeds BOTH the broadcast query side
+    # and the candidate side; without it the Arrow sig kernel runs
+    # twice (one full extra pass over the corpus at scale).
+    bsigs = _band_signatures(spark, e).persist()
     q = F.broadcast(
         bsigs.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("q_id"),
@@ -386,7 +389,10 @@ def ivf_topk(
     n_clusters the search is exhaustive and exactly reproduces the
     brute-force top-k (property-tested); smaller nprobe trades recall
     for a ~nprobe/n_clusters fraction of the scoring work."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    # persist: the corpus frame has four consumers (seed collect,
+    # training assignment, inverted-list assignment, query set) — one
+    # materialization instead of four scan+spread reruns.
+    e = spread(load_table(spark, sf_dir, "embeddings")).persist()
     # The trained quantizer is a k-row artifact used by TWO consumers
     # (inverted-list assignment and query probing); materialize it once
     # as literals instead of re-running the training subplan per use.
