@@ -85,6 +85,14 @@ def main() -> int:
         except Exception as ex:  # keep the bench running; flag the query
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {ex}", file=sys.stderr)
+        finally:
+            # Cache hygiene: operators that persist() intermediates
+            # (shingle hashes, LSH signatures) own them only for the
+            # duration of their own query; without this, cached blocks
+            # accumulate across the 50-query session and perturb every
+            # later query's timing (measured r2: a uniform ~1.5×
+            # slowdown of untouched queries).
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -90,17 +90,10 @@ shh AS (
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct 3-word shingles. Narrow transform + explode.
 
-    persist(): minhash and jaccard each reference this frame several
-    times (bands, pair-verify sides); without materialization Spark
-    re-runs the tokenize+explode lineage per reference. Spark's cache
-    manager dedups by canonicalized plan, so both operators share one
-    cached copy. At 100 TB the equivalent is a checkpointed/staged
-    intermediate table.
-
     spread(): the tokenize→shingle→hash kernel is the expensive part
     of every shingle-family operator; without it the kernel inherits
     the scan's (possibly 1-task) parallelism."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",
@@ -108,13 +101,22 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
-        .persist()
     )
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h): 60-bit shingle hashes — the compact frame minhash
-    and jaccard actually consume (see _SHH_CTE note)."""
+    and jaccard actually consume (see _SHH_CTE note).
+
+    persist(): minhash and jaccard each reference this frame several
+    times (bands, pair-verify sides); without materialization Spark
+    re-runs the tokenize+explode lineage per reference (the cache
+    manager dedups by canonicalized plan, so the two consumers inside
+    one operator share a single cached copy). Only this compact
+    8-byte-hash frame is cached — never the shingle strings. At 100 TB
+    the equivalent is a checkpointed/staged intermediate table; the
+    bench harness clears caches between queries so operators don't
+    pressure each other's memory."""
     return (
         _doc_shingles(spark, sf_dir)
         .select("doc_id", u60(F.col("s")).alias("h"))
@@ -281,7 +283,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable). Near-dup docs differ in few bits; pairing by
     hamming distance is a band-join away (see dedup_minhash_lsh).
     spread(): the tokenize+hash explode is the heavy kernel."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     tok = (
         d.select(
             "doc_id",

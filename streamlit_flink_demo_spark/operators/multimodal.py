@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
 # Binary metadata — pure built-ins, oracle-checkable
@@ -115,7 +115,7 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mapInPandas decode over fake image bytes (text bytes
     as the blob). Rows-only check: the decode itself is a stub; the
     Arrow plumbing, schema, and batch shape are the real deliverable."""
-    d = spread(load_table(spark, sf_dir, "documents")).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return decode_binary_batch(d, fake=True)
@@ -184,7 +184,7 @@ def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-image resize to 224×224 over the documents blob column.
     Rows-only check; the byte-level determinism and 1-row-in/1-row-out
     contract are pytest-verified."""
-    d = spread(load_table(spark, sf_dir, "documents")).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return resize_binary_batch(d, fake=True)
@@ -253,7 +253,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling over the documents blob as a fake
     video. Rows-only check; fan-out arity and per-frame determinism
     are pytest-verified."""
-    d = spread(load_table(spark, sf_dir, "documents")).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return sample_frames_batch(d, fake=True)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 _DIM = 64
 _N_QUERIES = 5
@@ -55,7 +55,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-identical to the oracle's sequential list sum. Top-k is a
     rank window partitioned by query id (k small → rank-limit pushdown
     keeps state tiny)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_spread(spark, sf_dir, "embeddings")
     # Hoist the norms out of the pair loop: candidate norms are one
     # narrow pass over the table, query norms live in the broadcast —
     # the scoring join then does ONE dot product per pair instead of
@@ -129,6 +129,58 @@ def _plane_weights(n_planes: int, salt: str = "") -> list[list[float]]:
 
 
 _PLANES_PER_BAND = _N_PLANES // _N_BANDS
+
+
+def _sigs_sql(n_bands: int, planes_per_band: int, salt: str = "") -> str:
+    """DuckDB CTE body producing (vec_id, embedding, band, bsig) —
+    the exact banded signatures of ``_banded_sigs_arrow``. The ±1
+    hyperplane weights are baked in as literal DOUBLE arrays; each
+    projection is a sequential left-to-right double sum, which agrees
+    in sign with the numpy matmul except when |projection| ~ 1e-15
+    (measure-zero for float embeddings; swept clean at sf0.01/0.1)."""
+    weights = _plane_weights(n_bands * planes_per_band, salt)
+    branches = []
+    for band in range(n_bands):
+        terms = []
+        for r in range(planes_per_band):
+            w = weights[band * planes_per_band + r]
+            w_lit = "[" + ",".join(str(int(v)) for v in w) + "]::DOUBLE[]"
+            proj = (
+                f"list_aggregate([embedding[i+1]::DOUBLE * ({w_lit})[i+1] "
+                f"for i in range({_DIM})], 'sum')"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << r} ELSE 0 END)")
+        bsig = " + ".join(terms)
+        branches.append(
+            f"SELECT vec_id, embedding, {band} AS band, ({bsig}) AS bsig "
+            f"FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH sigs AS (
+{_sigs_sql(_N_BANDS, _PLANES_PER_BAND)}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, band, bsig
+  FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, s.vec_id,
+         MAX({cosine_sql('q.q_emb', 's.embedding', _DIM)}) AS cos_sim
+  FROM q JOIN sigs s
+    ON s.band = q.band AND s.bsig = q.bsig AND s.vec_id <> q.q_id
+  GROUP BY q.q_id, s.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
 
 
 def _banded_sigs(
@@ -211,15 +263,17 @@ def _band_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
     return _banded_sigs_arrow(emb, _N_BANDS, _PLANES_PER_BAND)
 
 
-@register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+@register("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE, tags=("similarity", "ann", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine re-rank. Recall vs the exact baseline is
-    property-tested (tests/test_similarity.py); no SQL oracle — the
-    bucket pruning is the non-relational part. At scale: bucket join
-    replaces the cross product; signatures are computed in one narrow
-    pass and the join key is a single int."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    property-tested (tests/test_similarity.py). The md5-derived
+    hyperplanes are deterministic, so the full pipeline (banding →
+    bucket join → re-rank) IS SQL-expressible — the oracle replays it
+    in DuckDB bit-for-bit. At scale: bucket join replaces the cross
+    product; signatures are computed in one narrow pass and the join
+    key is a single int."""
+    e = load_spread(spark, sf_dir, "embeddings")
     # persist: the signature frame feeds BOTH the broadcast query side
     # and the candidate side; without it the Arrow sig kernel runs
     # twice (one full extra pass over the corpus at scale).
@@ -266,14 +320,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator demonstrably produces verified pairs end-to-end.
 _NEAR_DUP_COS = 0.45
 
+_EMB_DUP_ORACLE = f"""
+WITH sigs AS (
+{_sigs_sql(_DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:")}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         MAX({cosine_sql('a.embedding', 'b.embedding', _DIM)}) AS cos_sim
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_DUP_COS}
+"""
 
-@register("dedup_embedding_cosine", oracle=None, tags=("dedup", "similarity"))
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: banded LSH buckets → exact cosine
     threshold verification inside buckets only (sub-quadratic candidate
-    generation). Rows-only check (bucketing is approximate);
+    generation). The md5-derived bucketing is deterministic, so the
+    oracle replays the identical bucket join + threshold in DuckDB;
     brute-force recall is pytest-verified (tests/test_similarity.py)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_spread(spark, sf_dir, "embeddings")
     bsigs = _banded_sigs_arrow(
         e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:"
     ).persist()
@@ -322,7 +391,9 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign_arrow(vecs: DataFrame, cents_np) -> DataFrame:
+def _ivf_assign_arrow(
+    vecs: DataFrame, cents_np, with_embedding: bool = False
+) -> DataFrame:
     """(vec_id, cluster) via one Arrow batch matmul: argmax of
     row-normalized embeddings against the normalized centroid matrix
     (equivalent to argmax cosine). The centroid matrix is a k×dim
@@ -342,37 +413,54 @@ def _ivf_assign_arrow(vecs: DataFrame, cents_np) -> DataFrame:
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
 
-    return vecs.select("vec_id", assign(F.col("embedding")).alias("cluster"))
+    cols = ["vec_id", "embedding"] if with_embedding else ["vec_id"]
+    return vecs.select(*cols, assign(F.col("embedding")).alias("cluster"))
+
+
+# Training-sample bound: the coarse quantizer is trained on at most
+# _IVF_TRAIN_SAMPLE × k vectors. A coarse quantizer only needs enough
+# points to place k centroids — training it on the full corpus is the
+# classic IVF anti-pattern at scale (a full-corpus shuffle to build a
+# k-row artifact). The vec_id predicate is pushdown-able into the
+# parquet scan.
+_IVF_TRAIN_SAMPLE = 64
+
+
+def _ivf_centroids_np(e: DataFrame, k: int) -> "np.ndarray":
+    """Train the coarse quantizer on a bounded sample: deterministic
+    seeds (the first k vectors by id) + one Lloyd refinement (cosine
+    assign → per-dimension mean), all in numpy on the driver over
+    ≤ _IVF_TRAIN_SAMPLE×k collected vectors. The collect is k-bounded
+    (64k rows × dim doubles at most) regardless of corpus size — the
+    offline-artifact shape a production IVF index trains once and
+    broadcasts. Empty clusters keep their seed."""
+    rows = (
+        e.filter(F.col("vec_id") < k * _IVF_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    seeds = M[:k]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Sn = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    assign = np.argmax(Mn @ Sn.T, axis=1)
+    cents = np.empty_like(seeds)
+    for c in range(k):
+        members = M[assign == c]
+        cents[c] = members.mean(axis=0) if len(members) else seeds[c]
+    return cents
 
 
 def _ivf_centroids(e: DataFrame, k: int) -> DataFrame:
-    """Train the coarse quantizer: deterministic seeds (the first k
-    vectors by id) + one Lloyd refinement (assign → per-dimension
-    mean). The seed matrix is k rows — collected once and shipped as
-    the assignment UDF's constant; the mean is posexplode → avg per
-    (cluster, dim) → re-assembled with array_sort(collect_list) so
-    element order is by dimension. In production the quantizer would
-    be trained once offline and broadcast; the engine-side shape is
-    identical."""
-    seed_rows = (
-        e.filter(F.col("vec_id") < k)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    seeds_np = np.array([r.embedding for r in seed_rows], dtype=np.float64)
-    a0 = _ivf_assign_arrow(e, seeds_np)
-    return (
-        e.join(a0, "vec_id")
-        .select("cluster", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("mv"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-        .select(
-            F.col("cluster").alias("c_id"),
-            F.transform("pm", lambda s: s["mv"]).alias("c_emb"),
-        )
+    """DataFrame view (c_id, c_emb) of the trained quantizer — k rows,
+    used for broadcast probing and the JVM/Arrow assignment parity
+    tests. Training itself is sample-bounded driver-side numpy
+    (``_ivf_centroids_np``)."""
+    cents = _ivf_centroids_np(e, k)
+    return e.sparkSession.createDataFrame(
+        [(c, [float(v) for v in cents[c]]) for c in range(k)],
+        "c_id int, c_emb array<double>",
     )
 
 
@@ -389,24 +477,21 @@ def ivf_topk(
     n_clusters the search is exhaustive and exactly reproduces the
     brute-force top-k (property-tested); smaller nprobe trades recall
     for a ~nprobe/n_clusters fraction of the scoring work."""
-    # persist: the corpus frame has four consumers (seed collect,
-    # training assignment, inverted-list assignment, query set) — one
-    # materialization instead of four scan+spread reruns.
-    e = spread(load_table(spark, sf_dir, "embeddings")).persist()
-    # The trained quantizer is a k-row artifact used by TWO consumers
-    # (inverted-list assignment and query probing); materialize it once
-    # as literals instead of re-running the training subplan per use.
-    # k×dim doubles is driver-bounded at any corpus scale — this is
-    # exactly the offline-artifact shape a production IVF index ships.
-    cent_rows = sorted(_ivf_centroids(e, n_clusters).collect(), key=lambda r: r["c_id"])
+    e = load_spread(spark, sf_dir, "embeddings")
+    # Quantizer: trained once on a bounded sample (driver-side numpy,
+    # see _ivf_centroids_np) and shipped two ways — as the assignment
+    # UDF's closure constant and as a k-row broadcast for probing.
+    cents_np = _ivf_centroids_np(e, n_clusters)
     cents = spark.createDataFrame(
-        [(int(r["c_id"]), [float(v) for v in r["c_emb"]]) for r in cent_rows],
+        [
+            (c, [float(v) for v in cents_np[c]])
+            for c in range(n_clusters)
+        ],
         "c_id int, c_emb array<double>",
     )
-    cents_np = np.array([r["c_emb"] for r in cent_rows], dtype=np.float64)
-    inv = e.join(_ivf_assign_arrow(e, cents_np), "vec_id").select(
-        "vec_id", "embedding", "cluster"
-    )
+    # Inverted list: cluster id computed inline as an extra column —
+    # one narrow pass, no assignment self-join, no shuffle.
+    inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

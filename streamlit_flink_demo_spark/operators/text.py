@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # Quality / stats scoring
@@ -42,8 +42,11 @@ FROM documents
 @register("text_quality_stats", oracle=_STATS_ORACLE, tags=("text",))
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: char/token/punct counts, stopword
-    ratio, mean token length. Narrow projection kernel (the only shuffle is the spread() pre-repartition)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    ratio, mean token length. Pure codegen projection straight off
+    the scan — zero shuffles (a pre-repartition of full document text
+    costs more than these regexp_counts save; measured 0.28 s direct
+    vs 1.26 s spread at sf0.1)."""
+    d = load_table(spark, sf_dir, "documents")
     n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     denom = F.greatest(n_tokens, F.lit(1)).cast("double")
     return d.select(
@@ -105,8 +108,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority argmax (en > de > fr > es on ties), 'unknown' when no
     marker fires. A real deployment would swap the marker lists for
     character-n-gram profiles — the plan shape (narrow projection)
-    stays the same."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    stays the same. Zero-shuffle projection kernel."""
+    d = load_table(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
     scores = {
         lang: F.regexp_count(lowered, F.lit(_marker_pat(lang)))
@@ -154,8 +157,9 @@ FROM documents
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: BPE-ish regex segmentation (letters /
     digits / single punctuation — the GPT-2 pre-tokenizer shape),
-    whitespace tokens, and the chars/4 heuristic. Narrow projection kernel."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    whitespace tokens, and the chars/4 heuristic. Zero-shuffle
+    projection kernel."""
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
@@ -183,10 +187,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass before dedup/tokenization: lowercase, strip
     non-alphanumerics, collapse whitespace, trim — emitted as a
     content digest + length (the compact form downstream exact-dedup
-    keys on). Pure codegen projection kernel (spread() pre-repartition is the only shuffle); Spark's
+    keys on). Pure codegen projection kernel, zero shuffles; Spark's
     regexp_replace is global by default, the oracle passes the 'g'
     flag for the same semantics."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
@@ -241,7 +245,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     so their digits don't get shredded into <NUM>. Pure codegen
     projection, zero shuffles; driver-checked inside
     scalar_funcs_suite (family redact_pii)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     redacted = F.col("text")
     for pat, tok in (
         (_PII_EMAIL, "<EMAIL>"),
@@ -294,8 +298,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-sampled sliding char-8-grams (a bottom-1 sketch — equal
     fingerprints flag likely shared content; see _FP_STRIDE for the
     measured sampling trade-off). Computed with array higher-order
-    functions per row; no explode, no shuffle."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    functions per row. spread() pre-repartition: the per-gram md5
+    kernel is the heavy part (measured 2.75 s -> 0.44 s at sf0.1 with
+    the spread); it is the one text operator whose kernel dwarfs the
+    repartition shuffle."""
+    d = load_spread(spark, sf_dir, "documents")
     fp = F.array_min(
         F.transform(
             F.sequence(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # JSON extraction (events.props is a JSON string)
@@ -40,7 +40,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     and materializes ONLY field k (schema pruning); get_json_object
     re-tokenizes per path expression and was measured slower at sf0.1.
     All JVM-side, no Python in the row path."""
-    e = spread(load_table(spark, sf_dir, "events"))
+    e = load_spread(spark, sf_dir, "events")
     k_mod = (F.from_json("props", "k INT")["k"] % 10).alias("k_mod")
     return e.groupBy(k_mod).agg(
         F.count("*").alias("n"), dsum(F.col("value"), "sum_value")
@@ -73,7 +73,7 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three quantiles come from ONE percentile(array(...)) buffer:
     three scalar percentile aggregates each keep their own copy of
     every group value (measured 8.6 s → 0.5 s at sf0.1)."""
-    o = spread(load_table(spark, sf_dir, "orders"))
+    o = load_table(spark, sf_dir, "orders")
     pq = F.percentile(
         F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     )
@@ -194,7 +194,7 @@ FROM part
 def part_name_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The string-function surface in one projection (all codegen'd
     built-ins; split_part/lpad/replace behave identically in DuckDB)."""
-    p = spread(load_table(spark, sf_dir, "part"))
+    p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
@@ -234,7 +234,7 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + weekday filter + monthly rollup.
     DOW normalization: DuckDB EXTRACT(DOW) is 0=Sunday..6=Saturday;
     Spark dayofweek() is 1=Sunday..7 — (dayofweek-1) aligns them."""
-    o = spread(load_table(spark, sf_dir, "orders"))
+    o = load_table(spark, sf_dir, "orders")
     dow = F.dayofweek("o_orderdate") - 1
     return (
         o.filter(~dow.isin(0, 6))
@@ -292,7 +292,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (outputs rounded to fixed scales to absorb formatting, not
     value, differences). Driver-checked inside scalar_funcs_suite
     (family quantize)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0
     q = F.transform(dbl, lambda x: F.round(x / scale))
@@ -325,7 +325,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: per-row fold (sum) and max over
     the embedding — the element-wise surface similarity search builds
     on, all JVM-side."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     el_sum = F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
     el_absmax = F.array_max(F.transform(dbl, lambda x: F.abs(x)))

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
 # Multiset set operations (bag semantics)
@@ -159,7 +159,7 @@ def customer_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLIF / COALESCE / GREATEST / LEAST — the null-plumbing scalar
     family, aggregated per nation so every branch executes. All pure
     codegen expressions."""
-    c = spread(load_table(spark, sf_dir, "customer"))
+    c = load_table(spark, sf_dir, "customer")
     building = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull()
     return c.groupBy("c_nationkey").agg(
         F.count("*").alias("n"),

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window as W
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table, spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # Ranking family over one partitioned sort
@@ -366,7 +366,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate that collapses to 64 groups per partition before the
     one shuffle. Decimal-sum keeps the float accumulation
     order-independent."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_spread(spark, sf_dir, "embeddings")
     flat = e.select(F.posexplode("embedding").alias("pos0", "valf")).select(
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         F.col("valf").cast("double").alias("val"),

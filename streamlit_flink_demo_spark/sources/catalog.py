@@ -73,7 +73,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+# Memoized scan-partition counts keyed by caller-supplied key (one
+# RDD-conversion probe per table per session instead of per operator
+# call — the probe itself costs an analysis + JVM roundtrip + file
+# listing, which at ~50 queries/session was measurable driver drag).
+_SPREAD_PARTS: dict[str, int] = {}
+
+
+def spread(df: DataFrame, n: int | None = None, key: str | None = None) -> DataFrame:
     """Round-robin repartition UP to engine parallelism before a
     compute-heavy per-row kernel (shingling, per-gram hashing, codec
     UDFs, JSON parsing, array explodes).
@@ -96,9 +103,22 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     (one giant consolidated file, a skewed compaction)."""
     spark = df.sparkSession
     target = n or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if key is not None and key in _SPREAD_PARTS:
+        parts = _SPREAD_PARTS[key]
+    else:
+        parts = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_PARTS[key] = parts
+    if parts >= target:
         return df
     return df.repartition(target)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``spread(load_table(...))`` with the partition-count probe
+    memoized per (sf_dir, table): the raw scan's split count is a
+    property of the file layout, constant for the session."""
+    return spread(load_table(spark, sf_dir, name), key=f"{sf_dir}/{name}")
 
 
 def register_tables(
