@@ -155,10 +155,20 @@ class ChangelogEmitter:
         buffer: ResultBuffer | None = None,
         checkpoint_dir: str | None = None,
         full_snapshot: bool = False,
+        keyless_batch_cap: int = 10_000,
     ):
         self.columns = list(columns)
         self.key_idx = [self.columns.index(k) for k in key_cols]
         self.buffer = buffer if buffer is not None else ResultBuffer()
+        # Keyless append-only statements (continuous projections like
+        # the reference's map query) have per-batch row counts bounded
+        # only by the source rate — the cap keeps the per-batch driver
+        # collect finite at any event rate. Keyed aggregates are
+        # exempt: their batch is bounded by group cardinality.
+        self.keyless_batch_cap = keyless_batch_cap
+        # batches that hit the cap (rows beyond it were dropped) —
+        # surfaced in the statement envelope's status detail.
+        self.truncated_batches = 0
         self._snapshot: dict[tuple, list[Any]] = {}
         # per-key multiplicity — only >1 in keyless complete mode, where
         # the "key" is the whole row and duplicates must not collapse
@@ -230,7 +240,19 @@ class ChangelogEmitter:
         # as part of executing the batch plan — returning early without
         # an action fails commit validation (observed on Spark 4.1:
         # STATE_STORE_COMMIT_VALIDATION_FAILED).
-        rows = [list(r) for r in batch_df.collect()]
+        if not self.key_idx and not self.full_snapshot:
+            # Keyless append-only: cap the collect EXECUTOR-side —
+            # limit(n+1) plans a CollectLimit, so the driver never
+            # receives more than cap+1 rows no matter how large the
+            # microbatch is (a stateless projection has no store to
+            # commit, so the limited action is a full consume).
+            cap = self.keyless_batch_cap
+            rows = [list(r) for r in batch_df.limit(cap + 1).collect()]
+            if len(rows) > cap:
+                del rows[cap:]
+                self.truncated_batches += 1
+        else:
+            rows = [list(r) for r in batch_df.collect()]
         if batch_id <= self._last_batch:
             return  # replayed batch after restart: state applied, no re-emit
         if self.full_snapshot:

@@ -180,3 +180,85 @@ def test_infer_key_cols():
         "FROM t GROUP BY session_window(ts, '5 minutes')",
         ["session_window", "n"],
     ) == ["session_window"]
+
+
+# -- DDL / INSERT through the façade ---------------------------------------
+# The reference API accepts ARBITRARY statement text — creates, inserts
+# and DDL all go through the same POST (reference api/statements.py:65-94);
+# only the dashboard happens to send SELECTs. The façade inherits the full
+# statement surface from spark.sql; these tests exercise it end-to-end.
+
+
+def test_ctas_through_facade_and_readback(svc, spark, tmp_path):
+    loc = str(tmp_path / "ctas_table")
+    env = svc.create(
+        f"CREATE TABLE facade_ctas USING parquet LOCATION '{loc}' AS "
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3"
+    )
+    ready = svc.wait_for_status(env, "completed", timeout=60)
+    assert ready is not None, svc.get(env["name"])["status"]["detail"]
+    try:
+        # readback THROUGH the façade equals the written data
+        env2 = svc.create("SELECT r_regionkey, r_name FROM facade_ctas")
+        svc.wait_for_status(env2, "completed", timeout=60)
+        rows = sorted(
+            tuple(r["row"]) for r in svc.results(env2["name"]) if r is not None
+        )
+        expected = sorted(
+            tuple(r)
+            for r in spark.sql(
+                "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3"
+            ).collect()
+        )
+        assert rows == expected and len(rows) == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS facade_ctas")
+
+
+def test_insert_into_through_facade(svc, spark, tmp_path):
+    loc = str(tmp_path / "ins_table")
+    svc.wait_for_status(
+        svc.create(
+            f"CREATE TABLE facade_ins (nk INT, nm STRING) USING parquet "
+            f"LOCATION '{loc}'"
+        ),
+        "completed",
+        timeout=60,
+    )
+    try:
+        env = svc.create(
+            "INSERT INTO facade_ins "
+            "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5"
+        )
+        ready = svc.wait_for_status(env, "completed", timeout=60)
+        assert ready is not None, svc.get(env["name"])["status"]["detail"]
+        # append semantics: a second INSERT adds rows
+        env2 = svc.create(
+            "INSERT INTO facade_ins "
+            "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey = 7"
+        )
+        assert svc.wait_for_status(env2, "completed", timeout=60) is not None
+        envr = svc.create("SELECT count(*) AS n, min(nk) AS lo, max(nk) AS hi FROM facade_ins")
+        svc.wait_for_status(envr, "completed", timeout=60)
+        (rec,) = [r for r in svc.results(envr["name"]) if r is not None]
+        assert rec["row"] == [6, 0, 7]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS facade_ins")
+
+
+def test_ddl_view_lifecycle_through_facade(svc, spark):
+    env = svc.create(
+        "CREATE OR REPLACE TEMPORARY VIEW facade_v AS "
+        "SELECT r_regionkey FROM region"
+    )
+    assert svc.wait_for_status(env, "completed", timeout=60) is not None
+    env2 = svc.create("SELECT count(*) AS n FROM facade_v")
+    svc.wait_for_status(env2, "completed", timeout=60)
+    (rec,) = [r for r in svc.results(env2["name"]) if r is not None]
+    assert rec["row"] == [5]
+    env3 = svc.create("DROP VIEW facade_v")
+    assert svc.wait_for_status(env3, "completed", timeout=60) is not None
+    # the view is gone: a SELECT against it now fails analysis
+    env4 = svc.create("SELECT count(*) AS n FROM facade_v")
+    assert svc.wait_for_status(env4, "completed", timeout=5) is None
+    assert svc.get(env4["name"])["status"]["phase"] == "failed"

@@ -419,3 +419,54 @@ def test_three_concurrent_continuous_queries(spark, tmp_path):
     assert counts[envs[2]["name"]] >= 1
     for e in envs:
         svc.stop(e["name"])
+
+
+def test_keyless_batch_collect_is_capped(spark, tmp_path):
+    """A keyless (append-only) statement must never ship an unbounded
+    microbatch to the driver: the emitter caps the per-batch collect
+    EXECUTOR-side (limit(cap+1)), records the truncation, and surfaces
+    it in the envelope detail. VERDICT r2 item 5."""
+    svc, env, spool = _mk(spark, tmp_path, "SELECT guid, eyeColor FROM user")
+    stmt = svc._statements[env["name"]]
+    assert stmt.emitter.key_idx == []  # keyless → append-only path
+    stmt.emitter.keyless_batch_cap = 500
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_row
+
+    write_user_batch(spark, spool, 0, [user_row(i) for i in range(5_000)])
+    svc.process_available(env["name"])
+
+    assert stmt.buffer.size() == 500  # cap rows, not 5 000
+    assert stmt.emitter.truncated_batches == 1
+    assert "truncated_batches=1" in svc.get(env["name"])["status"]["detail"]
+
+    # an under-cap batch flows through whole and untruncated
+    write_user_batch(spark, spool, 1, [user_row(10_000 + i) for i in range(10)])
+    svc.process_available(env["name"])
+    assert stmt.buffer.size() == 510
+    assert stmt.emitter.truncated_batches == 1
+    svc.stop(env["name"])
+
+
+def test_ephemeral_statement_uses_tmpfs_checkpoint(spark, tmp_path):
+    """A statement created WITHOUT checkpoint_dir has no recovery
+    contract — its Spark checkpoint (WAL/offsets/state) goes to tmpfs
+    when available, and is removed on stop()."""
+    import os
+
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        import pytest as _pytest
+
+        _pytest.skip("no /dev/shm on this platform")
+    spool = str(tmp_path / "spool")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    svc = StatementsService(spark)
+    env = svc.create(EYE_SQL)  # no checkpoint_dir
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+    stmt = svc._statements[env["name"]]
+    assert stmt._tmp_ckpt is not None and stmt._tmp_ckpt.startswith("/dev/shm")
+    assert os.path.isdir(stmt._tmp_ckpt)
+    ckpt = stmt._tmp_ckpt
+    svc.stop(env["name"])
+    assert not os.path.exists(ckpt)
+    assert stmt._tmp_ckpt is None
