@@ -68,3 +68,64 @@ def user_stream(spark: SparkSession, dir_path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(dir_path)
     )
+
+
+# -- Kafka-shaped stream substitute ----------------------------------------
+# The exact output schema of ``spark.readStream.format("kafka")`` (the
+# seven columns every Kafka-source query sees). A file-backed stream
+# with this schema is the sandbox substitute for a live broker: the
+# entire downstream chain (header strip → Avro decode → view → continuous
+# query) is byte-identical to the real source, only the transport
+# differs. Reference ingest: README.md:108-112 (JR → Avro → topic user).
+KAFKA_SHAPE = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def write_kafka_batch(
+    spark: SparkSession,
+    dir_path: str,
+    batch_no: int,
+    values: Iterable[bytes],
+    topic: str = "user",
+) -> None:
+    """One microbatch of Kafka-shaped records; ``values`` are the raw
+    message bytes (e.g. Confluent wire-format Avro)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, batch_no % 60)
+    rows = [
+        {
+            "key": None,
+            "value": bytes(v),
+            "topic": topic,
+            "partition": 0,
+            "offset": batch_no * 1_000_000 + i,
+            "timestamp": ts,
+            "timestampType": 0,
+        }
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, schema=KAFKA_SHAPE)  # type: ignore[arg-type]
+    staging = os.path.join(dir_path, f"_stage_k{batch_no}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(staging, part),
+        os.path.join(dir_path, f"batch_{batch_no:05d}.parquet"),
+    )
+
+
+def kafka_shaped_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """Unbounded stream with the Kafka source's schema; one file per
+    trigger, like ``user_stream``."""
+    os.makedirs(dir_path, exist_ok=True)
+    return (
+        spark.readStream.schema(KAFKA_SHAPE)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )

@@ -1,0 +1,132 @@
+"""Kafka-path integration proof (SURVEY.md §2.1 S1; VERDICT r2 item 7).
+
+No broker or connector jar ships in this container, so the chain is
+proven two ways:
+
+1. END-TO-END on a Kafka-SHAPED stream: a file-backed stream with the
+   exact ``format("kafka")`` output schema carries real Confluent
+   wire-format Avro bytes through header-strip → Arrow-batched Avro
+   decode → ``user`` view → continuous GROUP BY through the statements
+   façade → retract changelog. Everything downstream of the transport
+   is byte-identical to a live-broker run.
+2. The REAL ``format("kafka")`` path is gated: when the connector jar
+   is absent the entry point must fail with the exact spark-submit
+   coordinates; with a jar + ``KAFKA_BOOTSTRAP`` set, the live path
+   runs (skipped-with-reason here).
+
+Reference ingest chain: ``README.md:108-112`` (JR → Avro-generic with
+Schema Registry → topic ``user``), ``jrconfig.json:1-10``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from streamlit_flink_demo_spark.changelog import Changelog
+from streamlit_flink_demo_spark.sources.kafka_avro import (
+    KAFKA_PACKAGE,
+    ConnectorUnavailable,
+    decode_wire_format,
+    kafka_user_stream,
+)
+from streamlit_flink_demo_spark.sources.stream_fixtures import (
+    kafka_shaped_stream,
+    write_kafka_batch,
+)
+from streamlit_flink_demo_spark.statements import StatementsService
+from test_avro_decode import USER_SCHEMA, encode
+
+
+def _wire(schema_id: int, body: bytes) -> bytes:
+    return b"\x00" + schema_id.to_bytes(4, "big") + body
+
+
+def _user(i: int) -> dict:
+    return {
+        "guid": f"g{i:04d}",
+        "eyeColor": ("brown", "blue", "green")[i % 3],
+        "age": 20 + i % 40,
+        "balance": f"${i}.00",
+        "name": f"u{i}",
+        "registered": None,
+    }
+
+
+def test_kafka_shaped_wire_chain_through_facade(spark, tmp_path):
+    """Wire bytes → kafka-shaped stream → decode → continuous query →
+    retract changelog, across two microbatches."""
+    spool = str(tmp_path / "kspool")
+    raw = kafka_shaped_stream(spark, spool)
+    decoded = decode_wire_format(raw, json.dumps(USER_SCHEMA))
+    decoded.createOrReplaceTempView("user")
+
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT eyeColor, count(*) AS n FROM user GROUP BY eyeColor",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+
+    write_kafka_batch(
+        spark, spool, 0, [_wire(7, encode(USER_SCHEMA, _user(i))) for i in range(6)]
+    )
+    svc.process_available(env["name"])
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["eyeColor", "n"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+    got = cl.consume(100)
+    # 6 users over 3 eye colors → one +I per color
+    assert sorted((r["op"], tuple(r["row"])) for r in got) == [
+        (0, ("blue", 2)),
+        (0, ("brown", 2)),
+        (0, ("green", 2)),
+    ]
+
+    # second batch: counts move → -U/+U pairs for the touched keys
+    write_kafka_batch(
+        spark, spool, 1, [_wire(7, encode(USER_SCHEMA, _user(100 + i))) for i in range(3)]
+    )
+    svc.process_available(env["name"])
+    got2 = cl.consume(100)
+    ops = sorted((r["op"], tuple(r["row"])) for r in got2)
+    assert (1, ("brown", 2)) in ops and (2, ("brown", 3)) in ops
+    assert len(got2) == 6  # three keys touched → three -U/+U pairs
+    svc.stop(env["name"])
+
+
+def test_kafka_shaped_schema_matches_real_source():
+    """The substitute's schema is the Kafka source's documented seven
+    columns — if this drifts, the chain test stops being a proof."""
+    from streamlit_flink_demo_spark.sources.stream_fixtures import KAFKA_SHAPE
+
+    assert KAFKA_SHAPE == (
+        "key binary, value binary, topic string, partition int, "
+        "offset bigint, timestamp timestamp, timestampType int"
+    )
+
+
+def test_real_kafka_source_gated(spark):
+    """Without the connector jar the entry point raises
+    ConnectorUnavailable carrying the exact --packages remedy; with a
+    jar but no broker configured, the live path is skipped with the
+    spark-submit instructions."""
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    try:
+        df = kafka_user_stream(
+            spark,
+            bootstrap or "localhost:9092",
+            json_schema_ddl="guid string, eyeColor string",
+        )
+    except ConnectorUnavailable as ex:
+        assert KAFKA_PACKAGE in str(ex)
+        return
+    if not bootstrap:
+        pytest.skip(
+            "kafka jar present but no broker in sandbox; run "
+            f"spark-submit --packages {KAFKA_PACKAGE} with "
+            "KAFKA_BOOTSTRAP=<host:port> for the live path"
+        )
+    assert df.isStreaming
