@@ -429,22 +429,45 @@ class StatementsService:
         s = self._statements[name]  # KeyError ≙ the reference's 404
         return s.buffer.read(cursor, page_size)
 
-    def results(self, name: str, continuous_query: bool = False, page_size: int = 100):
+    def results(
+        self,
+        name: str,
+        continuous_query: bool = False,
+        page_size: int = 100,
+        backoff: bool = False,
+        backoff_cap_s: float = 0.3,
+    ):
         """Generator of result records; None keep-alives while a
-        continuous query has no new data (reference :105-169)."""
+        continuous query has no new data (reference :105-169).
+
+        ``backoff=True`` implements the reference's own TODO
+        (api/statements.py:140-141 — "back off if nothing comes back"):
+        consecutive empty pages sleep exponentially longer, capped at
+        ``backoff_cap_s`` (the reference dashboard's fastest fetch
+        cadence, dashboard.py:37), and any non-empty page resets the
+        delay. Off by default — the caller may prefer to pace fetches
+        itself, exactly like the reference client does."""
         offset = 0
+        empty_pages = 0
         while True:
             s = self._statements[name]
             chunk, offset = s.buffer.read(offset, page_size)
             if chunk:
+                empty_pages = 0
                 yield from chunk
                 continue
             if s.phase == PHASE_FAILED:
                 return
+            if backoff:
+                empty_pages += 1
+                time.sleep(
+                    min(self.poll_s * (2 ** min(empty_pages, 16)), backoff_cap_s)
+                )
             if not s.streaming:
                 if s.phase == PHASE_COMPLETED and offset >= s.buffer.size():
                     return
-                time.sleep(self.poll_s)
+                if not backoff:
+                    time.sleep(self.poll_s)
                 continue
             if continuous_query:
                 yield None  # keep-alive (reference :110-141)

@@ -262,3 +262,37 @@ def test_ddl_view_lifecycle_through_facade(svc, spark):
     env4 = svc.create("SELECT count(*) AS n FROM facade_v")
     assert svc.wait_for_status(env4, "completed", timeout=5) is None
     assert svc.get(env4["name"])["status"]["phase"] == "failed"
+
+
+def test_results_backoff_paces_empty_pages(svc, spark, monkeypatch):
+    """backoff=True: consecutive empty pages sleep exponentially up to
+    the cap; a non-empty page resets the delay (the reference's TODO at
+    api/statements.py:140-141)."""
+    import time as _time
+
+    env = svc.create("SELECT r_name FROM region")
+    svc.wait_for_status(env, "completed", timeout=60)
+    sleeps: list[float] = []
+    gen = svc.results(env["name"], backoff=True, page_size=2)
+    # batch completed: rows then StopIteration — no sleeps on full pages
+    rows = list(gen)
+    assert len(rows) == 5 and sleeps == []
+
+    # continuous statement with no data: keep-alives back off
+    class B:
+        def __init__(self):
+            self.phase = "running"
+            self.streaming = True
+            self.buffer = type(
+                "Buf", (), {"read": lambda self_, o, l: ([], o),
+                            "size": lambda self_: 0}
+            )()
+    svc._statements["fake-cont"] = B()
+    monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+    gen = svc.results("fake-cont", continuous_query=True, backoff=True)
+    for _ in range(8):
+        assert next(gen) is None
+    assert len(sleeps) == 8
+    assert sleeps == sorted(sleeps)  # monotone growth
+    assert sleeps[-1] == 0.3 and sleeps[0] < 0.3  # capped
+    del svc._statements["fake-cont"]
