@@ -9,6 +9,7 @@ oracle is exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -315,4 +316,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_m")
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-UDF surface, driver-checked (SURVEY §2.5 UDF/UDAF row)
+# --------------------------------------------------------------------------
+
+_UDF_METRICS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens_udf,
+       length(text) AS n_chars_udf
+FROM documents
+"""
+
+
+@register(
+    "udf_text_metrics",
+    oracle=_UDF_METRICS_ORACLE,
+    tags=("udf", "text"),
+    expose=False,
+)
+def udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow (pandas) UDFs in the row path, value-checked by the
+    driver against a plain-SQL oracle — the registration surface itself
+    is pinned by tests/test_udf_registration.py; this member proves the
+    UDF OUTPUT end-to-end. Scale: Arrow batch transfer, one Python
+    roundtrip per ~10k-row batch, no shuffle."""
+    @F.pandas_udf("bigint")
+    def ws_tokens(s: pd.Series) -> pd.Series:
+        return s.str.count(r"\S+").astype("int64")
+
+    @F.pandas_udf("bigint")
+    def n_chars(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_tokens("text").alias("n_tokens_udf"),
+        n_chars("text").alias("n_chars_udf"),
+    )
+
+
+_UDAF_LANG_ORACLE = """
+SELECT lang,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+@register(
+    "udaf_lang_chars",
+    oracle=_UDAF_LANG_ORACLE,
+    tags=("udf", "udaf", "text"),
+    expose=False,
+)
+def udaf_lang_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAFs (Series -> scalar) —
+    driver-checked against plain SQL. Integer sum keeps the comparison
+    exact (no float summation order); Spark disallows mixing
+    grouped-agg pandas UDFs with built-in aggregates in one agg, so the
+    row count is a second UDAF. Scale: grouped-agg UDAFs shuffle once
+    on the group key, same as built-in aggregates, then one Arrow
+    batch per group."""
+    @F.pandas_udf("bigint")
+    def total_chars(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @F.pandas_udf("bigint")
+    def n_docs(s: pd.Series) -> int:
+        return len(s)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        total_chars(F.length("text")).alias("total_chars"),
+        n_docs(F.length("text")).alias("n_docs"),
     )

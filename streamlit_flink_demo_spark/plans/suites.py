@@ -496,6 +496,16 @@ SELECT 'repetition', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(top_word_n AS BIGINT),
        CAST(dup_word_frac AS DOUBLE), CAST(dup_bigram_frac AS DOUBLE), {_NULL_D}
 FROM ({_o("text_repetition")})
+UNION ALL
+SELECT 'udf_scalar', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(n_tokens_udf AS BIGINT), CAST(n_chars_udf AS BIGINT), {_NULL_B},
+       {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("udf_text_metrics")})
+UNION ALL
+SELECT 'udaf_lang', {_NULL_B}, lang, {_NULL_S},
+       CAST(total_chars AS BIGINT), {_NULL_B}, CAST(n_docs AS BIGINT),
+       {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("udaf_lang_chars")})
 """,
     tags=("scalar", "suite"),
 )
@@ -504,8 +514,10 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     date parts (order_date_parts), string family
     (part_name_string_funcs), array higher-order functions
     (embedding_array_stats), explode+agg (embedding_dim_stats), JSON
-    path extraction (events_json_extract) and date arithmetic
-    (order_ship_latency)."""
+    path extraction (events_json_extract), date arithmetic
+    (order_ship_latency), and the Arrow-UDF surface driver-checked
+    end-to-end (udf_text_metrics scalar pandas UDFs, udaf_lang_chars
+    grouped-agg pandas UDAFs)."""
     nf = _fn("customer_null_funcs")(spark, sf_dir).select(
         F.lit("null_funcs").alias("family"),
         F.col("c_nationkey").cast("bigint").alias("k1"),
@@ -647,7 +659,31 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_bigram_frac").cast("double").alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz, st, rep)
+    uf = _fn("udf_text_metrics")(spark, sf_dir).select(
+        F.lit("udf_scalar").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        _ns().alias("k2"),
+        _ns().alias("s1"),
+        F.col("n_tokens_udf").cast("bigint").alias("i1"),
+        F.col("n_chars_udf").cast("bigint").alias("i2"),
+        _nb().alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    ua = _fn("udaf_lang_chars")(spark, sf_dir).select(
+        F.lit("udaf_lang").alias("family"),
+        _nb().alias("k1"),
+        F.col("lang").alias("k2"),
+        _ns().alias("s1"),
+        F.col("total_chars").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz, st, rep, uf, ua)
 
 
 # --------------------------------------------------------------------------
