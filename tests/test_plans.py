@@ -227,3 +227,47 @@ def test_repetition_no_python_and_partial_aggs(spark, sf_dir):
     p = plan_str(REG["text_repetition"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_lsh_query_side_filter_pushes_below_arrow_kernel(spark, sf_dir):
+    """The ANN query side (vec_id < N) must reach the parquet scan
+    BELOW the Arrow signature UDF: the broadcast build then runs the
+    kernel on N rows, not the corpus — the property ann_lsh_topk's
+    index-persist reasoning depends on."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _N_BANDS,
+        _PLANES_PER_BAND,
+        _banded_sigs_arrow,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND).filter(
+        F.col("vec_id") < 5
+    )
+    p = plan_str(q)
+    # the predicate reached the parquet scan's PushedFilters — which by
+    # construction places it below the ArrowEvalPython node
+    assert "LessThan(vec_id,5)" in p
+    assert "ArrowEvalPython" in p
+
+
+def test_ivf_training_sample_is_scan_pruned(spark, sf_dir):
+    """IVF quantizer training reads a bounded vec_id-prefix sample; the
+    predicate must prune at the parquet scan so training I/O is
+    constant in corpus size (the r3 sample-training contract)."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _IVF_TRAIN_SAMPLE,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    k = 16
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < k * _IVF_TRAIN_SAMPLE
+    ).select("vec_id", "embedding")
+    p = plan_str(e)
+    assert f"LessThan(vec_id,{k * _IVF_TRAIN_SAMPLE})" in p
