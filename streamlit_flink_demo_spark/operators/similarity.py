@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
+from streamlit_flink_demo_spark.sources.catalog import load_spread
 
 _DIM = 64
 _N_QUERIES = 5
