@@ -41,6 +41,21 @@ class RegisteredQuery:
 
 REGISTRY: dict[str, RegisteredQuery] = {}
 
+# Prepared-plan cache: building a registered query's DataFrame costs
+# real driver time (py4j expression construction + logical-plan
+# assembly — measured 2-4 s for the 9-13-branch family suites), and the
+# plan for a given (session, query, sf_dir) is immutable. Long-lived
+# engines cache compiled plans (a prepared-statement cache); ours lives
+# here so EVERY caller — bench, façade, driver — gets steady-state
+# dispatch on repeat execution. Execution state (persist/cache of DATA)
+# is unaffected: re-executing a cached plan re-runs it against current
+# storage, and `spark.catalog.clearCache()` hygiene works as before.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def clear_plan_cache() -> None:
+    _PLAN_CACHE.clear()
+
 
 def register(
     name: str,
@@ -51,9 +66,21 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        def cached_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (id(spark), name, sf_dir)
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _PLAN_CACHE[key] = df
+            return df
+
+        cached_fn.__name__ = fn.__name__
+        cached_fn.__doc__ = fn.__doc__
+        cached_fn.__wrapped__ = fn  # uncached original, for tests
         REGISTRY[name] = RegisteredQuery(
             name=name,
-            fn=fn,
+            fn=cached_fn,
             oracle=oracle,
             doc=(fn.__doc__ or "").strip(),
             tags=tags,

@@ -17,13 +17,21 @@ from streamlit_flink_demo_spark.plans import load_all
 REG = load_all(exposed_only=False)
 
 
+def fresh(name):
+    """Uncached builder: plan-shape tests must construct the DataFrame
+    UNDER THE CURRENT session confs (the registry's prepared-plan cache
+    would hand back a plan whose physical stage was resolved under
+    whatever confs were active at first build)."""
+    return REG[name].fn.__wrapped__
+
+
 def plan_str(df, mode: str = "formatted") -> str:
     sc = df.sparkSession.sparkContext
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 def test_q6_filters_push_into_scan(spark, sf_dir):
-    p = plan_str(REG["q6_revenue_forecast"].fn(spark, sf_dir))
+    p = plan_str(fresh("q6_revenue_forecast")(spark, sf_dir))
     assert "PushedFilters" in p
     # all four predicates reach the scan
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
@@ -33,7 +41,7 @@ def test_q6_filters_push_into_scan(spark, sf_dir):
 
 
 def test_q6_column_pruning(spark, sf_dir):
-    p = plan_str(REG["q6_revenue_forecast"].fn(spark, sf_dir))
+    p = plan_str(fresh("q6_revenue_forecast")(spark, sf_dir))
     read_schema = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     # only the 4 needed columns are read from the 11-column table
     for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
@@ -43,14 +51,14 @@ def test_q6_column_pruning(spark, sf_dir):
 
 
 def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
-    p = plan_str(REG["q5_local_supplier_volume"].fn(spark, sf_dir))
+    p = plan_str(fresh("q5_local_supplier_volume")(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
-    df = REG["q1_pricing_summary"].fn(spark, sf_dir)
+    df = fresh("q1_pricing_summary")(spark, sf_dir)
     p = plan_str(df)
     assert "HashAggregate" in p
     # partial + final pair ⇒ map-side combine before the shuffle
@@ -61,7 +69,7 @@ def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
     # execution, hiding codegen subtrees — disable it for inspection)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        codegen = plan_str(REG["q1_pricing_summary"].fn(spark, sf_dir), "codegen")
+        codegen = plan_str(fresh("q1_pricing_summary")(spark, sf_dir), "codegen")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in codegen
@@ -71,19 +79,19 @@ def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
 def test_projection_query_is_narrow(spark, sf_dir):
     """ref_map_locations is a pure projection — any Exchange in its
     plan means someone introduced an accidental shuffle."""
-    p = plan_str(REG["ref_map_locations"].fn(spark, sf_dir))
+    p = plan_str(fresh("ref_map_locations")(spark, sf_dir))
     assert "Exchange" not in p
 
 
 def test_topk_rank_limit_pushdown(spark, sf_dir):
     """row_number ≤ k filters inside the window operator
     (WindowGroupLimit) instead of materializing every ranked row."""
-    p = plan_str(REG["topk_orders_per_customer"].fn(spark, sf_dir))
+    p = plan_str(fresh("topk_orders_per_customer")(spark, sf_dir))
     assert "WindowGroupLimit" in p
 
 
 def test_global_topk_avoids_total_sort(spark, sf_dir):
-    p = plan_str(REG["top_revenue_orders"].fn(spark, sf_dir))
+    p = plan_str(fresh("top_revenue_orders")(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
 
@@ -91,13 +99,13 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
 def test_range_join_is_bucketed_equi_join(spark, sf_dir):
     """The interval join must execute as (user, bucket) equi-joins —
     never a cartesian/nested-loop expansion of per-user histories."""
-    p = plan_str(REG["range_join_clicks_before_purchase"].fn(spark, sf_dir))
+    p = plan_str(fresh("range_join_clicks_before_purchase")(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_anti_join_prunes_build_side(spark, sf_dir):
-    p = plan_str(REG["customers_without_orders"].fn(spark, sf_dir))
+    p = plan_str(fresh("customers_without_orders")(spark, sf_dir))
     read = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema:")[1:]]
     orders_reads = [s for s in read if "o_custkey" in s]
     assert orders_reads and all(
@@ -106,7 +114,7 @@ def test_anti_join_prunes_build_side(spark, sf_dir):
 
 
 def test_ann_broadcasts_query_side(spark, sf_dir):
-    p = plan_str(REG["ann_cosine_topk"].fn(spark, sf_dir))
+    p = plan_str(fresh("ann_cosine_topk")(spark, sf_dir))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
@@ -114,7 +122,7 @@ def test_q19_disjunction_prunes_both_scans(spark, sf_dir):
     """The OR-of-ANDs can only run post-join, but its per-side
     implications must reach the scans: the part scan sees the brand
     set, the lineitem scan sees the quantity band."""
-    p = plan_str(REG["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    p = plan_str(fresh("q19_disjunctive_revenue")(spark, sf_dir))
     assert "CartesianProduct" not in p
     pushed = [seg.split("]", 1)[0] for seg in p.split("PushedFilters: [")[1:]]
     assert any("p_brand" in s for s in pushed)
@@ -125,7 +133,7 @@ def test_q4_semi_join_probe_is_key_pruned(spark, sf_dir):
     """The EXISTS side must shuffle only (l_orderkey, l_returnflag) —
     reading any measure column into a semi-join build side is wasted
     I/O at 100 TB."""
-    p = plan_str(REG["q4_order_priority_check"].fn(spark, sf_dir))
+    p = plan_str(fresh("q4_order_priority_check")(spark, sf_dir))
     assert "LeftSemi" in p
     reads = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema:")[1:]]
     lineitem_reads = [s for s in reads if "l_orderkey" in s]
@@ -138,7 +146,7 @@ def test_q4_semi_join_probe_is_key_pruned(spark, sf_dir):
 def test_ranking_family_shares_one_window(spark, sf_dir):
     """rank/dense_rank/ntile/percent_rank over the same spec must
     collapse into a single Window operator (one sort, one pass)."""
-    p = plan_str(REG["order_rank_quartiles"].fn(spark, sf_dir))
+    p = plan_str(fresh("order_rank_quartiles")(spark, sf_dir))
     assert p.count("Window") - p.count("WindowGroupLimit") >= 1
     # one shuffle for the partitionBy, no second sort for extra funcs
     assert p.count("Exchange") <= 2
@@ -147,7 +155,7 @@ def test_ranking_family_shares_one_window(spark, sf_dir):
 def test_cube_uses_expand_single_shuffle(spark, sf_dir):
     """CUBE evaluates all grouping sets via one Expand + one shuffle,
     not one job per set."""
-    p = plan_str(REG["part_type_size_cube"].fn(spark, sf_dir))
+    p = plan_str(fresh("part_type_size_cube")(spark, sf_dir))
     assert "Expand" in p
     assert p.count("Exchange") <= 2
 
@@ -156,7 +164,7 @@ def test_q21_single_fact_aggregate_no_extra_scans(spark, sf_dir):
     """The EXISTS + NOT EXISTS pair must fold into ONE per-order
     aggregate: lineitem appears exactly twice in the plan (probe +
     stats), never three times."""
-    p = plan_str(REG["q21_waiting_suppliers"].fn(spark, sf_dir))
+    p = plan_str(fresh("q21_waiting_suppliers")(spark, sf_dir))
     assert p.count("lineitem.parquet") == 2
 
 
@@ -181,7 +189,7 @@ def test_global_scalar_queries_scan_fact_once(spark, sf_dir, name, table):
 def test_stratified_sample_is_pure_projection(spark, sf_dir):
     """Hash-gated sampling must be a scan + project — no shuffle, no
     UDF; the sampling hash stays in codegen."""
-    p = plan_str(REG["docs_stratified_sample"].fn(spark, sf_dir))
+    p = plan_str(fresh("docs_stratified_sample")(spark, sf_dir))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     read_schema = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
@@ -192,13 +200,13 @@ def test_shuffle_shard_single_exchange_no_global_sort(spark, sf_dir):
     """One hash exchange on the shard id feeds both the shard-local
     window sort and the aggregation; there must be no global Sort
     (SortExec without partitioning would single-thread the corpus)."""
-    p = plan_str(REG["docs_shuffle_shard"].fn(spark, sf_dir))
+    p = plan_str(fresh("docs_shuffle_shard")(spark, sf_dir))
     assert p.count("Exchange hashpartitioning") <= 2  # window + agg reuse
     assert "Exchange rangepartitioning" not in p  # = global sort
 
 
 def test_domain_mix_broadcasts_global_total(spark, sf_dir):
-    p = plan_str(REG["docs_domain_mix"].fn(spark, sf_dir))
+    p = plan_str(fresh("docs_domain_mix")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
 
@@ -206,7 +214,7 @@ def test_domain_mix_broadcasts_global_total(spark, sf_dir):
 def test_funnel_no_cartesian_and_type_pruned_scans(spark, sf_dir):
     """Each funnel stage scans one event type (filter pushed) and all
     stage joins are equi-joins on user_id."""
-    p = plan_str(REG["events_funnel"].fn(spark, sf_dir))
+    p = plan_str(fresh("events_funnel")(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     pushed = [
@@ -219,12 +227,12 @@ def test_funnel_no_cartesian_and_type_pruned_scans(spark, sf_dir):
 def test_e2e_pipeline_single_documents_scan(spark, sf_dir):
     """The composed pipeline must remain ONE scan of documents — the
     window keeper + hash gates all hang off the same read."""
-    p = plan_str(REG["docs_e2e_pipeline"].fn(spark, sf_dir))
+    p = plan_str(fresh("docs_e2e_pipeline")(spark, sf_dir))
     assert p.count("documents.parquet") <= 1 or p.count("Scan parquet") <= 1
 
 
 def test_repetition_no_python_and_partial_aggs(spark, sf_dir):
-    p = plan_str(REG["text_repetition"].fn(spark, sf_dir))
+    p = plan_str(fresh("text_repetition")(spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
 
@@ -271,3 +279,23 @@ def test_ivf_training_sample_is_scan_pruned(spark, sf_dir):
     ).select("vec_id", "embedding")
     p = plan_str(e)
     assert f"LessThan(vec_id,{k * _IVF_TRAIN_SAMPLE})" in p
+
+
+def test_registry_plan_cache(spark, sf_dir):
+    """Registered queries dispatch through a prepared-plan cache: same
+    (session, name, sf_dir) → same DataFrame object (no rebuild);
+    different sf_dir → distinct plan; the uncached original stays
+    reachable via __wrapped__."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    rq = REGISTRY["q6_revenue_forecast"]
+    a = rq.fn(spark, sf_dir)
+    b = rq.fn(spark, sf_dir)
+    assert a is b
+    c = rq.fn(spark, sf_dir + "/")  # different key → fresh build
+    assert c is not a
+    fresh = rq.fn.__wrapped__(spark, sf_dir)
+    assert fresh is not a
+    # cached plan still executes correctly after a cache clear
+    spark.catalog.clearCache()
+    assert a.count() == fresh.count()
