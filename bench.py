@@ -141,7 +141,7 @@ def _streaming_latency(spark) -> dict:
     # atomic rename into the spool → changelog visible, i.e. pure
     # engine latency (source discovery + microbatch + emission), not
     # the test harness's own Spark write job.
-    for b in range(6):
+    for b in range(10):
         write_user_batch(
             spark, stage, b, [user_row(b * 100 + i) for i in range(10)]
         )
@@ -153,8 +153,10 @@ def _streaming_latency(spark) -> dict:
     )
     svc.process_available(env["name"])
 
+    # 9 measured batches: the median is robust to the 1-2 outlier
+    # triggers a shared box produces (run-to-run noise is ±30%).
     lat = []
-    for b in range(1, 6):
+    for b in range(1, 10):
         fname = f"batch_{b:05d}.parquet"
         seen = stmt_buffer.size()
         t0 = _t.perf_counter()
