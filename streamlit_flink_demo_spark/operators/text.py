@@ -46,8 +46,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, mean token length. Pure codegen projection straight off
     the scan — zero shuffles (a pre-repartition of full document text
     costs more than these regexp_counts save; measured 0.28 s direct
-    vs 1.26 s spread at sf0.1)."""
-    d = load_table(spark, sf_dir, "documents")
+    vs 1.26 s spread at sf0.1; the 32 MB byte-gate re-enables the
+    spread once the corpus outgrows its scan split — measured 6× at
+    10× replication without it)."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     denom = F.greatest(n_tokens, F.lit(1)).cast("double")
     return d.select(
@@ -109,8 +111,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority argmax (en > de > fr > es on ties), 'unknown' when no
     marker fires. A real deployment would swap the marker lists for
     character-n-gram profiles — the plan shape (narrow projection)
-    stays the same. Zero-shuffle projection kernel."""
-    d = load_table(spark, sf_dir, "documents")
+    stays the same. Byte-gated spread: zero-shuffle at bench SF,
+    parallelized past 32 MB."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     lowered = F.lower(F.col("text"))
     scores = {
         lang: F.regexp_count(lowered, F.lit(_marker_pat(lang)))
@@ -158,9 +161,9 @@ FROM documents
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: BPE-ish regex segmentation (letters /
     digits / single punctuation — the GPT-2 pre-tokenizer shape),
-    whitespace tokens, and the chars/4 heuristic. Zero-shuffle
-    projection kernel."""
-    d = load_table(spark, sf_dir, "documents")
+    whitespace tokens, and the chars/4 heuristic. Byte-gated spread
+    (no-op at bench SF)."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
@@ -188,10 +191,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass before dedup/tokenization: lowercase, strip
     non-alphanumerics, collapse whitespace, trim — emitted as a
     content digest + length (the compact form downstream exact-dedup
-    keys on). Pure codegen projection kernel, zero shuffles; Spark's
+    keys on). Pure codegen projection kernel, byte-gated spread
+    (no-op at bench SF); Spark's
     regexp_replace is global by default, the oracle passes the 'g'
     flag for the same semantics."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
@@ -245,8 +249,9 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters: emails and URLs are matched before the bare-number rule
     so their digits don't get shredded into <NUM>. Pure codegen
     projection, zero shuffles; driver-checked inside
-    scalar_funcs_suite (family redact_pii)."""
-    d = load_table(spark, sf_dir, "documents")
+    scalar_funcs_suite (family redact_pii). Byte-gated spread
+    (no-op at bench SF)."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     redacted = F.col("text")
     for pat, tok in (
         (_PII_EMAIL, "<EMAIL>"),

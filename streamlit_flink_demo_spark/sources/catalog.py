@@ -114,11 +114,40 @@ def spread(df: DataFrame, n: int | None = None, key: str | None = None) -> DataF
     return df.repartition(target)
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _table_bytes(sf_dir: str, name: str) -> int:
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = 0
+) -> DataFrame:
     """``spread(load_table(...))`` with the partition-count probe
     memoized per (sf_dir, table): the raw scan's split count is a
-    property of the file layout, constant for the session."""
-    return spread(load_table(spark, sf_dir, name), key=f"{sf_dir}/{name}")
+    property of the file layout, constant for the session.
+
+    ``min_bytes`` gates the repartition by INPUT SIZE: below it the
+    per-row kernel finishes faster than the round-robin shuffle costs;
+    above it the kernel's single-task (or few-task) inheritance of the
+    scan split dominates. Heavy kernels (shingle explodes, Arrow
+    matmuls, per-gram hashing) pass 0 — they win from parallelism at
+    any size measured. Cheap projection kernels pass ~32 MB: at sf0.1
+    (≈5 MB documents) the shuffle is a measured 2-4× LOSS, while at
+    10× replication (≈50 MB, one parquet file → few scan tasks) the
+    unspread kernel goes super-linear (measured 6-21× for 10× data)."""
+    df = load_table(spark, sf_dir, name)
+    if min_bytes and _table_bytes(sf_dir, name) < min_bytes:
+        return df
+    return spread(df, key=f"{sf_dir}/{name}")
 
 
 def register_tables(
