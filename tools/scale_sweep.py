@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Reproduce the SCALE.md 10× corpus-replication measurement.
+
+Generates perturbed 10× replicas of ``documents`` / ``embeddings`` from
+$SPARK_GRAFT_SF_DIR (default sf0.1) into /tmp/scale10 via DuckDB, then
+times the LLM-pipeline operators at 1× and 10× on the same session
+(best-of-2, cache cleared between operators) and prints one JSON line.
+
+Texts get a per-replica suffix so shingle document-frequencies keep
+their shape (pure duplication would trip the Jaccard df-cap and
+understate join work); embeddings get an ε-perturbation per replica so
+near-dup semantics stay realistic.
+
+Usage:  python tools/scale_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OPS = (
+    "text_quality_stats",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+)
+
+
+def generate(src: str, dst: str, factor: int = 10) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT doc_id + k.k * {n_docs} AS doc_id,
+         CASE WHEN k.k = 0 THEN text
+              ELSE text || ' rep' || k.k || ' tok' || k.k END AS text,
+         lang, source, n_chars
+  FROM read_parquet('{src}/documents.parquet'),
+       (SELECT unnest(range({factor})) AS k) k
+) TO '{dst}/documents.parquet' (FORMAT parquet)
+""")
+    con.execute(f"""
+COPY (
+  SELECT vec_id + k.k * {n_vecs} AS vec_id,
+         CASE WHEN k.k = 0 THEN embedding
+              ELSE list_transform(embedding,
+                                  x -> x + (k.k * 0.0001)::FLOAT)
+         END AS embedding,
+         label
+  FROM read_parquet('{src}/embeddings.parquet'),
+       (SELECT unnest(range({factor})) AS k) k
+) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+""")
+
+
+def main() -> int:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.environ.get("SCALE_SWEEP_DIR", "/tmp/scale10")
+    generate(src, dst)
+
+    from streamlit_flink_demo_spark.plans import load_all
+    from streamlit_flink_demo_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    reg = load_all(exposed_only=False)
+    spark.read.parquet(os.path.join(src, "region.parquet")).count()
+
+    out = {}
+    for name in OPS:
+        row = {}
+        for tag, d in (("base", src), ("x10", dst)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                reg[name].fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            row[tag] = round(best, 2)
+            spark.catalog.clearCache()
+        row["ratio"] = round(row["x10"] / row["base"], 1) if row["base"] else None
+        out[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_sweep_10x", "operators": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
