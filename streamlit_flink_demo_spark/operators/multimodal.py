@@ -65,6 +65,68 @@ DECODE_SCHEMA = (
 )
 
 
+# -- deterministic-codec oracles -------------------------------------------
+# The fake codec is pure integer arithmetic over the blob bytes, so the
+# whole decode/resize/frame pipeline is SQL-replayable: the documents
+# corpus is ASCII (asserted in tests), so byte p of encode(text) is
+# ord(substring(text, p+1, 1)) and blob slices are valid varchar for
+# DuckDB's md5(VARCHAR). These replays make the multimodal queries
+# hash-checked CORRECTNESS rows instead of rows-only.
+
+def _decode_oracle_sql(n_expr: str, byte_at: "callable") -> str:
+    """SELECT-list fragment for the fake decoder over a byte stream of
+    length ``n_expr`` whose 0-based byte ``p`` is ``byte_at(p)``."""
+    luma_terms = f"[{byte_at('i')} for i in range(least({n_expr}, 64))]"
+    return f"""
+       ({n_expr})::INT AS n_bytes,
+       (64 + ((({n_expr})::BIGINT * 2654435761) % 1217) % 1280)::INT AS width,
+       (64 + ((({n_expr})::BIGINT * 40503) % 1013) % 720)::INT AS height,
+       (CASE WHEN ({n_expr}) = 0 THEN 0.0
+             ELSE ((list_aggregate({luma_terms}, 'sum')) % 256) / 255.0
+        END) AS mean_luma"""
+
+
+_DECODE_FAKE_ORACLE = f"""
+SELECT doc_id,{_decode_oracle_sql(
+    "length(text)",
+    lambda p: f"ord(substring(text, ({p})+1, 1))",
+)}
+FROM documents
+"""
+
+_RESIZE_TARGET = 224 * 224 // 64  # resize_binary_batch's output byte count
+
+# decode∘resize: the resized stream has exactly _RESIZE_TARGET bytes and
+# its byte i is input byte (i*n)//target (stride re-sample), so the
+# decoder's luma window reads original bytes at computed offsets.
+_DECODE_RESIZE_ORACLE = f"""
+WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,{_decode_oracle_sql(
+    str(_RESIZE_TARGET),
+    lambda p: f"ord(substring(text, ((({p})*n)//{_RESIZE_TARGET})+1, 1))",
+)}
+FROM base
+"""
+
+_FRAME_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         least(4, greatest(length(text)//64, 1)) AS n_frames
+  FROM documents
+),
+idx AS (SELECT 0 AS frame_idx UNION ALL SELECT 1
+        UNION ALL SELECT 2 UNION ALL SELECT 3)
+SELECT doc_id,
+       idx.frame_idx::INT AS frame_idx,
+       n_frames::INT AS n_frames,
+       encode(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames))
+         AS frame,
+       md5(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames))
+         AS frame_md5
+FROM base JOIN idx ON idx.frame_idx < base.n_frames
+"""
+
+
 def decode_binary_batch(
     df: DataFrame, binary_col: str = "content", id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:
@@ -110,11 +172,12 @@ def decode_binary_batch(
     return df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
-@register("multimodal_decode_fake", oracle=None, tags=("multimodal", "pandas-udf"), expose=False)
+@register("multimodal_decode_fake", oracle=_DECODE_FAKE_ORACLE, tags=("multimodal", "pandas-udf"), expose=False)
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mapInPandas decode over fake image bytes (text bytes
-    as the blob). Rows-only check: the decode itself is a stub; the
-    Arrow plumbing, schema, and batch shape are the real deliverable."""
+    as the blob). The deterministic fake codec is pure byte arithmetic,
+    so the oracle replays it in SQL (hash-checked); the Arrow plumbing,
+    schema, and batch shape are the real deliverable."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
@@ -248,11 +311,12 @@ def sample_frames_batch(
     return df.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "pandas-udf"))
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("multimodal", "pandas-udf"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling over the documents blob as a fake
-    video. Rows-only check; fan-out arity and per-frame determinism
-    are pytest-verified."""
+    video. The byte-window sampler is deterministic, so the oracle
+    replays the slicing + md5 in SQL (hash-checked, frame bytes
+    included); fan-out arity is additionally pytest-verified."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )

@@ -1044,15 +1044,17 @@ def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_resize",
-    oracle=None,
+    oracle=multimodal._DECODE_RESIZE_ORACLE,
     tags=("multimodal", "pandas-udf", "suite"),
 )
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize (binary→binary mapInPandas) chained into decode
     (binary→metadata mapInPandas) — the two Arrow-batched stages of a
     vision preprocessing pipeline composed end-to-end (members
-    multimodal_resize_fake / multimodal_decode_fake). Rows-only driver
-    check; determinism and batch contracts are pytest-verified."""
+    multimodal_resize_fake / multimodal_decode_fake). The fake codec is
+    deterministic byte arithmetic, so the composed stride-resample →
+    decode pipeline is replayed exactly in the SQL oracle
+    (hash-checked); batch contracts are pytest-verified."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
