@@ -533,13 +533,88 @@ def ivf_topk(
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE deterministic IVF pipeline —
+    training (first-k seeds over the bounded sample, one Lloyd step of
+    cosine-assign → per-dim mean), corpus assignment, nprobe centroid
+    pruning, exact re-rank. Same shape as the LSH oracle: every step is
+    deterministic, so the approximate index is SQL-checkable end to
+    end. Float caveat mirrors _sigs_sql: numpy's pairwise mean /
+    BLAS-summed argmax vs DuckDB's sequential AVG/cosine differ at
+    ~1e-16, which flips a selection only on near-ties (measure-zero
+    for float embeddings; swept clean at sf0.001/0.01/0.1)."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)
+    train_n = _IVF_CLUSTERS * _IVF_TRAIN_SAMPLE
+    return f"""
+WITH train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {train_n}
+),
+seeds AS (
+  SELECT vec_id AS c_id, embedding AS s_emb FROM train WHERE vec_id < {_IVF_CLUSTERS}
+),
+tassign AS (
+  SELECT vec_id, c_id, embedding FROM (
+    SELECT t.vec_id, s.c_id, t.embedding,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos('t.embedding', 's.s_emb')} DESC,
+                                       s.c_id) AS rk
+    FROM train t CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cmeans AS (
+  SELECT c_id, list(avg_v ORDER BY dim) AS c_emb
+  FROM (
+    SELECT a.c_id, d.dim, AVG(a.embedding[d.dim+1]::DOUBLE) AS avg_v
+    FROM tassign a CROSS JOIN range({_DIM}) d(dim)
+    GROUP BY a.c_id, d.dim
+  )
+  GROUP BY c_id
+),
+inv AS (
+  SELECT vec_id, c_id AS cluster, embedding FROM (
+    SELECT e.vec_id, c.c_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS rk
+    FROM embeddings e CROSS JOIN cmeans c
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT q.q_id, q.q_emb, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos('q.q_emb', 'c.c_emb')} DESC,
+                                       c.c_id) AS prk
+    FROM q CROSS JOIN cmeans c
+  ) WHERE prk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, i.vec_id, {cos('p.q_emb', 'i.embedding')} AS cos_sim
+  FROM probes p JOIN inv i ON i.cluster = p.c_id AND i.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql(), tags=("similarity", "ann", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the 100 TB scale path next to
     LSH): at scale the inverted list is written bucketed/partitioned
     by cluster id, so each query reads only nprobe/n_clusters of the
     corpus — partition pruning does the candidate cut before any
-    scoring runs. Rows-only driver check (cluster pruning is
-    approximate); exhaustive-probe exactness and recall floors are
-    pytest-verified (tests/test_similarity.py)."""
+    scoring runs. The quantizer is deterministic (seeded from the
+    first k vectors of a bounded sample), so the full pipeline is
+    replayed in the SQL oracle (hash-checked); exhaustive-probe
+    exactness and recall floors are additionally pytest-verified
+    (tests/test_similarity.py)."""
     return ivf_topk(spark, sf_dir)
