@@ -5,11 +5,15 @@ metadata — the layout a 100 TB multimodal corpus actually uses
 (parquet binary + metadata columns; bytes stay columnar, never in
 Python unless a decode step needs them).
 
-The container has no image/audio libs, so decode is STUBBED: the
-Spark-side plumbing (binary schema, Arrow batching, mapInPandas batch
-shapes, partition sizing) is real and tested; the pixel decode behind
-it raises NotImplementedError unless the deterministic fake is chosen
-(tests use the fake).
+Codec tiers: ``fake=True`` (default in the registered queries) is a
+deterministic byte-arithmetic codec — the test/oracle path, SQL-
+replayable. ``fake=False`` decodes real bytes via Pillow when it is
+importable on the executors (optional dependency — this container
+ships without it) and raises NotImplementedError with the install
+remedy otherwise; real video keyframe extraction (pyav/ffmpeg) stays
+stubbed. The Spark-side plumbing (binary schema, Arrow batching,
+mapInPandas batch shapes, partition sizing) is identical across tiers
+and is what the contract tests pin (tests/test_multimodal_codec.py).
 """
 
 from __future__ import annotations
@@ -145,14 +149,29 @@ def decode_binary_batch(
         import pandas as _pd
 
         def decode_image(data: bytes) -> tuple[int, int, float]:
-            # Decode stub: real impl would use PIL/cv2 (absent in this
-            # container). Deterministic fake derives plausible values
-            # from the byte content so the pipeline tests end-to-end.
+            # fake=True: deterministic byte-arithmetic codec (the test
+            # and oracle path). fake=False: real decode via Pillow when
+            # importable on the executor; otherwise raise with remedy.
             if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/cv2 — not available here; "
-                    "use fake=True for the deterministic test decoder"
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real image decode requires Pillow (pip install "
+                        "Pillow) — not available here; use fake=True for "
+                        "the deterministic test decoder"
+                    ) from ex
+                img = Image.open(io.BytesIO(data))
+                width, height = img.size
+                gray = img.convert("L")
+                hist = gray.histogram()
+                n_px = sum(hist) or 1
+                mean_luma = (
+                    sum(v * c for v, c in enumerate(hist)) / n_px / 255.0
                 )
+                return width, height, mean_luma
             n = len(data)
             width = 64 + (n * 2654435761 % 1217) % 1280
             height = 64 + (n * 40503 % 1013) % 720
@@ -216,10 +235,20 @@ def resize_binary_batch(
 
         def resize(data: bytes) -> bytes:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/cv2 — not available here; "
-                    "use fake=True for the deterministic stride sampler"
-                )
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real image resize requires Pillow (pip install "
+                        "Pillow) — not available here; use fake=True for "
+                        "the deterministic stride sampler"
+                    ) from ex
+                img = Image.open(io.BytesIO(data))
+                out = io.BytesIO()
+                img.resize((out_width, out_height)).save(out, format="PNG")
+                return out.getvalue()
             if not data:
                 return bytes(target)
             # deterministic stride re-sample to exactly `target` bytes
@@ -284,10 +313,31 @@ def sample_frames_batch(
 
         def frames(data: bytes):
             if not fake:
-                raise NotImplementedError(
-                    "video decode requires pyav/ffmpeg — not available "
-                    "here; use fake=True for the byte-window sampler"
-                )
+                # Real video keyframe extraction needs pyav/ffmpeg;
+                # Pillow covers the multi-frame image formats (GIF,
+                # multi-page TIFF) as the importable-dependency tier.
+                try:
+                    import io
+
+                    from PIL import Image, ImageSequence
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real frame extraction requires Pillow for "
+                        "multi-frame images (pyav/ffmpeg for video) — "
+                        "not available here; use fake=True for the "
+                        "byte-window sampler"
+                    ) from ex
+                img = Image.open(io.BytesIO(data))
+                all_frames = list(ImageSequence.Iterator(img))
+                n = len(all_frames)
+                take = min(max_frames, n)
+                picks = [(i * n) // take for i in range(take)]
+                out = []
+                for p in picks:
+                    buf = io.BytesIO()
+                    all_frames[p].convert("RGB").save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                return out
             if not data:
                 return [b""]
             n_frames = min(max_frames, max(len(data) // 64, 1))
