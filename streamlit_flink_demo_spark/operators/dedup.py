@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
@@ -117,10 +117,9 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent is a checkpointed/staged intermediate table; the
     bench harness clears caches between queries so operators don't
     pressure each other's memory."""
-    return (
+    return track_persist(
         _doc_shingles(spark, sf_dir)
         .select("doc_id", u60(F.col("s")).alias("h"))
-        .persist()
     )
 
 
@@ -201,12 +200,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within identical-signature buckets (true near-dups)."""
     sh = _doc_shingle_hashes(spark, sf_dir)
     base = F.col("h") % F.lit(_P)
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
-            for i in range(_K)
-        ]
-    ).persist()
+    minh = track_persist(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
+                for i in range(_K)
+            ]
+        )
+    )
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -355,11 +356,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap as a COUNT window over h: one shuffle on h replaces the
     # groupBy + join-back formulation (same partitioning, half the
     # exchanges — measured 1.3 s → 0.9 s at sf0.1).
-    sh_kept = (
+    sh_kept = track_persist(
         sh.withColumn("doc_freq", F.count("*").over(W.partitionBy("h")))
         .filter(F.col("doc_freq") <= 50)
         .select("doc_id", "h")
-        .persist()
     )
     sizes = sh_kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_kept.alias("a")

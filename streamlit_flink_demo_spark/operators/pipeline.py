@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -206,7 +206,7 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = (
         sh.filter(F.col("bucket") >= 90).select("s").distinct()
     )
-    train = sh.filter(F.col("bucket") < 90).select("doc_id", "s").persist()
+    train = track_persist(sh.filter(F.col("bucket") < 90).select("doc_id", "s"))
     sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     shared = (
         train.join(F.broadcast(eval_sh), "s")

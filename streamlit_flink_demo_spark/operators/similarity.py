@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread
 
 _DIM = 64
@@ -284,7 +284,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table written bucketed by (band, bsig); the cache is its
     # single-session stand-in and is released by the session's cache
     # hygiene between unrelated queries.
-    bsigs = _band_signatures(spark, e).persist()
+    bsigs = track_persist(_band_signatures(spark, e))
     q = F.broadcast(
         bsigs.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("q_id"),
@@ -350,9 +350,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical bucket join + threshold in DuckDB;
     brute-force recall is pytest-verified (tests/test_similarity.py)."""
     e = load_spread(spark, sf_dir, "embeddings")
-    bsigs = _banded_sigs_arrow(
-        e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:"
-    ).persist()
+    bsigs = track_persist(
+        _banded_sigs_arrow(e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:")
+    )
     a = bsigs.alias("a")
     b = bsigs.alias("b")
     pairs = a.join(

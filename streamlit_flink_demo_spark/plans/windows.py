@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
@@ -310,7 +310,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Without this, each UNION branch recomputes its lineage — three
     # fact scans instead of one. The persisted frame is |minutes| rows
     # (tiny relative to the fact table at any scale).
-    minute = minute.persist()
+    minute = track_persist(minute)
 
     def level(src: DataFrame, grain: str) -> DataFrame:
         return src.groupBy(F.date_trunc(grain, F.col("b")).alias("b")).agg(

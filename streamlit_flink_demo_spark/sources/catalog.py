@@ -15,6 +15,7 @@ partitioned layouts prune entire files.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,11 +74,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-# Memoized scan-partition counts keyed by caller-supplied key (one
-# RDD-conversion probe per table per session instead of per operator
-# call — the probe itself costs an analysis + JVM roundtrip + file
-# listing, which at ~50 queries/session was measurable driver drag).
-_SPREAD_PARTS: dict[str, int] = {}
+# Memoized scan-partition counts, keyed (weak session → table key):
+# one RDD-conversion probe per table per SESSION instead of per
+# operator call — the probe itself costs an analysis + JVM roundtrip +
+# file listing, which at ~50 queries/session was measurable driver
+# drag. The session dimension matters: split confs
+# (maxPartitionBytes/defaultParallelism) are per-session, so a count
+# memoized under one session must not leak into another; a stopped
+# session's entries evaporate with the weak key. In-process file
+# rewrites can still stale a live session's memo —
+# ``clear_spread_cache()`` is the invalidation hook (pairs with
+# ``plans.clear_plan_cache()``).
+_SPREAD_PARTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, int]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_spread_cache() -> None:
+    _SPREAD_PARTS.clear()
 
 
 def spread(df: DataFrame, n: int | None = None, key: str | None = None) -> DataFrame:
@@ -103,12 +117,13 @@ def spread(df: DataFrame, n: int | None = None, key: str | None = None) -> DataF
     (one giant consolidated file, a skewed compaction)."""
     spark = df.sparkSession
     target = n or spark.sparkContext.defaultParallelism
-    if key is not None and key in _SPREAD_PARTS:
-        parts = _SPREAD_PARTS[key]
+    memo = _SPREAD_PARTS.setdefault(spark, {}) if key is not None else None
+    if memo is not None and key in memo:
+        parts = memo[key]
     else:
         parts = df.rdd.getNumPartitions()
-        if key is not None:
-            _SPREAD_PARTS[key] = parts
+        if memo is not None:
+            memo[key] = parts
     if parts >= target:
         return df
     return df.repartition(target)

@@ -52,6 +52,58 @@ def random_name(prefix: str = "") -> str:
     return f"{prefix}{secrets.token_hex(6)}"
 
 
+# Ephemeral tmpfs checkpoint dirs currently owned by this process.
+# stop() removes a statement's dir eagerly; this registry + atexit
+# sweep covers statements that fail, are abandoned, or are still
+# running at interpreter exit — streaming WAL/state on /dev/shm must
+# not outlive the process that wrote it (tmpfs is shared memory).
+_LIVE_TMP_CKPTS: set[str] = set()
+
+
+def _reap_tmp_ckpts() -> None:
+    import shutil
+
+    for path in list(_LIVE_TMP_CKPTS):
+        shutil.rmtree(path, ignore_errors=True)
+        _LIVE_TMP_CKPTS.discard(path)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_reap_tmp_ckpts)
+
+
+def _drop_tmp_ckpt(stmt: "Statement") -> None:
+    if stmt._tmp_ckpt is not None:
+        import shutil
+
+        shutil.rmtree(stmt._tmp_ckpt, ignore_errors=True)
+        _LIVE_TMP_CKPTS.discard(stmt._tmp_ckpt)
+        stmt._tmp_ckpt = None
+
+
+def sweep_stale_ckpts(max_age_s: float = 3600.0) -> int:
+    """Remove ``ckpt_*`` dirs on /dev/shm older than ``max_age_s`` that
+    no live statement of THIS process owns — crash debris from earlier
+    runs. The age guard keeps a concurrently-running sibling process's
+    fresh checkpoints safe. Returns the number of dirs removed."""
+    import glob
+    import shutil
+
+    removed = 0
+    now = time.time()
+    for path in glob.glob("/dev/shm/ckpt_*"):
+        if path in _LIVE_TMP_CKPTS:
+            continue
+        try:
+            if now - os.path.getmtime(path) > max_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def _json_safe(v: Any) -> Any:
     """Values as JSON-wire-friendly types (timestamps → ISO strings)."""
     import datetime
@@ -207,6 +259,9 @@ class StatementsService:
                 str(stream_shuffle_partitions),
             )
         )
+        # Crash debris from earlier processes: tmpfs is shared memory,
+        # so stale WAL/state must not accumulate across service runs.
+        sweep_stale_ckpts()
 
     @classmethod
     def from_config(
@@ -326,6 +381,7 @@ class StatementsService:
                         stmt._tmp_ckpt = tempfile.mkdtemp(
                             prefix=f"ckpt_{stmt.name}_", dir=shm
                         )
+                        _LIVE_TMP_CKPTS.add(stmt._tmp_ckpt)
                         writer = writer.option(
                             "checkpointLocation", stmt._tmp_ckpt
                         )
@@ -344,6 +400,7 @@ class StatementsService:
             except Exception as ex:
                 stmt.phase = PHASE_FAILED
                 stmt.error = str(ex)
+                _drop_tmp_ckpt(stmt)  # failed start leaves no tmpfs debris
         else:
             def run_batch() -> None:
                 stmt.phase = PHASE_RUNNING
@@ -403,11 +460,7 @@ class StatementsService:
         if s._query is not None:
             s._query.stop()
             s._query.awaitTermination(30)
-        if s._tmp_ckpt is not None:
-            import shutil
-
-            shutil.rmtree(s._tmp_ckpt, ignore_errors=True)
-            s._tmp_ckpt = None
+        _drop_tmp_ckpt(s)
         if s.phase == PHASE_RUNNING:
             s.phase = PHASE_STOPPED if s.streaming else s.phase
 

@@ -1,0 +1,95 @@
+"""Session/process hygiene: plan-cache identity, persist re-registration,
+spread-memo scoping, tmpfs checkpoint reaping."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark import statements as st
+from streamlit_flink_demo_spark.plans import (
+    _PLAN_CACHE,
+    register,
+    track_persist,
+)
+from streamlit_flink_demo_spark.sources import catalog
+
+
+@register("_hygiene_probe", oracle=None, expose=False)
+def _hygiene_probe(spark, sf_dir):
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    shared = track_persist(base.groupBy("g").agg(F.sum("id").alias("s")))
+    return shared.union(shared)
+
+
+def test_cache_hit_repersists_after_clearcache(spark):
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    fn = REGISTRY["_hygiene_probe"].fn
+    df1 = fn(spark, "/dev/null")
+    df1.count()
+    inner = _PLAN_CACHE[spark][("_hygiene_probe", "/dev/null")][1][0]
+    assert inner.storageLevel.useMemory
+    spark.catalog.clearCache()
+    assert not inner.storageLevel.useMemory
+    df2 = fn(spark, "/dev/null")
+    assert df2 is df1  # plan cache hit
+    assert inner.storageLevel.useMemory  # re-registered on dispatch
+
+
+def test_plan_cache_keyed_weakly_per_session(spark):
+    assert spark in _PLAN_CACHE
+    # entries are (name, sf_dir)-keyed per session — no id() in keys
+    for key in _PLAN_CACHE[spark]:
+        assert isinstance(key, tuple) and len(key) == 2
+        assert all(isinstance(p, str) for p in key)
+
+
+def test_spread_memo_scoped_per_session(spark, sf_dir):
+    catalog.clear_spread_cache()
+    catalog.load_spread(spark, sf_dir, "documents")
+    assert spark in catalog._SPREAD_PARTS
+    memo = catalog._SPREAD_PARTS[spark]
+    assert f"{sf_dir}/documents" in memo
+    catalog.clear_spread_cache()
+    assert spark not in catalog._SPREAD_PARTS
+
+
+def test_sweep_stale_ckpts(tmp_path):
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        pytest.skip("no /dev/shm")
+    stale = "/dev/shm/ckpt_test_stale"
+    fresh = "/dev/shm/ckpt_test_fresh"
+    owned = "/dev/shm/ckpt_test_owned"
+    for d in (stale, fresh, owned):
+        os.makedirs(d, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    os.utime(owned, (old, old))
+    st._LIVE_TMP_CKPTS.add(owned)
+    try:
+        st.sweep_stale_ckpts(max_age_s=3600)
+        assert not os.path.exists(stale)  # old + unowned → reaped
+        assert os.path.exists(fresh)  # young → kept
+        assert os.path.exists(owned)  # owned by live statement → kept
+    finally:
+        st._LIVE_TMP_CKPTS.discard(owned)
+        for d in (fresh, owned):
+            if os.path.exists(d):
+                os.rmdir(d)
+
+
+def test_atexit_reaper_removes_registered_dirs():
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        pytest.skip("no /dev/shm")
+    d = "/dev/shm/ckpt_test_reap"
+    os.makedirs(d, exist_ok=True)
+    st._LIVE_TMP_CKPTS.add(d)
+    st._reap_tmp_ckpts()
+    assert not os.path.exists(d)
+    assert d not in st._LIVE_TMP_CKPTS
