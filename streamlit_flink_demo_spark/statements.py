@@ -82,6 +82,33 @@ def _drop_tmp_ckpt(stmt: "Statement") -> None:
         stmt._tmp_ckpt = None
 
 
+def _stream_plan_stateful(df) -> bool:
+    """Does a STREAMING DataFrame's plan carry state stores? Decided on
+    the analyzed logical plan BEFORE start — the batch DataFrame Python
+    foreachBatch later receives is an opaque ExistingRDD scan in which
+    statefulness is invisible, so this is the only reliable place to
+    prove a keyless query stateless (unlocking the cheap CollectLimit
+    consume; see ChangelogEmitter._is_stateful). Pessimistic on Join:
+    a stream-static join is stateless, but distinguishing it from a
+    stream-stream join needs child-plan traversal — the safe full
+    drain merely costs transfer, never correctness."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    markers = (
+        "Deduplicate",
+        "Aggregate",
+        "Distinct",  # analyzed-plan form; becomes Aggregate only later
+        "FlatMapGroupsWithState",
+        "TransformWithState",
+        "Join",
+        "SessionWindow",
+        "GlobalLimit",
+    )
+    return any(m in plan for m in markers)
+
+
 def sweep_stale_ckpts(max_age_s: float = 3600.0) -> int:
     """Remove ``ckpt_*`` dirs on /dev/shm older than ``max_age_s`` that
     no live statement of THIS process owns — crash debris from earlier
@@ -343,12 +370,19 @@ class StatementsService:
                     if plan_keys is not None
                     else infer_key_cols(sql, stmt.columns)
                 )
+            keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
+            keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")
             stmt.emitter = ChangelogEmitter(
                 stmt.columns,
                 keys,
                 stmt.buffer,
                 checkpoint_dir,
                 full_snapshot=(output_mode == "complete"),
+                keyless_batch_cap=(
+                    int(keyless_cap) if keyless_cap else 10_000
+                ),
+                keyed_batch_cap=(int(keyed_cap) if keyed_cap else None),
+                plan_stateful=_stream_plan_stateful(df),
             )
             try:
                 writer = (

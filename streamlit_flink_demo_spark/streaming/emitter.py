@@ -156,6 +156,8 @@ class ChangelogEmitter:
         checkpoint_dir: str | None = None,
         full_snapshot: bool = False,
         keyless_batch_cap: int = 10_000,
+        keyed_batch_cap: int | None = None,
+        plan_stateful: bool | None = None,
     ):
         self.columns = list(columns)
         self.key_idx = [self.columns.index(k) for k in key_cols]
@@ -163,12 +165,33 @@ class ChangelogEmitter:
         # Keyless append-only statements (continuous projections like
         # the reference's map query) have per-batch row counts bounded
         # only by the source rate — the cap keeps the per-batch driver
-        # collect finite at any event rate. Keyed aggregates are
-        # exempt: their batch is bounded by group cardinality.
+        # collect finite at any event rate.
         self.keyless_batch_cap = keyless_batch_cap
-        # batches that hit the cap (rows beyond it were dropped) —
+        # Keyed update-mode batches are bounded by CHANGED-group
+        # cardinality — small for dashboard aggregates, but a per-user
+        # style key can make it corpus-sized. Opt-in cap: when set, the
+        # per-batch driver transfer is bounded executor-side (rows past
+        # the cap are dropped and the batch is flagged). The dropped
+        # keys' snapshot entries go stale until those keys next change
+        # — lossy, monotone, and surfaced; the unbounded default
+        # matches the reference's client-materialization contract.
+        self.keyed_batch_cap = keyed_batch_cap
+        # batches that hit a cap (rows beyond it were dropped) —
         # surfaced in the statement envelope's status detail.
         self.truncated_batches = 0
+        # Does the plan carry streaming state stores? (stream-stream
+        # join, dropDuplicates…) A stateful plan must be consumed
+        # COMPLETELY — a CollectLimit that skips partitions leaves
+        # state stores uncommitted (STATE_STORE_COMMIT_VALIDATION_
+        # FAILED on Spark 4.x) — so the cheap limit() fast path is
+        # gated on PROVEN statelessness. The caller that owns the
+        # streaming DataFrame should pass ``plan_stateful`` (the
+        # statements façade inspects the analyzed streaming plan);
+        # unset, the emitter falls back to inspecting the batch plan,
+        # which for Python foreachBatch is an opaque `Scan
+        # ExistingRDD` wrapper — indistinguishable from stateful, so
+        # the fallback is the safe full drain.
+        self._plan_stateful: bool | None = plan_stateful
         self._snapshot: dict[tuple, list[Any]] = {}
         # per-key multiplicity — only >1 in keyless complete mode, where
         # the "key" is the whole row and duplicates must not collapse
@@ -240,27 +263,85 @@ class ChangelogEmitter:
         # as part of executing the batch plan — returning early without
         # an action fails commit validation (observed on Spark 4.1:
         # STATE_STORE_COMMIT_VALIDATION_FAILED).
-        if not self.key_idx and not self.full_snapshot:
-            # Keyless append-only: cap the collect EXECUTOR-side —
-            # limit(n+1) plans a CollectLimit, so the driver never
-            # receives more than cap+1 rows no matter how large the
-            # microbatch is (a stateless projection has no store to
-            # commit, so the limited action is a full consume).
-            cap = self.keyless_batch_cap
-            rows = [list(r) for r in batch_df.limit(cap + 1).collect()]
-            if len(rows) > cap:
-                del rows[cap:]
-                self.truncated_batches += 1
-        else:
-            rows = [list(r) for r in batch_df.collect()]
+        rows, truncated = self._consume(batch_df)
         if batch_id <= self._last_batch:
             return  # replayed batch after restart: state applied, no re-emit
+        if truncated:
+            # counted AFTER the replay dedup so a restart replay of a
+            # truncated batch doesn't double-count it.
+            self.truncated_batches += 1
         if self.full_snapshot:
             self.apply_full_snapshot(rows)
         else:
             self.apply_upserts(rows)
         self._last_batch = batch_id
         self._persist(batch_id)
+
+    # -- bounded batch consumption ----------------------------------------
+    def _is_stateful(self, batch_df: DataFrame) -> bool:
+        if self._plan_stateful is None:
+            try:
+                plan = batch_df._jdf.queryExecution().executedPlan().toString()
+            except Exception:
+                self._plan_stateful = True  # unknown → safe full consume
+                return True
+            markers = (
+                "StateStore",
+                "StreamingDeduplicate",
+                "StreamingSymmetricHashJoin",
+                "FlatMapGroupsWithState",
+                "TransformWithState",
+                "SessionWindowStateStore",
+                "StreamingGlobalLimit",
+                # Python foreachBatch wraps the incremental plan in an
+                # opaque ExistingRDD scan — statefulness is invisible,
+                # so it must be ASSUMED (partial consume of a hidden
+                # state store fails commit validation).
+                "Scan ExistingRDD",
+            )
+            self._plan_stateful = any(m in plan for m in markers)
+        return self._plan_stateful
+
+    @staticmethod
+    def _bounded_collect(
+        batch_df: DataFrame, cap: int
+    ) -> tuple[list[list[Any]], bool]:
+        """Full consume, bounded driver MEMORY: drain the batch through
+        ``toLocalIterator`` — every partition executes completely under
+        the batch's own plan (state stores commit; an ``.rdd`` detour
+        would re-plan without the streaming commit hooks and fail
+        validation), the driver buffers one partition at a time, and
+        only the first ``cap`` rows are retained. Transfer is O(batch)
+        but resident memory is O(cap + one partition's page)."""
+        rows: list[list[Any]] = []
+        seen = 0
+        for r in batch_df.toLocalIterator(prefetchPartitions=True):
+            seen += 1
+            if len(rows) < cap:
+                rows.append(list(r))
+        return rows, seen > cap
+
+    def _consume(self, batch_df: DataFrame) -> tuple[list[list[Any]], bool]:
+        if not self.key_idx and not self.full_snapshot:
+            cap = self.keyless_batch_cap
+            if not self._is_stateful(batch_df):
+                # Keyless stateless projection: limit(n+1) plans a
+                # CollectLimit — the driver never receives more than
+                # cap+1 rows, and with no store to commit the partial
+                # consume is safe (the cheapest path).
+                rows = [list(r) for r in batch_df.limit(cap + 1).collect()]
+                truncated = len(rows) > cap
+                del rows[cap:]
+                return rows, truncated
+            # Keyless but stateful (stream-stream join, dropDuplicates):
+            # must drain fully; bound the transfer instead of the scan.
+            return self._bounded_collect(batch_df, cap)
+        if self.key_idx and not self.full_snapshot and self.keyed_batch_cap:
+            return self._bounded_collect(batch_df, self.keyed_batch_cap)
+        # Keyed uncapped, or complete-mode snapshot diff: the full
+        # result is required (a truncated complete-mode snapshot would
+        # emit spurious -D for every unseen key).
+        return [list(r) for r in batch_df.collect()], False
 
     def apply_upserts(self, rows: list[list[Any]]) -> list[dict]:
         """Diff upserted rows against the shadow snapshot; emit ops."""
