@@ -66,14 +66,30 @@ def decode_avro(body: Column, schema_json: str) -> Column:
 
 
 def decode_wire_format(
-    df: DataFrame, schema_json: str, value_col: str = "value"
+    df: DataFrame,
+    schema_json: str | None = None,
+    value_col: str = "value",
+    registry: "object | None" = None,
+    subject: str | None = None,
 ) -> DataFrame:
     """Full Confluent wire-format decode with NO connector jars: strip
     the 5-byte header (JVM expression), then decode the Avro binary
     body via the pure-Python Arrow-batched decoder
     (sources/avro_decode.py). Works identically on batch and streaming
     DataFrames — this is the sandbox-runnable twin of
-    ``from_avro(strip_confluent_header(value), schema)``."""
+    ``from_avro(strip_confluent_header(value), schema)``.
+
+    Writer-schema resolution (reference
+    ``schema-registry-config.template.properties:1-3``): pass either
+    ``schema_json`` directly, or a ``registry``
+    (sources/schema_registry.SchemaRegistryClient) — then the schema id
+    the wire header carries is looked up over HTTP (cached per id).
+    With ``subject`` the subject's latest version is used (required for
+    streaming inputs, where the batch can't be probed up front); batch
+    inputs are probed for their distinct schema ids, and a batch
+    spanning several ids (mid-stream schema evolution) decodes each id
+    with its own writer schema and unions by name — compatible
+    evolutions merge, incompatible ones raise."""
     from streamlit_flink_demo_spark.sources.avro_decode import (
         decode_avro_python,
     )
@@ -82,6 +98,40 @@ def decode_wire_format(
         confluent_schema_id(F.col(value_col)),
         strip_confluent_header(F.col(value_col)),
     )
+    if schema_json is None:
+        if registry is None:
+            raise ValueError("provide schema_json or registry")
+        if subject is not None:
+            _, schema_json = registry.get_latest(subject)
+        elif df.isStreaming:
+            raise ValueError(
+                "streaming decode needs subject= (or explicit "
+                "schema_json=): the stream cannot be probed for its "
+                "schema ids before it runs"
+            )
+        else:
+            ids = sorted(
+                r[0]
+                for r in stripped.select("schema_id").distinct().collect()
+                if r[0] is not None
+            )
+            if not ids:
+                raise ValueError("no wire-format rows to resolve a schema from")
+            if len(ids) > 1:
+                parts = [
+                    decode_avro_python(
+                        stripped.filter(F.col("schema_id") == i),
+                        registry.get_schema(i),
+                        binary_col="avro_body",
+                        keep_cols=("schema_id",),
+                    )
+                    for i in ids
+                ]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p, allowMissingColumns=False)
+                return out
+            schema_json = registry.get_schema(ids[0])
     return decode_avro_python(
         stripped, schema_json, binary_col="avro_body", keep_cols=("schema_id",)
     )
@@ -100,13 +150,20 @@ def kafka_user_stream(
     avro_schema_json: str | None = None,
     json_schema_ddl: str | None = None,
     starting_offsets: str = "earliest",
+    registry: "object | None" = None,
+    subject: str | None = None,
 ) -> DataFrame:
     """The reference's dynamic table over topic ``user``.
 
     Scale posture: one Kafka partition maps to one Spark input
     partition; parallelism follows the topic, no repartition before
-    per-record decode (narrow). Decode is JVM-side from_avro.
-    """
+    per-record decode (narrow). Decode is JVM-side from_avro; with a
+    ``registry`` (sources/schema_registry) and no explicit schema the
+    writer schema is resolved from the subject's latest version
+    (default subject: ``{topic}-value``), matching the reference's
+    runtime lookup."""
+    if avro_schema_json is None and registry is not None:
+        _, avro_schema_json = registry.get_latest(subject or f"{topic}-value")
     try:
         reader = (
             spark.readStream.format("kafka")
