@@ -53,6 +53,23 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Offline index artifacts: a production ANN deployment builds its
+    # signature index once and probes it per query — bench the two
+    # phases separately (VERDICT r3 #3). force=True so the build cost
+    # is measured fresh each run; the probe queries then hit the
+    # artifact like every later query would.
+    artifacts: dict[str, float] = {}
+    if only is None or "ann_lsh_topk" in only:
+        from streamlit_flink_demo_spark.operators.similarity import (
+            build_lsh_index,
+        )
+
+        t0 = time.perf_counter()
+        build_lsh_index(spark, sf_dir, force=True)
+        artifacts["ann_lsh_index_build_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     # Streaming latency is measured FIRST (on the warmed, otherwise
     # quiet session): it is an engine-latency metric, and running it
     # after the 50-query batch sweep adds ~150 ms of driver/listener
@@ -102,10 +119,62 @@ def main() -> int:
         "queries": timings,
         "sf": sf_dir,
     }
+    if artifacts:
+        out["artifacts"] = artifacts
     if streaming:
         out["streaming"] = streaming
+
+    # Per-query DuckDB oracle wall time at the SAME sf (VERDICT r3 #8):
+    # makes the ≤2× BASELINE bar auditable query-by-query instead of
+    # only in aggregate. Off-switch for quick restricted runs.
+    if os.environ.get("BENCH_DUCKDB", "1") == "1":
+        try:
+            out["duckdb"] = _duckdb_oracle_timings(reg, sf_dir, only, repeat)
+        except Exception as ex:
+            print(f"BENCH DUCKDB ERROR: {ex}", file=sys.stderr)
+
     print(json.dumps(out))
     return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+def _duckdb_oracle_timings(reg, sf_dir: str, only, repeat: int) -> dict:
+    """Best-of-N DuckDB wall time per oracle query, same parquet, same
+    process (threads = SPARK_GRAFT_CPUS to mirror local[N])."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"SET threads TO {int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}"
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    timings: dict[str, float] = {}
+    for name in sorted(reg):
+        if only is not None and name not in only:
+            continue
+        oracle = reg[name].oracle
+        if not oracle:
+            continue
+        best = None
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                con.execute(oracle).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as ex:
+            timings[name] = -1.0
+            print(f"BENCH DUCKDB ERROR {name}: {ex}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    return {"value": total, "queries": timings}
 
 
 def _streaming_latency(spark) -> dict:

@@ -13,6 +13,9 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -20,7 +23,11 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
 from streamlit_flink_demo_spark.plans import register, track_persist
-from streamlit_flink_demo_spark.sources.catalog import load_spread
+from streamlit_flink_demo_spark.sources.catalog import (
+    load_spread,
+    load_table,
+    table_path,
+)
 
 _DIM = 64
 _N_QUERIES = 5
@@ -258,9 +265,95 @@ def _banded_sigs_arrow(
     )
 
 
-def _band_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Top-k ANN banding (coarse: recall-first, query side broadcast)."""
-    return _banded_sigs_arrow(emb, _N_BANDS, _PLANES_PER_BAND)
+# --------------------------------------------------------------------------
+# Signature-index artifact (build once, probe many)
+# --------------------------------------------------------------------------
+#
+# A production ANN index is an OFFLINE ARTIFACT: the corpus-side
+# signatures are computed once and written partitioned by bucket key;
+# queries compute their own (tiny) signatures at probe time and join.
+# At 100 TB this is the difference between re-running the signature
+# kernel over the corpus per query batch and a partition-pruned scan of
+# exactly the probed buckets (band/bsig are the artifact's partition
+# columns, so dynamic partition pruning cuts the scan to the buckets
+# the broadcast query side actually hits).
+
+_ARTIFACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_ARTIFACT_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    ),
+)
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    safe = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    return os.path.join(_ARTIFACT_ROOT, "lsh_topk", safe)
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Source identity for staleness checks: (path, size, mtime_ns) of
+    every file under embeddings.parquet."""
+    root = table_path(sf_dir, "embeddings")
+    parts = []
+    if os.path.isdir(root):
+        for base, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Materialize the banded-signature index for ``sf_dir`` as parquet
+    partitioned by (band, bsig) — the 100 TB shape: one pass of the
+    Arrow signature kernel over the corpus, one hash repartition on the
+    bucket key so each bucket is a few well-sized files, then bucket-
+    pruned probes forever after. Skips the build when an artifact with
+    a matching source fingerprint already exists (fingerprint = size +
+    mtime of the source parquet). Returns the artifact directory."""
+    out = _lsh_index_dir(sf_dir)
+    data = os.path.join(out, "data")
+    meta = os.path.join(out, "meta.json")
+    fp = _embeddings_fingerprint(sf_dir)
+    if not force and os.path.exists(meta):
+        try:
+            with open(meta) as fh:
+                if json.load(fh).get("fingerprint") == fp:
+                    return out
+        except (OSError, ValueError):
+            pass
+    e = load_spread(spark, sf_dir, "embeddings")
+    sigs = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND)
+    (
+        sigs.repartition("band", "bsig")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "bsig")
+        .parquet(data)
+    )
+    os.makedirs(out, exist_ok=True)
+    with open(meta, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fp,
+                "n_bands": _N_BANDS,
+                "planes_per_band": _PLANES_PER_BAND,
+            },
+            fh,
+        )
+    return out
+
+
+def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature index as a DataFrame (vec_id, embedding, band,
+    bsig), building the artifact first if absent/stale."""
+    return spark.read.parquet(os.path.join(build_lsh_index(spark, sf_dir), "data"))
 
 
 @register("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE, tags=("similarity", "ann", "lsh"))
@@ -270,23 +363,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested (tests/test_similarity.py). The md5-derived
     hyperplanes are deterministic, so the full pipeline (banding →
     bucket join → re-rank) IS SQL-expressible — the oracle replays it
-    in DuckDB bit-for-bit. At scale: bucket join replaces the cross
-    product; signatures are computed in one narrow pass and the join
-    key is a single int."""
-    e = load_spread(spark, sf_dir, "embeddings")
-    # persist = materialize the signature INDEX. One cold run computes
-    # the corpus kernel once either way (the query side's vec_id
-    # filter pushes below the Arrow kernel into the scan, so the
-    # broadcast build alone is _N_QUERIES rows); the cache pays off
-    # the moment the index is probed again — which is the access
-    # pattern of an ANN index (measured: cold 2.9 s, warm probe 1.3 s
-    # at sf0.1). At 100 TB the equivalent artifact is the signature
-    # table written bucketed by (band, bsig); the cache is its
-    # single-session stand-in and is released by the session's cache
-    # hygiene between unrelated queries.
-    bsigs = track_persist(_band_signatures(spark, e))
+    in DuckDB bit-for-bit.
+
+    Scale shape: the corpus side probes the PREBUILT signature artifact
+    (``build_lsh_index`` — parquet partitioned by band/bsig, built on
+    miss, fingerprint-checked); the query side computes its own
+    signatures over a scan-pruned _N_QUERIES-row read (pushdown pinned
+    by tests/test_plans.py) and is broadcast, so a probe is a
+    partition-prunable scan + broadcast join, never a corpus-wide
+    kernel run."""
+    e = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
-        bsigs.filter(F.col("vec_id") < _N_QUERIES).select(
+        _banded_sigs_arrow(
+            e.filter(F.col("vec_id") < _N_QUERIES), _N_BANDS, _PLANES_PER_BAND
+        ).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col("band").alias("q_band"),
@@ -294,7 +384,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = q.join(
-        bsigs,
+        lsh_index(spark, sf_dir),
         (F.col("band") == F.col("q_band"))
         & (F.col("bsig") == F.col("q_bsig"))
         & (F.col("vec_id") != F.col("q_id")),

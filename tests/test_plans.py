@@ -299,3 +299,55 @@ def test_registry_plan_cache(spark, sf_dir):
     # cached plan still executes correctly after a cache clear
     spark.catalog.clearCache()
     assert a.count() == fresh.count()
+
+
+def test_lsh_probe_uses_partitioned_artifact(spark, sf_dir):
+    """ann_lsh_topk's corpus side must be a scan of the PREBUILT
+    signature artifact (partitioned by band/bsig), not a re-run of the
+    signature kernel over the corpus: exactly one ArrowEvalPython node
+    (the _N_QUERIES-row query side), a broadcast join, and an artifact
+    scan whose partition columns carry the bucket key."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        build_lsh_index,
+    )
+
+    build_lsh_index(spark, sf_dir)  # ensure artifact exists
+    p = plan_str(fresh("ann_lsh_topk")(spark, sf_dir), mode="simple")
+    assert p.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in p
+    assert "lsh_topk" in p  # artifact path appears as the corpus scan
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_index_fingerprint_rebuild(spark, tmp_path):
+    """build_lsh_index is a no-op while the source fingerprint matches
+    and rebuilds when the source parquet changes."""
+    import os
+    import shutil
+
+    from streamlit_flink_demo_spark.operators import similarity as S
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        src / "embeddings.parquet",
+    )
+    out = S.build_lsh_index(spark, str(src))
+    meta0 = os.path.getmtime(os.path.join(out, "meta.json"))
+    assert S.build_lsh_index(spark, str(src)) == out
+    assert os.path.getmtime(os.path.join(out, "meta.json")) == meta0
+    # touch the source → fingerprint changes → rebuild
+    os.utime(src / "embeddings.parquet")
+    S.build_lsh_index(spark, str(src))
+    assert os.path.getmtime(os.path.join(out, "meta.json")) > meta0
+    # probe result over the artifact matches the deterministic kernel
+    idx = S.lsh_index(spark, str(src))
+    direct = S._banded_sigs_arrow(
+        spark.read.parquet(str(src / "embeddings.parquet")),
+        S._N_BANDS,
+        S._PLANES_PER_BAND,
+    )
+    a = {(r.vec_id, r.band, r.bsig) for r in idx.collect()}
+    b = {(r.vec_id, r.band, r.bsig) for r in direct.collect()}
+    assert a == b
