@@ -244,6 +244,34 @@ def _streaming_latency(spark) -> dict:
         write_user_batch(
             spark, stage, b, [user_row(b * big_rows + i) for i in range(big_rows)]
         )
+    # Component decomposition of the microbatch floor (median across
+    # the measured batches, from Spark's own progress durations): the
+    # walCommit/commitOffsets/latestOffset metadata-log costs are the
+    # architectural floor of exactly-once microbatching — auditable
+    # evidence for the latency-envelope discussion in BASELINE.md.
+    comps: dict[str, float] = {}
+    try:
+        prog = svc._statements[env["name"]]._query.recentProgress
+        keys = (
+            "addBatch",
+            "latestOffset",
+            "walCommit",
+            "commitOffsets",
+            "queryPlanning",
+            "triggerExecution",
+        )
+        vals = {k: [] for k in keys}
+        for p in prog[-len(lat):]:
+            d = p["durationMs"]
+            for k in keys:
+                if k in d:
+                    vals[k].append(d[k])
+        comps = {
+            k: round(statistics.median(v), 1) for k, v in vals.items() if v
+        }
+    except Exception:
+        pass
+
     t0 = _t.perf_counter()
     for b in range(10, 10 + n_big):
         fname = f"batch_{b:05d}.parquet"
@@ -251,7 +279,7 @@ def _streaming_latency(spark) -> dict:
     svc.process_available(env["name"])
     thr_s = _t.perf_counter() - t0
     svc.stop(env["name"])
-    return {
+    out = {
         "metric": "event_to_changelog_visible_ms",
         "median_ms": round(statistics.median(lat), 1),
         "max_ms": round(max(lat), 1),
@@ -259,6 +287,9 @@ def _streaming_latency(spark) -> dict:
         "events_per_batch": 10,
         "throughput_events_per_sec": round(n_big * big_rows / thr_s),
     }
+    if comps:
+        out["floor_components_ms"] = comps
+    return out
 
 
 if __name__ == "__main__":
