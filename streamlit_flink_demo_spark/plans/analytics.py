@@ -379,21 +379,24 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + one sort regardless of skew — no per-group pandas, no
     cross join, works at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(1).alias("is_click"),
-        F.lit(None).cast("bigint").alias("p_event_id"),
-        F.lit(None).cast("double").alias("p_value"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(0).alias("is_click"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("value").alias("p_value"),
+    # ONE scan with conditional projections instead of two filtered
+    # scans + union: the In(click,purchase) predicate pushes into the
+    # parquet scan, and the window shuffle consumes the scan output
+    # directly — at 100 TB this halves the events I/O and drops a
+    # union exchange-input.
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_click"),
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("p_event_id"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "p_value"
+        ),
     )
     # purchases sort before clicks at equal ts (is_click asc) so an
     # equal-timestamp purchase is visible to the click (ts >= semantics).
@@ -402,7 +405,7 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_click", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    merged = clicks.unionAll(purchases).select(
+    merged = both.select(
         "event_id",
         "user_id",
         "ts",
