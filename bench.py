@@ -81,7 +81,11 @@ def main() -> int:
         except Exception as ex:
             print(f"BENCH STREAMING ERROR: {ex}", file=sys.stderr)
 
-    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    # best-of-3 by default: with ~50 queries in one JVM, a single GC
+    # pause lands inside some query's window every run — two samples
+    # are not enough to dodge it (measured: dedup_minhash_lsh 0.26 s
+    # best-of-6 vs 3.8 s in a best-of-2 sweep).
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     for name in sorted(reg):
         if only is not None and name not in only:
@@ -110,6 +114,11 @@ def main() -> int:
             # later query's timing (measured r2: a uniform ~1.5×
             # slowdown of untouched queries).
             spark.catalog.clearCache()
+            # Drop the freed cache blocks now, outside any query's
+            # timing window — otherwise the JVM collects them mid-
+            # measurement and charges a multi-second pause to whichever
+            # query is running.
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
