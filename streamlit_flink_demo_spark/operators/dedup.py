@@ -383,3 +383,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= 0.3)
     )
+
+
+# --------------------------------------------------------------------------
+# Connected-component duplicate clusters (graph closure over LSH pairs)
+# --------------------------------------------------------------------------
+#
+# Pairwise near-dup detection is not enough for a training corpus: if
+# A~B and B~C, keeping "one of each pair" can still keep two copies of
+# the same underlying document. The production operation is CLUSTERING
+# — connected components over the near-dup pair graph, keep one
+# canonical doc per component.
+#
+# Scale design: iterative min-label propagation with POINTER JUMPING
+# (each round: edge relaxation, then label-of-label contraction), the
+# classic O(log n)-round MapReduce connected-components scheme
+# (Kiveris et al., "Connected Components in MapReduce and Beyond").
+# Every round is a constant number of hash shuffles on (id) — no
+# driver-side graph, no quadratic step; intermediate labels are
+# persisted per round and the previous round unpersisted, so lineage
+# stays O(1) deep. Convergence is detected with a 1-row aggregate
+# (labels are monotonically non-increasing, so an unchanged SUM(lbl)
+# is a fixpoint proof — no join-diff needed).
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE mh AS (
+{_MINHASH_ORACLE}
+),
+verts AS (
+  SELECT doc_id FROM documents
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM verts
+  UNION
+  SELECT e.dst AS doc_id, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id,
+       MIN(lbl) AS cluster_id,
+       (doc_id = MIN(lbl)) AS is_canonical
+FROM reach
+GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: transitive closure of the MinHash-LSH
+    near-dup pairs (est_jaccard >= 0.5), labeled by the minimum doc_id
+    of each component; ``is_canonical`` marks the one doc to keep.
+    Every doc appears (singletons are their own cluster).
+
+    The pair graph is deterministic (md5-derived minhashes), and
+    min-label closure is order-independent — the DuckDB oracle replays
+    it with a recursive CTE, so this iterative distributed algorithm
+    is still hash-checked end to end."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = track_persist(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    prev = labels
+    # log2(n) rounds suffice with pointer jumping; the cap is a
+    # safety net, convergence normally exits in 2-3 rounds for
+    # near-dup graphs (tiny components).
+    for _ in range(32):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        relaxed = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # pointer jump: follow my label's label (label ids are doc ids,
+        # so the self-join below always finds the row)
+        lab2 = relaxed.select(
+            F.col("doc_id").alias("d2"), F.col("lbl").alias("l2")
+        )
+        jumped = (
+            relaxed.join(lab2, relaxed["lbl"] == lab2["d2"])
+            .select(
+                "doc_id", F.least(F.col("lbl"), F.col("l2")).alias("lbl")
+            )
+            .persist()
+        )
+        new_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
+        prev.unpersist()
+        prev = labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )

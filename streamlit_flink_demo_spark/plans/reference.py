@@ -101,7 +101,17 @@ def ref_map_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ref_map_locations_rand", oracle=None, tags=("reference", "nondeterministic"))
+@register(
+    "ref_map_locations_rand",
+    oracle=None,
+    tags=("reference", "nondeterministic"),
+    # Not on the ≤50-name driver surface: nondeterministic by design,
+    # so the driver could only ever record a rows-only row for it; the
+    # deterministic md5 twin (ref_map_locations) carries the oracle
+    # check and tests/test_oracle_parity.py pins this one's ranges.
+    # The freed slot goes to dedup_connected_clusters (hash-checked).
+    expose=False,
+)
 def ref_map_locations_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The literal reference query (dashboard.py:100): true RAND().
     No oracle possible (fresh per row); tests assert the ranges
