@@ -228,26 +228,176 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("events_approx_distinct", oracle=None, tags=("pipeline", "approx"))
+# Deterministic HLL parameters: p=10 → m=1024 registers (std error
+# 1.04/√m ≈ 3.3%), 50-bit rho window from the 60-bit md5 hash.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P  # 50
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+# E = alpha·m²·2^(W+1) / Σ 2^(W+1-Mj): scaled so register sums are
+# EXACT BIGINTs (no float accumulation) — C is the only float literal,
+# baked identically into both engines' expressions.
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_W + 1))
+_HLL_LC_THRESH = 2.5 * _HLL_M
+# Linear-counting lookup m·ln(m/V) precomputed in Python for each
+# possible zero-register count V: ln() is not bit-identical across
+# engines, a baked literal table is.
+_HLL_LC = [_HLL_M * __import__("math").log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+
+_SAMPLE_MOD = 4  # 25% deterministic sample for the rank quantiles
+
+
+def _hll_oracle() -> str:
+    # .17e forces DuckDB to parse each literal as DOUBLE (bare decimals
+    # parse as DECIMAL and re-round on the cast — 1-ulp drift vs the
+    # identical Spark literal); 17 significant digits round-trip every
+    # IEEE double exactly.
+    lc_arr = "[" + ",".join(f"{v:.17e}" for v in _HLL_LC) + "]"
+    wmask = (1 << _HLL_W) - 1
+    return f"""
+WITH h0 AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+  FROM events
+),
+h1 AS (
+  SELECT event_type, h >> {_HLL_W} AS bucket, h & {wmask} AS w FROM h0
+),
+s1 AS (SELECT event_type, bucket, w | (w >> 1) AS s FROM h1),
+s2 AS (SELECT event_type, bucket, s | (s >> 2) AS s FROM s1),
+s3 AS (SELECT event_type, bucket, s | (s >> 4) AS s FROM s2),
+s4 AS (SELECT event_type, bucket, s | (s >> 8) AS s FROM s3),
+s5 AS (SELECT event_type, bucket, s | (s >> 16) AS s FROM s4),
+s6 AS (SELECT event_type, bucket, s | (s >> 32) AS s FROM s5),
+regs AS (
+  SELECT event_type, bucket,
+         MAX({_HLL_W + 1} - bit_count(s)) AS m_j
+  FROM s6 GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         SUM(1::BIGINT << ({_HLL_W + 1} - m_j)) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         {_HLL_M} - n_present AS v_zero,
+         {_HLL_C!r} / (s_present + ({_HLL_M} - n_present) * {1 << (_HLL_W + 1)}) AS raw_est
+  FROM agg
+),
+hll AS (
+  SELECT event_type,
+         CASE WHEN raw_est <= {_HLL_LC_THRESH!r} AND v_zero > 0
+              THEN ({lc_arr})[v_zero]
+              ELSE raw_est END AS approx_users
+  FROM est
+),
+sm AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+    AND ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+        % {_SAMPLE_MOD} = 0
+),
+pct AS (
+  -- ceil(p·n) in exact integer form: (num·n + den - 1) // den — float
+  -- (or DECIMAL) p·n rounds differently across engines when it lands
+  -- on an integer
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_value,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95_value
+  FROM sm GROUP BY event_type
+)
+SELECT hll.event_type, hll.approx_users, pct.p50_value, pct.p95_value
+FROM hll JOIN pct ON hll.event_type = pct.event_type
+"""
+
+
+@register(
+    "events_approx_distinct", oracle=_hll_oracle(), tags=("pipeline", "approx")
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The approximate-aggregation probe per event_type:
-    approx_count_distinct (HyperLogLog++) and percentile_approx
-    (KLL-style quantile sketch) — fixed-size mergeable sketches that
-    never shuffle raw values, vs the exact forms' full value shuffle /
-    single-buffer sort at 100 TB. Sketch-ONLY here (the registered
-    query is the scale path; exact counterparts beside it would force
-    the expensive paths it exists to avoid — measured 0.26 s → 0.19 s
-    at sf0.1 for dropping the exact distinct). Rows-only driver check
-    (sketch estimates are engine-specific); error bounds vs the exact
-    answers (≤5% on the cardinality, rank-error-bounded quantiles) are
-    asserted in tests/test_similarity.py, which computes the exact
-    sides itself."""
+    """Approximate aggregation per event_type, built from DETERMINISTIC
+    sketches so the whole family is oracle-checkable (no engine-private
+    HLL++/KLL state):
+
+    - ``approx_users``: our own HyperLogLog over md5-derived hashes —
+      bucket = top p bits, rho via smear+popcount (integer-exact MSB),
+      registers = one (type, bucket) groupBy MAX, estimate from an
+      EXACT BIGINT register sum with the standard linear-counting
+      small-range correction (ln values baked as literals). Fixed m
+      registers per group, fully mergeable: the same two-level partial
+      aggregation Spark's native approx_count_distinct runs, with none
+      of the sketch bytes leaving the JVM.
+    - ``p50/p95_value``: rank-selected (discrete) quantiles over a 25%
+      md5-deterministic sample — value-typed output with zero float
+      interpolation, so sampling is the only approximation.
+
+    Error bounds vs the exact answers are pytest-asserted
+    (tests/test_similarity.py). At 100 TB: both sketches are one
+    partial-aggregated shuffle of fixed-size state; the quantile
+    sample cuts the sorted-rank work 4× and is the standard
+    sample-then-select pattern."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 1000).alias("p50_value"),
-        F.percentile_approx("value", 0.95, 1000).alias("p95_value"),
+    h = u60(F.col("user_id").cast("string"))
+    w = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
+    s = w
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    rho = F.lit(_HLL_W + 1) - F.bit_count(s)
+    regs = (
+        e.select(
+            "event_type",
+            F.shiftright(h, _HLL_W).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
     )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W + 1} - m_j)")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    v_zero = F.lit(_HLL_M) - F.col("n_present")
+    raw = F.lit(_HLL_C) / (
+        F.col("s_present") + v_zero * F.lit(1 << (_HLL_W + 1))
+    )
+    lc = F.array(*[F.lit(v) for v in _HLL_LC])
+    hll = agg.select(
+        "event_type",
+        F.when(
+            (raw <= F.lit(_HLL_LC_THRESH)) & (v_zero > 0),
+            F.element_at(lc, v_zero.cast("int")),
+        )
+        .otherwise(raw)
+        .alias("approx_users"),
+    )
+
+    sm = e.filter(
+        F.col("value").isNotNull()
+        & (u60(F.col("event_id").cast("string")) % _SAMPLE_MOD == 0)
+    ).select("event_type", "value")
+    wspec = W.partitionBy("event_type").orderBy("value")
+    ranked = sm.select(
+        "event_type",
+        "value",
+        F.row_number().over(wspec).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    pct = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("p50_value"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("value"))
+        ).alias("p95_value"),
+    )
+    return hll.join(pct, "event_type")
 
 
 @register(

@@ -115,7 +115,8 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL++ estimate within 5% of the exact per-group distinct (the
+    """Deterministic-HLL estimate (m=1024, md5 hashes) within 5% of the
+    exact per-group distinct (std error 1.04/sqrt(m) = 3.3%; the
     registered query is sketch-only — the exact side is computed here,
     where the comparison belongs)."""
     from pyspark.sql import functions as F
@@ -137,30 +138,39 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
 
 def test_approx_quantiles_rank_error_bound(spark, sf_dir):
-    """percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
-    check each sketch quantile lands within ±2% of the group's rank
-    space around its target percentile (generous vs the guarantee,
-    tight enough to catch a wired-wrong column)."""
+    """Rank-selected quantiles over the 25% md5-deterministic sample:
+    each must land within 3 binomial sigmas of its target rank in the
+    FULL value list (sigma = n*sqrt(p(1-p)/s) for sample size s — the
+    exact sampling-error model for rank statistics)."""
+    import bisect
+    import math
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
     from pyspark.sql import functions as F
 
     from streamlit_flink_demo_spark.sources.catalog import load_table
 
-    vals = {}
-    for r in load_table(spark, sf_dir, "events").select(
-        "event_type", "value"
-    ).collect():
+    e = load_table(spark, sf_dir, "events")
+    vals: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
         vals.setdefault(r["event_type"], []).append(r["value"])
     for et in vals:
         vals[et].sort()
+    sample_n = {
+        r["event_type"]: r["s"]
+        for r in e.filter(u60(F.col("event_id").cast("string")) % 4 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("s"))
+        .collect()
+    }
     for r in REG["events_approx_distinct"].fn(spark, sf_dir).collect():
         v = vals[r["event_type"]]
-        n = len(v)
+        n, s = len(v), sample_n[r["event_type"]]
         for pct, got in ((0.5, r["p50_value"]), (0.95, r["p95_value"])):
-            import bisect
-
             rank = bisect.bisect_left(v, got)
-            assert abs(rank - pct * n) <= max(2, 0.02 * n), (
-                r["event_type"], pct, rank, n,
+            bound = max(3.0, 3 * n * math.sqrt(pct * (1 - pct) / s))
+            assert abs(rank - pct * n) <= bound, (
+                r["event_type"], pct, rank, n, s,
             )
 
 
