@@ -59,16 +59,21 @@ def main() -> int:
     # is measured fresh each run; the probe queries then hit the
     # artifact like every later query would.
     artifacts: dict[str, float] = {}
-    if only is None or "ann_lsh_topk" in only:
-        from streamlit_flink_demo_spark.operators.similarity import (
-            build_lsh_index,
-        )
+    from streamlit_flink_demo_spark.operators import similarity as _sim
 
-        t0 = time.perf_counter()
-        build_lsh_index(spark, sf_dir, force=True)
-        artifacts["ann_lsh_index_build_sec"] = round(
-            time.perf_counter() - t0, 3
-        )
+    for label, builder, users in (
+        ("ann_lsh_index_build_sec", _sim.build_lsh_index, ("ann_lsh_topk",)),
+        (
+            "dup_sig_index_build_sec",
+            _sim.build_dup_sig_index,
+            ("dedup_embedding_cosine",),
+        ),
+        ("ivf_index_build_sec", _sim.build_ivf_index, ("ann_ivf_topk",)),
+    ):
+        if only is None or any(u in only for u in users):
+            t0 = time.perf_counter()
+            builder(spark, sf_dir, force=True)
+            artifacts[label] = round(time.perf_counter() - t0, 3)
 
     # Streaming latency is measured FIRST (on the warmed, otherwise
     # quiet session): it is an engine-latency metric, and running it

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.vectors import cosine, cosine_sql, dot, norm
-from streamlit_flink_demo_spark.plans import register, track_persist
+from streamlit_flink_demo_spark.plans import register
 from streamlit_flink_demo_spark.sources.catalog import (
     load_spread,
     load_table,
@@ -287,9 +287,9 @@ _ARTIFACT_ROOT = os.environ.get(
 )
 
 
-def _lsh_index_dir(sf_dir: str) -> str:
+def _index_dir(kind: str, sf_dir: str) -> str:
     safe = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    return os.path.join(_ARTIFACT_ROOT, "lsh_topk", safe)
+    return os.path.join(_ARTIFACT_ROOT, kind, safe)
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
@@ -309,51 +309,105 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     return ";".join(parts)
 
 
-def build_lsh_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
-    """Materialize the banded-signature index for ``sf_dir`` as parquet
-    partitioned by (band, bsig) — the 100 TB shape: one pass of the
+def _artifact_is_fresh(out: str, fp: str) -> bool:
+    meta = os.path.join(out, "meta.json")
+    if not os.path.exists(meta):
+        return False
+    try:
+        with open(meta) as fh:
+            return json.load(fh).get("fingerprint") == fp
+    except (OSError, ValueError):
+        return False
+
+
+def _write_meta(out: str, payload: dict) -> None:
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "meta.json"), "w") as fh:
+        json.dump(payload, fh)
+
+
+def _build_sig_index(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    n_bands: int,
+    planes_per_band: int,
+    salt: str = "",
+    force: bool = False,
+    partition_cols: tuple[str, ...] = ("band", "bsig"),
+) -> str:
+    """Materialize a banded-signature index for ``sf_dir`` as parquet
+    partitioned by the bucket key — the 100 TB shape: one pass of the
     Arrow signature kernel over the corpus, one hash repartition on the
     bucket key so each bucket is a few well-sized files, then bucket-
-    pruned probes forever after. Skips the build when an artifact with
-    a matching source fingerprint already exists (fingerprint = size +
+    pruned probes forever after. ``partition_cols`` sizes the directory
+    fan-out to the banding's bucket count: the coarse top-k banding
+    (4×4 buckets) partitions by (band, bsig); the selective dup
+    banding (4×256) partitions by band only and keeps bsig a sorted
+    in-file column — a thousand tiny directories costs more in listing
+    than pruning saves. Skips the build when an artifact with a
+    matching source fingerprint already exists (fingerprint = size +
     mtime of the source parquet). Returns the artifact directory."""
-    out = _lsh_index_dir(sf_dir)
-    data = os.path.join(out, "data")
-    meta = os.path.join(out, "meta.json")
+    out = _index_dir(kind, sf_dir)
     fp = _embeddings_fingerprint(sf_dir)
-    if not force and os.path.exists(meta):
-        try:
-            with open(meta) as fh:
-                if json.load(fh).get("fingerprint") == fp:
-                    return out
-        except (OSError, ValueError):
-            pass
+    if not force and _artifact_is_fresh(out, fp):
+        return out
     e = load_spread(spark, sf_dir, "embeddings")
-    sigs = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND)
+    sigs = _banded_sigs_arrow(e, n_bands, planes_per_band, salt)
+    sort_cols = [c for c in ("bsig", "vec_id") if c not in partition_cols]
     (
-        sigs.repartition("band", "bsig")
-        .sortWithinPartitions("vec_id")
+        sigs.repartition(*partition_cols)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .partitionBy("band", "bsig")
-        .parquet(data)
+        .partitionBy(*partition_cols)
+        .parquet(os.path.join(out, "data"))
     )
-    os.makedirs(out, exist_ok=True)
-    with open(meta, "w") as fh:
-        json.dump(
-            {
-                "fingerprint": fp,
-                "n_bands": _N_BANDS,
-                "planes_per_band": _PLANES_PER_BAND,
-            },
-            fh,
-        )
+    _write_meta(
+        out,
+        {
+            "fingerprint": fp,
+            "n_bands": n_bands,
+            "planes_per_band": planes_per_band,
+            "salt": salt,
+        },
+    )
     return out
 
 
+def build_lsh_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Top-k ANN signature artifact (coarse banding, recall-first)."""
+    return _build_sig_index(
+        spark, sf_dir, "lsh_topk", _N_BANDS, _PLANES_PER_BAND, force=force
+    )
+
+
+def build_dup_sig_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Near-dup pairing signature artifact (selective banding: 4×8 —
+    256 buckets/band bound the self-join fan-out)."""
+    return _build_sig_index(
+        spark,
+        sf_dir,
+        "lsh_dup",
+        _DUP_BANDS,
+        _DUP_PLANES_PER_BAND,
+        salt="dup:",
+        force=force,
+        partition_cols=("band",),
+    )
+
+
 def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The signature index as a DataFrame (vec_id, embedding, band,
-    bsig), building the artifact first if absent/stale."""
+    """The top-k signature index as a DataFrame (vec_id, embedding,
+    band, bsig), building the artifact first if absent/stale."""
     return spark.read.parquet(os.path.join(build_lsh_index(spark, sf_dir), "data"))
+
+
+def dup_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(build_dup_sig_index(spark, sf_dir), "data")
+    )
 
 
 @register("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE, tags=("similarity", "ann", "lsh"))
@@ -438,11 +492,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold verification inside buckets only (sub-quadratic candidate
     generation). The md5-derived bucketing is deterministic, so the
     oracle replays the identical bucket join + threshold in DuckDB;
-    brute-force recall is pytest-verified (tests/test_similarity.py)."""
-    e = load_spread(spark, sf_dir, "embeddings")
-    bsigs = track_persist(
-        _banded_sigs_arrow(e, _DUP_BANDS, _DUP_PLANES_PER_BAND, salt="dup:")
-    )
+    brute-force recall is pytest-verified (tests/test_similarity.py).
+
+    The self-join runs over the PREBUILT signature artifact
+    (``build_dup_sig_index``, parquet partitioned by band/bsig): both
+    join sides read co-partitioned files instead of re-running the
+    signature kernel twice, and at 100 TB the within-bucket self-join
+    can proceed partition-by-partition."""
+    bsigs = dup_sig_index(spark, sf_dir)
     a = bsigs.alias("a")
     b = bsigs.alias("b")
     pairs = a.join(
@@ -696,15 +753,93 @@ SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
 """
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Materialize the IVF index: train the coarse quantizer on the
+    bounded sample (driver numpy, deterministic), assign every vector
+    with the Arrow matmul kernel, and write the inverted list as
+    parquet PARTITIONED BY cluster id — probing then reads only the
+    nprobe probed partitions (partition pruning does the candidate cut
+    before any scoring runs). Centroids live in the artifact metadata
+    (k×dim doubles, exact JSON round-trip) — the broadcast-sized state
+    a production IVF deployment ships to queries."""
+    out = _index_dir("ivf", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    if not force and _artifact_is_fresh(out, fp):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents_np = _ivf_centroids_np(e, _IVF_CLUSTERS)
+    inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+    (
+        inv.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(out, "data"))
+    )
+    _write_meta(
+        out,
+        {
+            "fingerprint": fp,
+            "n_clusters": _IVF_CLUSTERS,
+            "centroids": [[float(v) for v in row] for row in cents_np],
+        },
+    )
+    return out
+
+
 @register("ann_ivf_topk", oracle=_ivf_oracle_sql(), tags=("similarity", "ann", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the 100 TB scale path next to
-    LSH): at scale the inverted list is written bucketed/partitioned
-    by cluster id, so each query reads only nprobe/n_clusters of the
-    corpus — partition pruning does the candidate cut before any
-    scoring runs. The quantizer is deterministic (seeded from the
-    first k vectors of a bounded sample), so the full pipeline is
-    replayed in the SQL oracle (hash-checked); exhaustive-probe
-    exactness and recall floors are additionally pytest-verified
-    (tests/test_similarity.py)."""
-    return ivf_topk(spark, sf_dir)
+    LSH): probes the PREBUILT inverted-list artifact
+    (``build_ivf_index`` — parquet partitioned by cluster id, built on
+    miss), so each query touches only its nprobe probed clusters'
+    partitions. The quantizer is deterministic (seeded from the first
+    k vectors of a bounded sample), so the full pipeline — training,
+    assignment, probing, re-rank — is replayed in the SQL oracle
+    (hash-checked); exhaustive-probe exactness and recall floors are
+    additionally pytest-verified (tests/test_similarity.py)."""
+    path = build_ivf_index(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+    n_clusters = meta["n_clusters"]
+    inv = spark.read.parquet(os.path.join(path, "data"))
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in cents_np[c]]) for c in range(n_clusters)],
+        "c_id int, c_emb array<double>",
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("q_id").orderBy(F.col("c_cs").desc(), F.col("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "c_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cs"),
+        )
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .select("q_id", "q_emb", "c_id")
+    )
+    scored = F.broadcast(probes).join(
+        inv,
+        (F.col("c_id") == F.col("cluster")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
