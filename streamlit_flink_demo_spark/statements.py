@@ -420,9 +420,21 @@ class StatementsService:
                             "checkpointLocation", stmt._tmp_ckpt
                         )
                 prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+                prev_maint = self.spark.conf.get(
+                    "spark.sql.streaming.stateStore.maintenanceInterval", None
+                )
                 self.spark.conf.set(
                     "spark.sql.shuffle.partitions",
                     str(self.stream_shuffle_partitions),
+                )
+                # Keep the state-store background snapshot out of
+                # dashboard-statement lifetimes: the default 60 s
+                # maintenance can land one multi-100-ms pause inside a
+                # short-lived continuous query's latency envelope.
+                # Recovery doesn't depend on snapshots (deltas replay).
+                self.spark.conf.set(
+                    "spark.sql.streaming.stateStore.maintenanceInterval",
+                    "600s",
                 )
                 try:
                     # start() clones the session; the clone keeps the
@@ -430,6 +442,15 @@ class StatementsService:
                     stmt._query = writer.start()
                 finally:
                     self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                    if prev_maint is None:
+                        self.spark.conf.unset(
+                            "spark.sql.streaming.stateStore.maintenanceInterval"
+                        )
+                    else:
+                        self.spark.conf.set(
+                            "spark.sql.streaming.stateStore.maintenanceInterval",
+                            prev_maint,
+                        )
                 stmt.phase = PHASE_RUNNING
             except Exception as ex:
                 stmt.phase = PHASE_FAILED
