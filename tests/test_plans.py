@@ -351,3 +351,30 @@ def test_lsh_index_fingerprint_rebuild(spark, tmp_path):
     a = {(r.vec_id, r.band, r.bsig) for r in idx.collect()}
     b = {(r.vec_id, r.band, r.bsig) for r in direct.collect()}
     assert a == b
+
+
+def test_hll_partial_aggregation_no_python(spark, sf_dir):
+    """The deterministic HLL runs entirely JVM-side as two-level
+    partial aggregation (scan→partial→exchange→final), never through a
+    Python eval — the fixed-size-sketch shuffle contract."""
+    p = plan_str(fresh("events_approx_distinct")(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for regs+groups
+    assert "Exchange" in p
+
+
+def test_ivf_probe_prunes_artifact_partitions(spark, sf_dir):
+    """ann_ivf_topk must probe the prebuilt inverted-list artifact with
+    DYNAMIC PARTITION PRUNING on the cluster partition column (the
+    nprobe candidate cut happens at the scan), with the query-side
+    vec_id filter pushed into its own scan."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    build_ivf_index(spark, sf_dir)
+    p = plan_str(fresh("ann_ivf_topk")(spark, sf_dir))
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
+    assert "LessThan(vec_id,5)" in p
+    assert "CartesianProduct" not in p
