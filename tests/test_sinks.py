@@ -114,3 +114,103 @@ def test_sparse_input_creates_only_populated_shards(spark, sf_dir, tmp_path):
     write_training_shards(docs.limit(1), out, n_shards=4)
     dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
     assert len(dirs) == 1
+
+
+# --------------------------------------------------------------------------
+# IdempotentParquetSink: exactly-once on at-least-once foreachBatch
+# --------------------------------------------------------------------------
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)
+    # replay of batch 0 with DIFFERENT content must be ignored
+    b0_replay = spark.createDataFrame([(9, "X")], "id long, v string")
+    sink(b0_replay, 0)
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    rows = sorted(
+        (r["id"], r["v"]) for r in sink.read_committed(spark).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert sink.committed_ids() == [0, 1]
+
+
+def test_idempotent_sink_uncommitted_crash_is_invisible_then_recovered(
+    spark, tmp_path
+):
+    import os
+
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    out = str(tmp_path / "out")
+    sink = IdempotentParquetSink(out)
+    sink(spark.createDataFrame([(1, "a")], "id long, v string"), 0)
+    # simulate a crash AFTER the parquet write, BEFORE the commit:
+    # write the directory by hand without touching the manifest
+    spark.createDataFrame([(7, "zz")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch_id=1"))
+    assert sink.committed_ids() == [0]
+    rows = {r["id"] for r in sink.read_committed(spark).collect()}
+    assert rows == {1}  # debris invisible
+    # recovery replays batch 1 (possibly different but authoritative)
+    sink(spark.createDataFrame([(8, "y")], "id long, v string"), 1)
+    rows = sorted(
+        (r["id"], r["v"]) for r in sink.read_committed(spark).collect()
+    )
+    assert rows == [(1, "a"), (8, "y")]
+
+
+def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
+    """Through a real StreamingQuery: feed 3 microbatches, then restart
+    the query from the same checkpoint and feed one more — every source
+    row lands exactly once."""
+    import os
+
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+    from streamlit_flink_demo_spark.sources.stream_fixtures import (
+        user_row,
+        write_user_batch,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_stream
+
+    sink = IdempotentParquetSink(out)
+
+    def start():
+        return (
+            user_stream(spark, spool)
+            .select("guid", "eyeColor")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    for b in range(3):
+        write_user_batch(
+            spark, spool, b, [user_row(b * 10 + i) for i in range(5)]
+        )
+        q.processAllAvailable()
+    q.stop()
+    q = start()  # restart from checkpoint (may replay the last batch)
+    write_user_batch(spark, spool, 3, [user_row(100 + i) for i in range(5)])
+    q.processAllAvailable()
+    q.stop()
+    import uuid
+
+    got = sorted(r["guid"] for r in sink.read_committed(spark).collect())
+    want = sorted(
+        str(uuid.UUID(int=n))
+        for n in [b * 10 + i for b in range(3) for i in range(5)]
+        + [100 + i for i in range(5)]
+    )
+    assert got == want
