@@ -139,3 +139,42 @@ class IdempotentParquetSink:
         return spark.read.option("basePath", self.path).parquet(
             *[os.path.join(self.path, f"batch_id={b}") for b in ids]
         )
+
+
+def compact_sink(
+    spark: SparkSession, path: str, target_partitions: int = 8
+) -> int:
+    """Offline compaction for an ``IdempotentParquetSink`` directory:
+    fold all committed batch directories into one consolidated batch
+    under a FRESH id (max committed + 1), then atomically repoint the
+    manifest at it. Readers using ``read_committed`` see the old batch
+    set or the compacted one, never a mix: until the manifest replace,
+    every old directory is intact and the new one is unreferenced; a
+    crash at any point leaves only unreferenced debris, which
+    ``read_committed`` already ignores. Old directories are removed
+    only after the repoint. Returns the number of batches folded.
+
+    At 100 TB this is the standard background job every table format
+    schedules: read committed files, rewrite at target file sizes,
+    single atomic metadata swap."""
+    import shutil
+
+    sink = IdempotentParquetSink(path)
+    ids = sink.committed_ids()
+    if len(ids) <= 1:
+        return len(ids)
+    df = sink.read_committed(spark)
+    new_id = max(ids) + 1
+    tmp_dir = os.path.join(path, "_compacting")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(tmp_dir)
+    final = os.path.join(path, f"batch_id={new_id}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp_dir, final)
+    tmp = sink._manifest_path() + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_ids": [new_id]}, fh)
+    os.replace(tmp, sink._manifest_path())
+    for b in ids:
+        shutil.rmtree(os.path.join(path, f"batch_id={b}"), ignore_errors=True)
+    return len(ids)

@@ -214,3 +214,35 @@ def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
         + [100 + i for i in range(5)]
     )
     assert got == want
+
+
+def test_compact_sink_preserves_rows_and_stays_readable(spark, tmp_path):
+    from streamlit_flink_demo_spark.sinks import (
+        IdempotentParquetSink,
+        compact_sink,
+    )
+
+    out = str(tmp_path / "out")
+    sink = IdempotentParquetSink(out)
+    for b in range(5):
+        sink(
+            spark.createDataFrame(
+                [(b * 10 + i, f"v{b}_{i}") for i in range(4)],
+                "id long, v string",
+            ),
+            b,
+        )
+    before = sorted(
+        (r["id"], r["v"]) for r in sink.read_committed(spark).collect()
+    )
+    folded = compact_sink(spark, out, target_partitions=2)
+    assert folded == 5
+    assert sink.committed_ids() == [5]  # fresh id, old dirs gone
+    after = sorted(
+        (r["id"], r["v"]) for r in sink.read_committed(spark).collect()
+    )
+    assert after == before
+    # further batches append normally after compaction
+    sink(spark.createDataFrame([(999, "tail")], "id long, v string"), 6)
+    assert sink.committed_ids() == [5, 6]
+    assert len(sink.read_committed(spark).collect()) == len(before) + 1

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Offline ANN/near-dup index builder (the artifact half of the
+build/probe split in operators/similarity.py).
+
+    python tools/build_indexes.py [sf_dir] [--force]
+
+Builds the three probe artifacts for the given scale-factor directory
+(default $SPARK_GRAFT_SF_DIR → /root/testdata/sf0.1):
+  - lsh_topk  : banded signatures, parquet partitioned by (band, bsig)
+  - lsh_dup   : selective-banding signatures, partitioned by band
+  - ivf       : inverted list partitioned by cluster id + centroid meta
+and prints one JSON line of build timings. Safe to re-run: builds are
+skipped when the artifact's source fingerprint matches (--force
+rebuilds unconditionally).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    force = "--force" in sys.argv[1:]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from streamlit_flink_demo_spark.operators import similarity as S
+    from streamlit_flink_demo_spark.session import get_spark
+
+    spark = get_spark("build_indexes")
+    out = {"sf": sf_dir, "force": force, "builds": {}}
+    for name, builder in (
+        ("lsh_topk", S.build_lsh_index),
+        ("lsh_dup", S.build_dup_sig_index),
+        ("ivf", S.build_ivf_index),
+    ):
+        t0 = time.perf_counter()
+        path = builder(spark, sf_dir, force=force)
+        out["builds"][name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "path": path,
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
