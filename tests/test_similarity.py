@@ -316,3 +316,21 @@ def test_arrow_assign_matches_jvm_assign(spark, sf_dir):
     jvm = {r.vec_id: r.cluster for r in _ivf_assign(e, cents).collect()}
     arrow = {r.vec_id: r.cluster for r in _ivf_assign_arrow(e, cents_np).collect()}
     assert jvm == arrow
+
+
+def test_ivf_artifact_probe_equals_inline_pipeline(spark, sf_dir):
+    """ann_ivf_topk (prebuilt inverted-list artifact) must produce
+    exactly the inline ivf_topk pipeline's rows — the artifact is a
+    materialization of the same deterministic index, not a different
+    algorithm."""
+    from streamlit_flink_demo_spark.operators.similarity import ivf_topk
+
+    art = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in REG["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    inline = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(spark, sf_dir).collect()
+    }
+    assert art == inline
