@@ -111,7 +111,8 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(l_quantity) OVER w AS DOUBLE) AS qty_sum5
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_quantity, l_partkey
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
     tags=("window", "frame"),
@@ -122,10 +123,23 @@ def supplier_moving_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape behind smoothing and rate-of-change features. l_quantity
     is integral so the double arithmetic is order-exact. One shuffle
     on l_suppkey; the frame is evaluated streaming over the sorted run
-    (O(1) per row for sum/avg)."""
+    (O(1) per row for sum/avg).
+
+    ORDER BY must be a TOTAL order for a bounded ROWS frame to be
+    well-defined: (orderkey, linenumber) is not unique in the synthetic
+    data (sf0.1 carries one duplicated (suppkey, shipdate, orderkey,
+    linenumber) pair with differing quantities), so quantity+partkey
+    complete the key — without them the two engines may legally order
+    the tie differently and produce different moving sums."""
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_partkey",
+        )
         .rowsBetween(-4, 0)
     )
     l = load_table(spark, sf_dir, "lineitem")
