@@ -221,6 +221,7 @@ class Statement:
     columns: list[str] = field(default_factory=list)
     buffer: ResultBuffer = field(default_factory=ResultBuffer)
     emitter: ChangelogEmitter | None = None
+    sink: Any = None  # IdempotentParquetSink when props carry sink.path
     error: str | None = None
     streaming: bool = False
     _query: Any = None  # StreamingQuery handle
@@ -384,10 +385,29 @@ class StatementsService:
                 keyed_batch_cap=(int(keyed_cap) if keyed_cap else None),
                 plan_stateful=_stream_plan_stateful(df),
             )
+            # ``sink.path`` property routes the continuous query into
+            # the exactly-once parquet sink (sinks.IdempotentParquetSink)
+            # instead of the changelog emitter: continuous
+            # materialization to files, the Flink "INSERT INTO
+            # filesystem table" analogue. Results paging then serves
+            # keep-alives only; consumers read the committed batches
+            # with ``sink.read_committed``.
+            sink_path = props.get("sink.path")
+            if sink_path:
+                from streamlit_flink_demo_spark.sinks import (
+                    IdempotentParquetSink,
+                )
+
+                stmt.sink = IdempotentParquetSink(sink_path)
+                batch_target = stmt.sink
+                sink_mode = "append"
+            else:
+                batch_target = stmt.emitter
+                sink_mode = output_mode
             try:
                 writer = (
-                    df.writeStream.outputMode(output_mode)
-                    .foreachBatch(stmt.emitter)
+                    df.writeStream.outputMode(sink_mode)
+                    .foreachBatch(batch_target)
                     .queryName(stmt.name)
                 )
                 if checkpoint_dir:

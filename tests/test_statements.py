@@ -296,3 +296,44 @@ def test_results_backoff_paces_empty_pages(svc, spark, monkeypatch):
     assert sleeps == sorted(sleeps)  # monotone growth
     assert sleeps[-1] == 0.3 and sleeps[0] < 0.3  # capped
     del svc._statements["fake-cont"]
+
+
+def test_streaming_statement_with_sink_path_materializes_files(
+    spark, tmp_path
+):
+    """props['sink.path'] routes a continuous query into the
+    exactly-once parquet sink: files land per microbatch, are readable
+    via read_committed, and survive a statement stop."""
+    import os
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import (
+        user_row,
+        user_stream,
+        write_user_batch,
+    )
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "mat")
+    user_stream(spark, spool).createOrReplaceTempView("user_sinked")
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT guid, eyeColor FROM user_sinked",
+        properties={"sink.path": out},
+    )
+    svc.wait_for_status(env, "running", timeout=60)
+    for b in range(3):
+        write_user_batch(
+            spark, spool, b, [user_row(b * 10 + i) for i in range(4)]
+        )
+        svc.process_available(env["name"])
+    stmt = svc._statements[env["name"]]
+    assert stmt.sink is not None
+    committed = stmt.sink.committed_ids()
+    assert committed  # at least one committed batch
+    rows = stmt.sink.read_committed(spark).collect()
+    assert len(rows) == 12
+    svc.stop(env["name"])
+    # files remain after stop (durable materialization)
+    assert len(stmt.sink.read_committed(spark).collect()) == 12
