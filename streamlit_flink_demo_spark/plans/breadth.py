@@ -291,8 +291,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row double arithmetic is IEEE-identical, so the oracle is
     exact (outputs rounded to fixed scales to absorb formatting, not
     value, differences). Driver-checked inside scalar_funcs_suite
-    (family quantize)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    (family quantize).
+
+    spread: ~6 interpreted HOF passes × 64 elements is the heaviest
+    per-row array kernel in the suite — a single-row-group scan runs
+    it on one core (measured 2.1 s → 0.2 s at sf0.1)."""
+    e = load_spread(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0
     q = F.transform(dbl, lambda x: F.round(x / scale))
