@@ -53,11 +53,26 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    # Offline index artifacts: a production ANN deployment builds its
-    # signature index once and probes it per query — bench the two
-    # phases separately (VERDICT r3 #3). force=True so the build cost
-    # is measured fresh each run; the probe queries then hit the
-    # artifact like every later query would.
+    # Streaming latency is measured FIRST (on the warmed, otherwise
+    # quiet session — BEFORE the index builds: a just-finished burst of
+    # build jobs leaves GC debt that lands inside the latency window,
+    # measured ~340 ms medians degrading to ~650 ms): it is an
+    # engine-latency metric, and running it after the 50-query batch
+    # sweep adds ~150 ms of driver/listener drag that is bench-harness
+    # artifact, not engine behavior.
+    streaming = None
+    if os.environ.get("BENCH_STREAMING", "1") == "1" and only is None:
+        try:
+            streaming = _streaming_latency(spark)
+        except Exception as ex:
+            print(f"BENCH STREAMING ERROR: {ex}", file=sys.stderr)
+
+    # Offline index artifacts (AFTER the streaming envelope, see
+    # above): a production ANN deployment builds its signature index
+    # once and probes it per query — bench the two phases separately.
+    # force=True so the build cost is measured fresh each run; the
+    # probe queries then hit the artifact like every later query
+    # would.
     artifacts: dict[str, float] = {}
     from streamlit_flink_demo_spark.operators import similarity as _sim
 
@@ -74,17 +89,6 @@ def main() -> int:
             t0 = time.perf_counter()
             builder(spark, sf_dir, force=True)
             artifacts[label] = round(time.perf_counter() - t0, 3)
-
-    # Streaming latency is measured FIRST (on the warmed, otherwise
-    # quiet session): it is an engine-latency metric, and running it
-    # after the 50-query batch sweep adds ~150 ms of driver/listener
-    # drag that is bench-harness artifact, not engine behavior.
-    streaming = None
-    if os.environ.get("BENCH_STREAMING", "1") == "1" and only is None:
-        try:
-            streaming = _streaming_latency(spark)
-        except Exception as ex:
-            print(f"BENCH STREAMING ERROR: {ex}", file=sys.stderr)
 
     # best-of-3 by default: with ~50 queries in one JVM, a single GC
     # pause lands inside some query's window every run — two samples
