@@ -506,3 +506,212 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Passage-level exact dedup (span granularity)
+# --------------------------------------------------------------------------
+
+_PASSAGE_W = 10  # words per passage
+
+
+@register(
+    "dedup_passages",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, k AS pos,
+         {u60_sql("array_to_string(t[k*" + str(_PASSAGE_W) + "+1 : (k+1)*" + str(_PASSAGE_W) + "], ' ')")} AS h
+  FROM toks, range(0, 100000) r(k)
+  WHERE len(t) >= (k + 1) * {_PASSAGE_W}
+),
+rep AS (
+  SELECT h,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id) AS keeper_doc_id
+  FROM chunks GROUP BY h
+)
+SELECT h AS passage_hash, n_occurrences, n_docs, keeper_doc_id
+FROM rep WHERE n_occurrences > 1
+""",
+    tags=("dedup", "span"),
+    expose=False,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup at fixed passage granularity: documents
+    split into consecutive {W}-word chunks; chunks repeated anywhere in
+    the corpus surface with their occurrence/document counts and the
+    keeper (minimum doc id). This is the cheap tier of substring dedup
+    (the expensive tier being suffix-automaton spans): one narrow
+    tokenize+chunk+hash kernel, one groupBy on the 8-byte chunk hash —
+    passage text never shuffles. At 100 TB the groupBy is the only
+    exchange and carries (hash, doc_id) pairs."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
+    )
+    w = _PASSAGE_W
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) div {w} - 1), "
+                f"k -> concat_ws(' ', slice(t, k * {w} + 1, {w})))"
+            )
+        ).alias("passage"),
+    ).filter(F.expr(f"size(t) >= {w}"))
+    return (
+        chunks.select("doc_id", u60(F.col("passage")).alias("passage_hash"))
+        .groupBy("passage_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch probed against the existing corpus
+# --------------------------------------------------------------------------
+
+# Same hash-mod split as docs_train_eval_split: bucket >= 90 plays the
+# "newly ingested batch", bucket < 90 the existing corpus.
+_NEW_BUCKET_SQL = f"({u60_sql('CAST(doc_id AS VARCHAR)')} % 100)"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH {{shh}},
+minh AS (
+  SELECT doc_id,
+    {_minh_cols_sql}
+  FROM shh GROUP BY doc_id
+),
+tagged AS (
+  SELECT *, ({_NEW_BUCKET_SQL} >= 90) AS is_new FROM minh
+),
+bands AS (
+  SELECT doc_id, is_new, unnest([
+     {_band_keys_sql}
+  ]) AS band_key FROM tagged
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+  FROM bands n JOIN bands o
+    ON n.band_key = o.band_key AND n.is_new AND NOT o.is_new
+),
+verified AS (
+  SELECT new_doc, old_doc,
+         ({_eq_sum_sql}) / {float(_K)!r} AS est_jaccard
+  FROM cand
+  JOIN tagged ma ON new_doc = ma.doc_id
+  JOIN tagged mb ON old_doc = mb.doc_id
+  WHERE ({_eq_sum_sql}) / {float(_K)!r} >= 0.5
+),
+best AS (
+  SELECT new_doc, old_doc, est_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_doc
+                            ORDER BY est_jaccard DESC, old_doc) AS rk
+  FROM verified
+)
+SELECT new_doc AS doc_id, old_doc AS dup_of, est_jaccard
+FROM best WHERE rk = 1
+""".replace("{shh}", _SHH_CTE.strip()),
+    tags=("dedup", "incremental"),
+    expose=False,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the newly-arrived batch (hash
+    bucket >= 90, ~10% of docs) is probed against the EXISTING corpus
+    (bucket < 90) — each new doc that near-duplicates (MinHash
+    est_jaccard >= 0.5) any corpus doc reports its best match. The
+    asymmetric band join (new side tiny, corpus side the prebuilt
+    index) is the production shape: per-ingest cost scales with the
+    BATCH, not the corpus — at 100 TB the corpus band keys are a
+    static bucketed artifact (same layout as build_dup_sig_index) and
+    the new batch's bands broadcast."""
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    base = F.col("h") % F.lit(_P)
+    minh = track_persist(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)
+                ).alias(f"h{i}")
+                for i in range(_K)
+            ]
+        )
+    )
+    is_new = (
+        u60(F.col("doc_id").cast("string")) % 100 >= 90
+    )
+    tagged = minh.withColumn("is_new", is_new)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.concat(
+                    F.lit(f"{j}:"), F.col(f"h{j * _ROWS}").cast("string")
+                ),
+                *[
+                    F.col(f"h{j * _ROWS + r}").cast("string")
+                    for r in range(1, _ROWS)
+                ],
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    bands = tagged.select(
+        "doc_id", "is_new", F.explode(band_keys).alias("band_key")
+    )
+    new_b = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_doc"), "band_key"
+    )
+    old_b = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_doc"), "band_key"
+    )
+    cand = (
+        F.broadcast(new_b)
+        .join(old_b, "band_key")
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    ma = tagged.alias("ma")
+    mb = tagged.alias("mb")
+    eq_sum = sum(
+        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    verified = (
+        cand.join(ma, F.col("new_doc") == F.col("ma.doc_id"))
+        .join(mb, F.col("old_doc") == F.col("mb.doc_id"))
+        .select(
+            "new_doc",
+            "old_doc",
+            (eq_sum / F.lit(float(_K))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("new_doc").orderBy(
+            F.col("est_jaccard").desc(), F.col("old_doc")
+        )
+    )
+    return (
+        verified.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("new_doc").alias("doc_id"),
+            F.col("old_doc").alias("dup_of"),
+            "est_jaccard",
+        )
+    )
