@@ -337,3 +337,57 @@ def test_streaming_statement_with_sink_path_materializes_files(
     svc.stop(env["name"])
     # files remain after stop (durable materialization)
     assert len(stmt.sink.read_committed(spark).collect()) == 12
+
+
+def test_sink_statement_restart_recovery_exactly_once(spark, tmp_path):
+    """A sink.path statement restarted from its checkpoint must land
+    every source row exactly once: Spark replays at most the last
+    uncommitted batch and the sink's batch-id manifest dedups it."""
+    import os
+    import uuid
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import (
+        user_row,
+        user_stream,
+        write_user_batch,
+    )
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "mat")
+    ckpt = str(tmp_path / "ckpt")
+    user_stream(spark, spool).createOrReplaceTempView("user_sink_rec")
+    svc = StatementsService(spark)
+
+    def create():
+        return svc.create(
+            "SELECT guid, eyeColor FROM user_sink_rec",
+            properties={"sink.path": out},
+            checkpoint_dir=ckpt,
+            name="sink-recover",
+        )
+
+    env = create()
+    svc.wait_for_status(env, "running", timeout=60)
+    for b in range(2):
+        write_user_batch(
+            spark, spool, b, [user_row(b * 10 + i) for i in range(4)]
+        )
+        svc.process_available(env["name"])
+    svc.stop(env["name"])
+    del svc._statements[env["name"]]
+
+    env = create()  # restart from the same checkpoint
+    svc.wait_for_status(env, "running", timeout=60)
+    write_user_batch(spark, spool, 2, [user_row(100 + i) for i in range(4)])
+    svc.process_available(env["name"])
+    stmt = svc._statements[env["name"]]
+    got = sorted(r["guid"] for r in stmt.sink.read_committed(spark).collect())
+    want = sorted(
+        str(uuid.UUID(int=n))
+        for n in [b * 10 + i for b in range(2) for i in range(4)]
+        + [100 + i for i in range(4)]
+    )
+    assert got == want
+    svc.stop(env["name"])
