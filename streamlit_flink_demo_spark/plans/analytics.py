@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # Top-K per group (ranking window)
@@ -79,7 +79,15 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suppkey, day) first — shrinks the window input by the per-day fan-in
     before the sort — then a RANGE-frame cumulative sum (decimal-exact).
     The pre-agg and the window share the l_suppkey partitioning, so the
-    window's sort reuses the shuffle."""
+    window's sort reuses the shuffle.
+
+    NO spread here, unlike q1: the (suppkey, day) grouping barely
+    collapses (~500k groups from 600k rows at sf0.1), so partial
+    aggregation does little and a pre-shuffle would only add a
+    full-row exchange before the one the groupBy needs anyway
+    (measured: spread made it 1.55 → 1.75 s). The window sort
+    dominates and already runs at full parallelism after the
+    groupBy's own shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
     day_rev = (
         l.groupBy("l_suppkey", "l_shipdate")
