@@ -31,6 +31,9 @@ OPS = (
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_passages",
+    "dedup_incremental",
+    "dedup_connected_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
