@@ -152,6 +152,35 @@ def main() -> int:
             print(f"BENCH DUCKDB ERROR: {ex}", file=sys.stderr)
 
     print(json.dumps(out))
+    # The round driver keeps only the LAST ~2000 chars of stdout; the
+    # full JSON line above is ~3.5 kB, so BENCH_r04 retained the DuckDB
+    # per-query map but lost every Spark number (VERDICT r4 #2). Print
+    # a compact, self-contained summary line LAST — totals, streaming
+    # envelope, ratio, artifact builds, and the slowest Spark queries —
+    # sized (<1 kB) to survive any tail capture.
+    summary: dict = {
+        "metric": "bench_summary",
+        "spark_total_sec": total,
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "spark_slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        ),
+    }
+    if "duckdb" in out:
+        dv = out["duckdb"]["value"]
+        summary["duckdb_total_sec"] = dv
+        if dv > 0:
+            summary["spark_over_duckdb"] = round(total / dv, 3)
+    if artifacts:
+        summary["artifacts"] = artifacts
+    if streaming:
+        summary["streaming_median_ms"] = streaming.get("median_ms")
+        summary["streaming_max_ms"] = streaming.get("max_ms")
+        summary["throughput_events_per_sec"] = streaming.get(
+            "throughput_events_per_sec"
+        )
+    print(json.dumps(summary))
     return 0 if all(t >= 0 for t in timings.values()) else 1
 
 

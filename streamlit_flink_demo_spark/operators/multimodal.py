@@ -123,8 +123,8 @@ idx AS (SELECT 0 AS frame_idx UNION ALL SELECT 1
 SELECT doc_id,
        idx.frame_idx::INT AS frame_idx,
        n_frames::INT AS n_frames,
-       encode(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames))
-         AS frame,
+       hex(encode(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames)))
+         AS frame_hex,
        md5(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames))
          AS frame_md5
 FROM base JOIN idx ON idx.frame_idx < base.n_frames
@@ -366,8 +366,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling over the documents blob as a fake
     video. The byte-window sampler is deterministic, so the oracle
     replays the slicing + md5 in SQL (hash-checked, frame bytes
-    included); fan-out arity is additionally pytest-verified."""
+    included); fan-out arity is additionally pytest-verified.
+
+    The driver surface hex-encodes the frame bytes (``frame_hex``):
+    raw binary crashes pandas-based result canonicalizers
+    (``bytearray`` is unhashable — the CORRECTNESS_r04 harness
+    failure), and a comparison surface should be text anyway. The
+    internal API (``sample_frames_batch``) still returns real binary."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
-    return sample_frames_batch(d, fake=True)
+    return sample_frames_batch(d, fake=True).select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.hex("frame").alias("frame_hex"),
+        "frame_md5",
+    )

@@ -35,13 +35,30 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    """Mirror of the round driver's pandas-based canonicalizer.
+
+    The real driver builds a DataFrame and `sort_values` across all
+    columns (object columns go through `Categorical` → factorize →
+    hashing), so any unhashable surface type — bytearray from a Spark
+    `binary` column was the CORRECTNESS_r04 crash — must raise HERE,
+    in local runs, not first at the round gate. Do not swap this back
+    to the old tuple sort: tuples hash bytes fine and hide the hazard.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    df = df[sorted(df.columns)]
+    if len(df):
+        # sort_values on object dtype goes through Categorical →
+        # PyObjectHashTable.factorize — unhashable cells raise TypeError,
+        # exactly like the driver.
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+
     def norm(v):
         if isinstance(v, float) and math.isnan(v): return "NaN"
         return v
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return out
+
+    return [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 fails = []
 for name in sorted(qs):

@@ -107,7 +107,10 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
     per_doc = {}
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r)
-        assert hashlib.md5(bytes(r["frame"])).hexdigest() == r["frame_md5"]
+        # Driver surface is hex text (raw binary crashes pandas-based
+        # canonicalizers); md5 must match the decoded bytes.
+        assert isinstance(r["frame_hex"], str)
+        assert hashlib.md5(bytes.fromhex(r["frame_hex"])).hexdigest() == r["frame_md5"]
     for doc, frs in per_doc.items():
         n = frs[0]["n_frames"]
         assert 1 <= n <= 4 and len(frs) == n
