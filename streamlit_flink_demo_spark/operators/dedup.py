@@ -522,10 +522,15 @@ WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
 ),
 chunks AS (
+  -- per-doc chunk enumeration via unnest(range(...)) on THIS doc's
+  -- length (a fixed range cap would silently under-enumerate docs
+  -- with more chunks than the cap, breaking parity at larger scale)
   SELECT doc_id, k AS pos,
          {u60_sql("array_to_string(t[k*" + str(_PASSAGE_W) + "+1 : (k+1)*" + str(_PASSAGE_W) + "], ' ')")} AS h
-  FROM toks, range(0, 100000) r(k)
-  WHERE len(t) >= (k + 1) * {_PASSAGE_W}
+  FROM (
+    SELECT doc_id, t, unnest(range(0, len(t) // {_PASSAGE_W})) AS k
+    FROM toks
+  )
 ),
 rep AS (
   SELECT h,

@@ -294,8 +294,34 @@ _ARTIFACT_ROOT = os.environ.get(
 
 
 def _index_dir(kind: str, sf_dir: str) -> str:
-    safe = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    return os.path.join(_ARTIFACT_ROOT, kind, safe)
+    """Artifact directory for (kind, source dir). Keyed on a digest of
+    the absolute path — a separator-flattening scheme ("/" → "_") would
+    collide distinct sources (/data/sf0_1 vs /data/sf0/1) onto one
+    artifact; the basename prefix is kept purely for human
+    debuggability."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir)
+    digest = hashlib.md5(ap.encode()).hexdigest()[:12]
+    base = os.path.basename(ap.rstrip(os.sep)) or "root"
+    return os.path.join(_ARTIFACT_ROOT, kind, f"{base}-{digest}")
+
+
+def _publish_artifact(tmp: str, out: str) -> None:
+    """Atomically publish a fully-built artifact dir: the data and
+    meta.json are staged under ``tmp`` and swapped in with rename, so a
+    concurrent reader sees the old complete artifact or the new
+    complete one — never a data directory whose meta.json describes
+    different data (the hazard when bench --force and a pytest build
+    interleave their two writes)."""
+    import shutil
+
+    trash = f"{out}.old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(out):
+        os.rename(out, trash)
+    os.replace(tmp, out)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
@@ -361,15 +387,16 @@ def _build_sig_index(
     e = load_spread(spark, sf_dir, "embeddings")
     sigs = _banded_sigs_arrow(e, n_bands, planes_per_band, salt)
     sort_cols = [c for c in ("bsig", "vec_id") if c not in partition_cols]
+    tmp = f"{out}.tmp-{os.getpid()}"
     (
         sigs.repartition(*partition_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
-        .parquet(os.path.join(out, "data"))
+        .parquet(os.path.join(tmp, "data"))
     )
     _write_meta(
-        out,
+        tmp,
         {
             "fingerprint": fp,
             "n_bands": n_bands,
@@ -377,6 +404,7 @@ def _build_sig_index(
             "salt": salt,
         },
     )
+    _publish_artifact(tmp, out)
     return out
 
 
@@ -806,21 +834,23 @@ def build_ivf_index(
     e = load_spread(spark, sf_dir, "embeddings")
     cents_np = _ivf_centroids_np(e, _IVF_CLUSTERS)
     inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
     (
         inv.repartition("cluster")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(os.path.join(out, "data"))
+        .parquet(os.path.join(tmp, "data"))
     )
     _write_meta(
-        out,
+        tmp,
         {
             "fingerprint": fp,
             "n_clusters": _IVF_CLUSTERS,
             "centroids": [[float(v) for v in row] for row in cents_np],
         },
     )
+    _publish_artifact(tmp, out)
     return out
 
 

@@ -106,17 +106,47 @@ class IdempotentParquetSink:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_commits.json")
 
-    def committed_ids(self) -> list[int]:
+    def _read_manifest(self) -> dict:
+        """Manifest: ``batch_ids`` (live streaming batches),
+        ``compactions`` (live compaction generations — a DISJOINT id
+        space, so a compacted directory can never collide with a Spark
+        batch id), ``watermark`` (highest streaming batch id folded
+        into any compaction; replays at or below it are already
+        durable inside a compaction and must be skipped)."""
         try:
             with open(self._manifest_path()) as fh:
-                return sorted(json.load(fh)["batch_ids"])
-        except (OSError, ValueError, KeyError):
-            return []
+                m = json.load(fh)
+        except (OSError, ValueError):
+            m = {}
+        return {
+            "batch_ids": sorted(m.get("batch_ids", [])),
+            "compactions": sorted(m.get("compactions", [])),
+            "watermark": m.get("watermark", -1),
+        }
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "batch_ids": sorted(m["batch_ids"]),
+                    "compactions": sorted(m["compactions"]),
+                    "watermark": m["watermark"],
+                },
+                fh,
+            )
+        os.replace(tmp, self._manifest_path())
+
+    def committed_ids(self) -> list[int]:
+        """Live streaming batch ids (excludes batches already folded
+        into a compaction — those are covered by the watermark)."""
+        return self._read_manifest()["batch_ids"]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        done = set(self.committed_ids())
-        if batch_id in done:
-            # replay of a committed batch: consume nothing, write
+        m = self._read_manifest()
+        if batch_id in set(m["batch_ids"]) or batch_id <= m["watermark"]:
+            # replay of a committed batch (directly committed, or
+            # folded through a compaction): consume nothing, write
             # nothing — the previous write is the write.
             return
         (
@@ -124,35 +154,51 @@ class IdempotentParquetSink:
                 os.path.join(self.path, f"batch_id={batch_id}")
             )
         )
-        done.add(batch_id)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_ids": sorted(done)}, fh)
-        os.replace(tmp, self._manifest_path())
+        m["batch_ids"].append(batch_id)
+        self._write_manifest(m)
+
+    def _data_dirs(self) -> list[str]:
+        """Every live data directory: compactions first (older rows),
+        then uncompacted streaming batches."""
+        m = self._read_manifest()
+        return [
+            os.path.join(self.path, f"compact={g}") for g in m["compactions"]
+        ] + [os.path.join(self.path, f"batch_id={b}") for b in m["batch_ids"]]
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
-        """Exactly-once view: union of committed batch directories only
-        (uncommitted crash debris is invisible)."""
-        ids = self.committed_ids()
-        if not ids:
+        """Exactly-once view: union of committed batch directories and
+        compaction directories only (uncommitted crash debris is
+        invisible)."""
+        dirs = self._data_dirs()
+        if not dirs:
             raise ValueError(f"no committed batches under {self.path}")
-        return spark.read.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, f"batch_id={b}") for b in ids]
-        )
+        return spark.read.parquet(*dirs)
 
 
 def compact_sink(
     spark: SparkSession, path: str, target_partitions: int = 8
 ) -> int:
     """Offline compaction for an ``IdempotentParquetSink`` directory:
-    fold all committed batch directories into one consolidated batch
-    under a FRESH id (max committed + 1), then atomically repoint the
-    manifest at it. Readers using ``read_committed`` see the old batch
-    set or the compacted one, never a mix: until the manifest replace,
-    every old directory is intact and the new one is unreferenced; a
-    crash at any point leaves only unreferenced debris, which
-    ``read_committed`` already ignores. Old directories are removed
-    only after the repoint. Returns the number of batches folded.
+    fold every live data directory (committed batches + prior
+    compactions) into one consolidated ``compact=<gen>`` directory,
+    then atomically repoint the manifest at it.
+
+    Compacted data lives OUTSIDE Spark's batch-id space on purpose: an
+    earlier design reused ``max(committed)+1``, which is exactly the
+    next batchId Spark's checkpoint assigns after a restart — that
+    batch hit the replay short-circuit and its rows were silently
+    dropped, while a sink-committed batch replayed after compaction was
+    no longer in the manifest and got duplicated. Instead the manifest
+    records a folded-through ``watermark`` (max streaming id folded);
+    ``__call__`` skips any ``batch_id <= watermark`` and new batch ids
+    above it append normally.
+
+    Readers using ``read_committed`` see the old directory set or the
+    compacted one, never a mix: until the manifest replace, every old
+    directory is intact and the new one is unreferenced; a crash at any
+    point leaves only unreferenced debris, which ``read_committed``
+    already ignores. Old directories are removed only after the
+    repoint. Returns the number of directories folded.
 
     At 100 TB this is the standard background job every table format
     schedules: read committed files, rewrite at target file sizes,
@@ -160,21 +206,27 @@ def compact_sink(
     import shutil
 
     sink = IdempotentParquetSink(path)
-    ids = sink.committed_ids()
-    if len(ids) <= 1:
-        return len(ids)
+    m = sink._read_manifest()
+    src_dirs = sink._data_dirs()
+    if len(src_dirs) <= 1:
+        return len(src_dirs)
     df = sink.read_committed(spark)
-    new_id = max(ids) + 1
+    new_gen = (max(m["compactions"]) if m["compactions"] else -1) + 1
     tmp_dir = os.path.join(path, "_compacting")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     df.coalesce(target_partitions).write.mode("overwrite").parquet(tmp_dir)
-    final = os.path.join(path, f"batch_id={new_id}")
+    final = os.path.join(path, f"compact={new_gen}")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp_dir, final)
-    tmp = sink._manifest_path() + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"batch_ids": [new_id]}, fh)
-    os.replace(tmp, sink._manifest_path())
-    for b in ids:
-        shutil.rmtree(os.path.join(path, f"batch_id={b}"), ignore_errors=True)
-    return len(ids)
+    sink._write_manifest(
+        {
+            "batch_ids": [],
+            "compactions": [new_gen],
+            "watermark": max(
+                [m["watermark"]] + m["batch_ids"]
+            ),
+        }
+    )
+    for d in src_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(src_dirs)

@@ -394,6 +394,24 @@ class StatementsService:
             # with ``sink.read_committed``.
             sink_path = props.get("sink.path")
             if sink_path:
+                if _stream_plan_stateful(df):
+                    # File materialization is append-only (an immutable
+                    # parquet batch can't retract rows); a stateful
+                    # plan (agg/dedup/stream-stream join) needs update
+                    # mode. Fail the statement with a targeted message
+                    # instead of letting Spark throw a generic
+                    # AnalysisException at start.
+                    stmt.phase = PHASE_FAILED
+                    stmt.error = (
+                        "sink.path materialization is append-only, but "
+                        "this statement's plan is stateful (aggregation/"
+                        "deduplication/stream-stream join) and would "
+                        "need to retract previously written rows. Drop "
+                        "sink.path to stream it through the changelog "
+                        "emitter (update mode), or restrict the "
+                        "statement to a stateless projection/filter."
+                    )
+                    return stmt.envelope()
                 from streamlit_flink_demo_spark.sinks import (
                     IdempotentParquetSink,
                 )

@@ -337,3 +337,37 @@ def test_ivf_artifact_probe_equals_inline_pipeline(spark, sf_dir):
         for r in ivf_topk(spark, sf_dir).collect()
     }
     assert art == inline
+
+
+def test_index_dir_is_collision_free_and_publish_is_atomic(tmp_path):
+    """Distinct source dirs must map to distinct artifact dirs (the old
+    os.sep→'_' flattening collided /x/sf0_1 with /x/sf0/1), and
+    _publish_artifact must leave only a complete artifact behind."""
+    import json
+    import os
+
+    from streamlit_flink_demo_spark.operators import similarity as sim
+
+    a = str(tmp_path / "sf0_1")
+    b = str(tmp_path / "sf0" / "1")
+    assert sim._index_dir("lsh_topk", a) != sim._index_dir("lsh_topk", b)
+    # same input → same dir (cache key stability)
+    assert sim._index_dir("lsh_topk", a) == sim._index_dir("lsh_topk", a)
+
+    out = str(tmp_path / "art" / "current")
+    # pre-existing (stale) artifact
+    os.makedirs(out)
+    (tmp_path / "art" / "current" / "meta.json").write_text(
+        json.dumps({"fingerprint": "old"})
+    )
+    tmp = out + ".tmp-1234"
+    os.makedirs(os.path.join(tmp, "data"))
+    (tmp_path / "art" / (os.path.basename(tmp)) / "meta.json").write_text(
+        json.dumps({"fingerprint": "new"})
+    )
+    sim._publish_artifact(tmp, out)
+    assert json.load(open(os.path.join(out, "meta.json")))["fingerprint"] == "new"
+    assert os.path.isdir(os.path.join(out, "data"))
+    assert not os.path.exists(tmp)
+    # no leftover trash dirs
+    assert [d for d in os.listdir(tmp_path / "art")] == ["current"]

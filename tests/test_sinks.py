@@ -237,12 +237,31 @@ def test_compact_sink_preserves_rows_and_stays_readable(spark, tmp_path):
     )
     folded = compact_sink(spark, out, target_partitions=2)
     assert folded == 5
-    assert sink.committed_ids() == [5]  # fresh id, old dirs gone
+    # compacted data lives outside Spark's batch-id space: no live
+    # streaming batches, folded-through watermark covers 0..4
+    assert sink.committed_ids() == []
+    assert sink._read_manifest()["watermark"] == 4
     after = sorted(
         (r["id"], r["v"]) for r in sink.read_committed(spark).collect()
     )
     assert after == before
-    # further batches append normally after compaction
-    sink(spark.createDataFrame([(999, "tail")], "id long, v string"), 6)
-    assert sink.committed_ids() == [5, 6]
+    # THE collision case: after a restart Spark's checkpoint assigns
+    # batchId 5 next (the id the old max+1 design claimed for the
+    # compacted directory, silently dropping this batch) — it must
+    # append normally.
+    sink(spark.createDataFrame([(999, "tail")], "id long, v string"), 5)
+    assert sink.committed_ids() == [5]
+    assert len(sink.read_committed(spark).collect()) == len(before) + 1
+    # ...while a replay of a batch already folded into the compaction
+    # (sink-committed, WAL commit lost) must still be skipped, not
+    # duplicated.
+    sink(spark.createDataFrame([(40, "dup")], "id long, v string"), 4)
+    assert len(sink.read_committed(spark).collect()) == len(before) + 1
+    # a second compaction folds the first compaction + the new batch
+    assert compact_sink(spark, out, target_partitions=2) == 2
+    assert sink._read_manifest() == {
+        "batch_ids": [],
+        "compactions": [1],
+        "watermark": 5,
+    }
     assert len(sink.read_committed(spark).collect()) == len(before) + 1

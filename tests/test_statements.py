@@ -391,3 +391,26 @@ def test_sink_statement_restart_recovery_exactly_once(spark, tmp_path):
     )
     assert got == want
     svc.stop(env["name"])
+
+
+def test_sink_path_rejects_stateful_plan(spark, tmp_path):
+    """sink.path materialization is append-only; a stateful statement
+    (GROUP BY) must fail at create with a targeted message, not a
+    generic AnalysisException from Spark's start()."""
+    import os
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_stream
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    user_stream(spark, spool).createOrReplaceTempView("user_sink_stateful")
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT eyeColor, count(*) AS n FROM user_sink_stateful "
+        "GROUP BY eyeColor",
+        properties={"sink.path": str(tmp_path / "mat")},
+    )
+    assert env["status"]["phase"].lower() == "failed"
+    assert "append-only" in svc._statements[env["name"]].error
+    assert "sink.path" in svc._statements[env["name"]].error
