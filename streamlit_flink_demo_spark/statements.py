@@ -235,6 +235,24 @@ class Statement:
         if self.emitter is not None and self.emitter.truncated_batches:
             trunc = f"truncated_batches={self.emitter.truncated_batches}"
             detail = f"{detail} {trunc}".strip()
+        if self.emitter is not None:
+            hw, warn = (
+                self.emitter.snapshot_high_water,
+                self.emitter.snapshot_key_warn,
+            )
+            if warn and hw > warn:
+                detail = (
+                    f"{detail} snapshot_keys_high_water={hw} "
+                    f"(exceeds warn threshold {warn}: the changelog "
+                    "snapshot and its checkpoint scale with result "
+                    "cardinality — consider a coarser key or "
+                    "SPARK_GRAFT_SNAPSHOT_KEY_CAP)"
+                ).strip()
+            if self.emitter.evicted_snapshot_keys:
+                detail = (
+                    f"{detail} evicted_snapshot_keys="
+                    f"{self.emitter.evicted_snapshot_keys}"
+                ).strip()
         return {
             "name": self.name,
             "spec": {
@@ -373,6 +391,8 @@ class StatementsService:
                 )
             keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")
+            snap_warn = os.environ.get("SPARK_GRAFT_SNAPSHOT_KEY_WARN")
+            snap_cap = os.environ.get("SPARK_GRAFT_SNAPSHOT_KEY_CAP")
             stmt.emitter = ChangelogEmitter(
                 stmt.columns,
                 keys,
@@ -384,6 +404,10 @@ class StatementsService:
                 ),
                 keyed_batch_cap=(int(keyed_cap) if keyed_cap else None),
                 plan_stateful=_stream_plan_stateful(df),
+                snapshot_key_warn=(
+                    int(snap_warn) if snap_warn else 100_000
+                ),
+                snapshot_key_cap=(int(snap_cap) if snap_cap else None),
             )
             # ``sink.path`` property routes the continuous query into
             # the exactly-once parquet sink (sinks.IdempotentParquetSink)

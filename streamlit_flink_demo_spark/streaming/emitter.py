@@ -158,6 +158,8 @@ class ChangelogEmitter:
         keyless_batch_cap: int = 10_000,
         keyed_batch_cap: int | None = None,
         plan_stateful: bool | None = None,
+        snapshot_key_warn: int = 100_000,
+        snapshot_key_cap: int | None = None,
     ):
         self.columns = list(columns)
         self.key_idx = [self.columns.index(k) for k in key_cols]
@@ -192,6 +194,22 @@ class ChangelogEmitter:
         # ExistingRDD` wrapper — indistinguishable from stateful, so
         # the fallback is the safe full drain.
         self._plan_stateful: bool | None = plan_stateful
+        # The shadow snapshot holds one entry per group key — result
+        # cardinality, NOT input cardinality. Dashboard aggregates are
+        # small; a per-user key over a 100 TB corpus is not, and the
+        # snapshot (plus its per-batch JSON checkpoint) would grow
+        # unbounded on the driver. Two guards, both surfaced in the
+        # statement envelope: a high-water WARNING past
+        # ``snapshot_key_warn`` keys, and an opt-in hard
+        # ``snapshot_key_cap`` that evicts the oldest-inserted keys
+        # past the cap. Eviction trades exact retract semantics for
+        # bounded memory: an evicted key's next change re-emits +I
+        # instead of -U/+U — lossy, monotone, and counted, the same
+        # contract as ``keyed_batch_cap``.
+        self.snapshot_key_warn = snapshot_key_warn
+        self.snapshot_key_cap = snapshot_key_cap
+        self.snapshot_high_water = 0
+        self.evicted_snapshot_keys = 0
         self._snapshot: dict[tuple, list[Any]] = {}
         # per-key multiplicity — only >1 in keyless complete mode, where
         # the "key" is the whole row and duplicates must not collapse
@@ -274,8 +292,28 @@ class ChangelogEmitter:
             self.apply_full_snapshot(rows)
         else:
             self.apply_upserts(rows)
+        self._enforce_snapshot_bounds()
         self._last_batch = batch_id
         self._persist(batch_id)
+
+    def _enforce_snapshot_bounds(self) -> None:
+        """Track the snapshot's key high-water mark and, when a hard
+        cap is set, evict oldest-inserted keys down to the cap (dict
+        preserves insertion order). Complete-mode (full_snapshot)
+        statements are exempt from eviction: their diff REQUIRES the
+        full previous result or every missing key re-emits as a
+        spurious -D/+I pair per batch."""
+        n = len(self._snapshot)
+        if n > self.snapshot_high_water:
+            self.snapshot_high_water = n
+        cap = self.snapshot_key_cap
+        if cap and n > cap and not self.full_snapshot:
+            import itertools
+
+            for key in list(itertools.islice(self._snapshot, n - cap)):
+                del self._snapshot[key]
+                self._counts.pop(key, None)
+            self.evicted_snapshot_keys += n - cap
 
     # -- bounded batch consumption ----------------------------------------
     def _is_stateful(self, batch_df: DataFrame) -> bool:

@@ -127,3 +127,50 @@ def test_keyless_stateful_stream_drains_without_commit_error(spark):
     assert e._plan_stateful is True  # detected the state store
     assert e.buffer.size() == 25  # bounded by the cap
     assert e.truncated_batches == 1
+
+
+def test_snapshot_high_water_and_eviction_cap(spark):
+    """VERDICT r4 #4: the keyed shadow snapshot must not grow silently.
+    Past snapshot_key_warn the high-water mark is recorded (surfaced in
+    the statement envelope); with snapshot_key_cap set, oldest keys are
+    evicted so resident snapshot size is bounded by the cap."""
+    e = ChangelogEmitter(
+        ["k", "v"], ["k"], snapshot_key_warn=200, snapshot_key_cap=300
+    )
+    e(_keyed_df(spark, 1000), 0)
+    assert e.snapshot_high_water == 1000
+    assert len(e._snapshot) == 300
+    assert e.evicted_snapshot_keys == 700
+    # an evicted key's next change re-emits +I (lossy, monotone):
+    e(_keyed_df(spark, 1), 1)  # k0 was evicted (oldest-inserted)
+    from streamlit_flink_demo_spark.changelog import OP_INSERT
+
+    recs, _ = e.buffer.read(e.buffer.size() - 1, 1)
+    assert recs[0]["op"] == OP_INSERT and recs[0]["row"][0] == "k0"
+
+
+def test_snapshot_warning_reaches_envelope(spark, tmp_path):
+    """A keyed statement whose result cardinality crosses the warn
+    threshold must surface it in the envelope's status detail."""
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    user_stream(spark, spool).createOrReplaceTempView("user_snapwarn")
+    os.environ["SPARK_GRAFT_SNAPSHOT_KEY_WARN"] = "10"
+    try:
+        svc = StatementsService(spark)
+        env = svc.create(
+            "SELECT guid, count(*) AS n FROM user_snapwarn GROUP BY guid"
+        )
+        try:
+            write_user_batch(
+                spark, spool, 0, [user_row(i) for i in range(40)]
+            )
+            svc.process_available(env["name"])
+            detail = svc.get(env["name"])["status"]["detail"]
+            assert "snapshot_keys_high_water=40" in detail
+        finally:
+            svc.stop(env["name"])
+    finally:
+        del os.environ["SPARK_GRAFT_SNAPSHOT_KEY_WARN"]
