@@ -383,3 +383,141 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("frame").alias("frame_hex"),
         "frame_md5",
     )
+
+
+# --------------------------------------------------------------------------
+# Video keyframe extraction — pyav real tier / deterministic fake tier
+# --------------------------------------------------------------------------
+
+KEYFRAME_SCHEMA = (
+    "doc_id bigint, kf_idx int, n_keyframes int, pts_ms bigint, "
+    "frame_md5 string"
+)
+
+_KEYFRAME_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         least(4, greatest(length(text)//256, 1)) AS n_kf
+  FROM documents
+),
+idx AS (SELECT 0 AS kf_idx UNION ALL SELECT 1
+        UNION ALL SELECT 2 UNION ALL SELECT 3)
+SELECT doc_id,
+       idx.kf_idx::INT AS kf_idx,
+       n_kf::INT AS n_keyframes,
+       (idx.kf_idx * (n // n_kf) * 40)::BIGINT AS pts_ms,
+       md5(substring(text, idx.kf_idx*(n//n_kf) + 1, 16)) AS frame_md5
+FROM base JOIN idx ON idx.kf_idx < base.n_kf
+"""
+
+
+def video_keyframes_batch(
+    df: DataFrame,
+    max_frames: int = 4,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Keyframe extraction over a video blob column — the video tier of
+    the multimodal codec family, mirroring the Pillow pattern of
+    ``decode_binary_batch``: ``fake=False`` seeks real keyframes with
+    pyav when it is importable on the executors (this container ships
+    without it) and raises NotImplementedError with the install remedy
+    otherwise; ``fake=True`` is a deterministic byte-arithmetic stand-in
+    (evenly spaced 'keyframes' at 25 fps, a 16-byte window hashed per
+    frame) that keeps the Spark-side plumbing — fan-out mapInPandas,
+    Arrow batching, fixed narrow schema — identical across tiers and
+    SQL-replayable for the oracle.
+
+    At 100 TB: videos dominate row size, so repartition upstream by
+    blob size (``spark.sql.files.maxPartitionBytes`` governs source
+    batches) so one Arrow batch's decoded frames fit executor memory;
+    the output is narrow metadata — frames should be written by a
+    binary-out variant only when a downstream encoder needs pixels."""
+
+    def op(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def keyframes(data: bytes):
+            if not fake:
+                try:
+                    import io
+
+                    import av
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real video keyframe extraction requires pyav "
+                        "(pip install av) — not available here; use "
+                        "fake=True for the deterministic byte-window "
+                        "tier"
+                    ) from ex
+                out = []
+                with av.open(io.BytesIO(data)) as container:
+                    vstream = next(
+                        s for s in container.streams if s.type == "video"
+                    )
+                    tb = float(vstream.time_base) if vstream.time_base else 0.0
+                    for frame in container.decode(vstream):
+                        if not getattr(frame, "key_frame", True):
+                            continue
+                        pts_ms = int(
+                            (frame.pts or 0) * tb * 1000.0
+                        )
+                        digest = _hl.md5(
+                            b"".join(
+                                bytes(p) for p in frame.planes
+                            )
+                        ).hexdigest()
+                        out.append((pts_ms, digest))
+                        if len(out) >= max_frames:
+                            break
+                return out
+            if not data:
+                return [(0, _hl.md5(b"").hexdigest())]
+            n = len(data)
+            n_kf = min(max_frames, max(n // 256, 1))
+            stride = n // n_kf
+            out = []
+            for i in range(n_kf):
+                pos = i * stride
+                window = data[pos : pos + 16]
+                out.append((pos * 40, _hl.md5(window).hexdigest()))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(data) if data is not None else b""
+                kfs = keyframes(data)
+                for i, (pts_ms, digest) in enumerate(kfs):
+                    rows.append((doc_id, i, len(kfs), pts_ms, digest))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "kf_idx",
+                    "n_keyframes",
+                    "pts_ms",
+                    "frame_md5",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=KEYFRAME_SCHEMA)
+
+
+@register(
+    "multimodal_video_keyframes",
+    oracle=_KEYFRAME_ORACLE,
+    tags=("multimodal", "pandas-udf", "video"),
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe metadata over the documents blob as a fake video
+    (deterministic tier; the pyav tier shares the identical plumbing
+    and is contract-tested both ways in tests/test_multimodal_codec.py).
+    Narrow text-only surface: md5 strings, no raw bytes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return video_keyframes_batch(d, fake=True)

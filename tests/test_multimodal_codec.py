@@ -106,3 +106,87 @@ def test_fake_tier_unaffected_by_flag_default(spark):
     assert rows[0].width == 64 + (n * 2654435761 % 1217) % 1280
     assert rows[0].height == 64 + (n * 40503 % 1013) % 720
     assert rows[0].mean_luma == (sum(data[:64]) % 256) / 255.0
+
+
+try:
+    import av  # noqa: F401
+
+    HAS_AV = True
+except ImportError:
+    HAS_AV = False
+
+
+def test_fake_video_keyframes_contract(spark):
+    """Deterministic tier: evenly spaced keyframes at 25 fps, dense
+    kf_idx, consistent n_keyframes, md5 of each 16-byte window."""
+    import hashlib
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        video_keyframes_batch,
+    )
+
+    data = bytes(range(256)) * 5  # 1280 bytes → 4 keyframes
+    rows = sorted(
+        video_keyframes_batch(_blob_df(spark, data)).collect(),
+        key=lambda r: r.kf_idx,
+    )
+    assert [r.kf_idx for r in rows] == [0, 1, 2, 3]
+    assert all(r.n_keyframes == 4 for r in rows)
+    stride = len(data) // 4
+    for r in rows:
+        pos = r.kf_idx * stride
+        assert r.pts_ms == pos * 40
+        assert r.frame_md5 == hashlib.md5(data[pos : pos + 16]).hexdigest()
+
+
+def test_fake_video_keyframes_short_blob_single_frame(spark):
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        video_keyframes_batch,
+    )
+
+    rows = video_keyframes_batch(_blob_df(spark, b"tiny")).collect()
+    assert len(rows) == 1
+    assert (rows[0].kf_idx, rows[0].n_keyframes, rows[0].pts_ms) == (0, 1, 0)
+
+
+@pytest.mark.skipif(HAS_AV, reason="pyav installed: remedy path N/A")
+def test_real_video_keyframes_without_pyav_raises_with_remedy(spark):
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        video_keyframes_batch,
+    )
+
+    df = video_keyframes_batch(_blob_df(spark, b"\x00" * 64), fake=False)
+    with pytest.raises(Exception, match="pyav"):
+        df.collect()
+
+
+@pytest.mark.skipif(not HAS_AV, reason="pyav not installed")
+def test_real_video_keyframes_with_pyav(spark):
+    """With pyav: encode a tiny synthetic video in-process and assert
+    real keyframes come back through the identical Arrow plumbing."""
+    import io
+
+    import av
+    import numpy as np
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        video_keyframes_batch,
+    )
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=25)
+        stream.width, stream.height, stream.pix_fmt = 64, 64, "yuv420p"
+        for i in range(12):
+            arr = np.full((64, 64, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    rows = video_keyframes_batch(
+        _blob_df(spark, buf.getvalue()), fake=False
+    ).collect()
+    assert rows
+    assert all(r.frame_md5 and len(r.frame_md5) == 32 for r in rows)
+    assert sorted(r.kf_idx for r in rows) == list(range(len(rows)))
