@@ -582,6 +582,114 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Duplicated-substring spans (the expensive tier of substring dedup)
+# --------------------------------------------------------------------------
+#
+# dedup_passages is the cheap tier: fixed non-overlapping chunks, so a
+# duplicated run that straddles a chunk boundary is missed and span
+# extents are chunk-quantized. The production complement (the
+# suffix-array "exact substring dedup" used for C4/RefinedWeb-style
+# corpora) reports every MAXIMAL duplicated token span of length >= L.
+#
+# Spark-first formulation instead of a literal distributed suffix
+# array: a token span of length >= L is duplicated iff every one of
+# its rolling L-token windows occurs elsewhere in the corpus — the
+# same reduction the suffix-array pipeline applies (adjacent-suffix
+# common prefixes >= L <=> repeated L-windows), expressed as
+#   1. explode rolling L-window hashes (8 bytes each; window TEXT
+#      never leaves the doc's partition),
+#   2. COUNT(*) OVER (PARTITION BY h) — one exchange on h marks
+#      duplicated windows (window-fn form: half the exchanges of
+#      groupBy+join-back, same trick as dedup_ngram_jaccard),
+#   3. gaps-and-islands per doc merges adjacent duplicated window
+#      starts into maximal spans — one exchange on doc_id; the final
+#      (doc_id, grp) groupBy reuses that partitioning (no 3rd
+#      shuffle, plan-asserted in tests/test_plans.py).
+#
+# At 100 TB: exchanges carry only (doc_id, pos, h) = ~20 B/token, and
+# the h-exchange is the sole corpus-wide shuffle. Hot windows
+# (boilerplate) skew the h partitioning — AQE skew-split handles the
+# count window; they are *kept* (they mark genuinely duplicated text).
+
+_SPAN_W = 8  # window length in tokens; reported spans are >= this
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, k AS pos,
+         {u60_sql("array_to_string(t[k+1 : k+" + str(_SPAN_W) + "], ' ')")} AS h
+  FROM (
+    SELECT doc_id, t, unnest(range(0, len(t) - {_SPAN_W} + 1)) AS k
+    FROM toks WHERE len(t) >= {_SPAN_W}
+  )
+),
+marked AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n FROM wins
+),
+dup AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked WHERE n > 1
+)
+SELECT doc_id,
+       MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + {_SPAN_W} - 1)::BIGINT AS span_end,
+       (MAX(pos) - MIN(pos) + {_SPAN_W})::BIGINT AS span_tokens,
+       COUNT(*)::BIGINT AS n_windows
+FROM dup GROUP BY doc_id, grp
+""",
+    tags=("dedup", "span"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (>= {W} tokens) per document:
+    every rolling {W}-token window hash that occurs more than once in
+    the corpus marks its start position; adjacent marked positions
+    merge into maximal spans (gaps-and-islands). Span extents are in
+    token offsets — [span_start, span_end] inclusive — ready for a
+    span-removal rewrite pass."""
+    from pyspark.sql.window import Window as W
+
+    w = _SPAN_W
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
+    ).filter(F.expr(f"size(t) >= {w}"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {w}), "
+                f"k -> concat_ws(' ', slice(t, k + 1, {w})))"
+            )
+        ).alias("pos", "win"),
+    ).select("doc_id", "pos", u60(F.col("win")).alias("h"))
+    marked = wins.withColumn("n", F.count("*").over(W.partitionBy("h")))
+    dup = marked.filter(F.col("n") > 1).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        dup.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + w - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + w).cast("bigint").alias(
+                "span_tokens"
+            ),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental dedup: new batch probed against the existing corpus
 # --------------------------------------------------------------------------
 

@@ -378,3 +378,21 @@ def test_ivf_probe_prunes_artifact_partitions(spark, sf_dir):
     assert "PartitionFilters" in p
     assert "LessThan(vec_id,5)" in p
     assert "CartesianProduct" not in p
+
+
+def test_substring_spans_two_hash_exchanges_no_python(spark, sf_dir):
+    """dedup_substring_spans' scale contract: ONE corpus-wide exchange
+    on the window hash (count-window form, not groupBy+join-back), one
+    on doc_id for the islands window, and the final (doc_id, grp)
+    aggregate REUSES the doc_id partitioning — no third hash exchange.
+    All codegen: no Python eval in the plan."""
+    p = plan_str(fresh("dedup_substring_spans")(spark, sf_dir))
+    import re
+
+    hashx = re.findall(r"hashpartitioning\((\w+)", p)
+    assert sorted(set(hashx)) == sorted({"h", "doc_id"}), hashx
+    # 3 exchanges total: source spread (round-robin) + the two above
+    assert p.count("+- Exchange") == 3, p.count("+- Exchange")
+    assert "partial_min" in p  # map-side partial aggregation
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "Join" not in p

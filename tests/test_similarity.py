@@ -371,3 +371,51 @@ def test_index_dir_is_collision_free_and_publish_is_atomic(tmp_path):
     assert not os.path.exists(tmp)
     # no leftover trash dirs
     assert [d for d in os.listdir(tmp_path / "art")] == ["current"]
+
+
+def test_substring_spans_are_maximal_and_truly_duplicated(spark, sf_dir):
+    """Every reported span must (a) be >= the window length, (b) not
+    overlap another span of the same doc (maximality), and (c) contain
+    only genuinely duplicated windows — re-derived here from the raw
+    token streams, independently of the operator's hashing."""
+    from streamlit_flink_demo_spark.operators.dedup import _SPAN_W
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    w = _SPAN_W
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", r"regexp_extract_all(lower(text), '\\S+', 0) AS t")
+        .collect()
+    }
+    # corpus-wide window occurrence counts, straight from the text
+    from collections import Counter
+
+    counts = Counter()
+    for t in toks.values():
+        for k in range(len(t) - w + 1):
+            counts[" ".join(t[k : k + w])] += 1
+
+    spans = REG["dedup_substring_spans"].fn(spark, sf_dir).collect()
+    assert spans, "test corpus contains duplicated docs — spans expected"
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_tokens"] >= w
+        assert r["span_end"] - r["span_start"] + 1 == r["span_tokens"]
+        assert r["n_windows"] == r["span_tokens"] - w + 1
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        t = toks[r["doc_id"]]
+        # every window inside the span is duplicated corpus-wide
+        for k in range(r["span_start"], r["span_end"] - w + 2):
+            assert counts[" ".join(t[k : k + w])] > 1, (r["doc_id"], k)
+        # maximality: the windows just outside are NOT duplicated
+        if r["span_start"] > 0:
+            k = r["span_start"] - 1
+            assert counts[" ".join(t[k : k + w])] <= 1
+        if r["span_end"] + 1 < len(t):
+            k = r["span_end"] - w + 2
+            assert counts[" ".join(t[k : k + w])] <= 1
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r["span_start"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["span_end"] < b["span_start"]  # disjoint

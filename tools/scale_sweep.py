@@ -32,6 +32,7 @@ OPS = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_passages",
+    "dedup_substring_spans",
     "dedup_incremental",
     "dedup_connected_clusters",
     "ann_cosine_topk",
