@@ -614,10 +614,11 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 8  # window length in tokens; reported spans are >= this
 
 
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
-WITH toks AS (
+# Shared CTE pipeline for the span family (substring spans + rewrite):
+# the oracle replays the exact Spark pipeline — rolling window hashes,
+# count-window duplication marking, gaps-and-islands span merge.
+_SPAN_CTES = f"""
+toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
 ),
 wins AS (
@@ -635,31 +636,31 @@ dup AS (
   SELECT doc_id, pos,
          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM marked WHERE n > 1
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos)::BIGINT AS span_start,
+         (MAX(pos) + {_SPAN_W} - 1)::BIGINT AS span_end,
+         (MAX(pos) - MIN(pos) + {_SPAN_W})::BIGINT AS span_tokens,
+         COUNT(*)::BIGINT AS n_windows
+  FROM dup GROUP BY doc_id, grp
 )
-SELECT doc_id,
-       MIN(pos)::BIGINT AS span_start,
-       (MAX(pos) + {_SPAN_W} - 1)::BIGINT AS span_end,
-       (MAX(pos) - MIN(pos) + {_SPAN_W})::BIGINT AS span_tokens,
-       COUNT(*)::BIGINT AS n_windows
-FROM dup GROUP BY doc_id, grp
-""",
-    tags=("dedup", "span"),
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated token spans (>= {W} tokens) per document:
-    every rolling {W}-token window hash that occurs more than once in
-    the corpus marks its start position; adjacent marked positions
-    merge into maximal spans (gaps-and-islands). Span extents are in
-    token offsets — [span_start, span_end] inclusive — ready for a
-    span-removal rewrite pass."""
+"""
+
+
+def _duplicated_spans(spark: SparkSession, sf_dir: str):
+    """Shared span pipeline: (toks_all, spans) where toks_all is every
+    doc's token array and spans are the maximal duplicated spans (see
+    dedup_substring_spans for the plan shape)."""
     from pyspark.sql.window import Window as W
 
     w = _SPAN_W
     d = load_spread(spark, sf_dir, "documents")
-    toks = d.select(
+    toks_all = d.select(
         "doc_id",
         F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
-    ).filter(F.expr(f"size(t) >= {w}"))
+    )
+    toks = toks_all.filter(F.expr(f"size(t) >= {w}"))
     wins = toks.select(
         "doc_id",
         F.posexplode(
@@ -675,7 +676,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
     )
-    return (
+    spans = (
         dup.groupBy("doc_id", "grp")
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),
@@ -687,6 +688,155 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+    return toks_all, spans
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH {_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
+""",
+    tags=("dedup", "span"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (>= {W} tokens) per document:
+    every rolling {W}-token window hash that occurs more than once in
+    the corpus marks its start position; adjacent marked positions
+    merge into maximal spans (gaps-and-islands). Span extents are in
+    token offsets — [span_start, span_end] inclusive — ready for a
+    span-removal rewrite pass (dedup_span_rewrite)."""
+    _, spans = _duplicated_spans(spark, sf_dir)
+    return spans
+
+
+@register(
+    "dedup_span_rewrite",
+    oracle=f"""
+WITH {_SPAN_CTES},
+content AS (
+  SELECT s.doc_id, span_start, span_end, span_tokens,
+         {u60_sql("array_to_string(t[span_start+1 : span_end+1], ' ')")} AS chash
+  FROM spans s JOIN toks USING (doc_id)
+),
+removed AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY chash ORDER BY doc_id, span_start
+    ) AS rk FROM content
+  ) WHERE rk > 1
+),
+ranges AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_spans_removed,
+         SUM(span_tokens)::BIGINT AS tokens_removed
+  FROM removed GROUP BY doc_id
+),
+rem_pos AS (
+  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM removed
+),
+pos AS (
+  SELECT doc_id, k AS pos, t[k + 1] AS tok
+  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS k FROM toks)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  ANTI JOIN rem_pos r ON p.doc_id = r.doc_id AND p.pos = r.pos
+),
+clean AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS clean_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS orig_tokens,
+       coalesce(c.clean_tokens, 0)::BIGINT AS clean_tokens,
+       coalesce(r.n_spans_removed, 0)::BIGINT AS n_spans_removed,
+       coalesce(r.tokens_removed, 0)::BIGINT AS tokens_removed,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM toks t
+LEFT JOIN clean c ON t.doc_id = c.doc_id
+LEFT JOIN ranges r ON t.doc_id = r.doc_id
+""",
+    tags=("dedup", "span"),
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite for exact duplicated spans — the cleanup pass
+    C4/RefinedWeb-style pipelines run after span detection: among all
+    occurrences of an IDENTICAL maximal span (same token content, keyed
+    by content hash), the first in corpus order (min doc_id, then min
+    span_start) is kept; every other occurrence is cut from its
+    document. Returns per-doc accounting plus the md5 of the cleaned
+    token stream (the rewrite surface is a hash, not the text — the
+    text-producing variant is the same plan minus the md5).
+
+    Spans whose content matches nothing else verbatim (maximality can
+    differ between docs sharing a shorter run) are kept — removal only
+    ever fires on exact duplicates, so the pass is idempotent and never
+    invents novel token adjacencies beyond span-boundary seams.
+
+    Scale notes: span ranges per doc are aggregated into an array and
+    joined back to the token arrays on doc_id — the ONLY exchange that
+    carries text, and it is inherent (a rewrite must move the text
+    once); the cut itself is a JVM higher-order ``filter`` with a
+    positional lambda over the ranges array (no explode of the corpus
+    into per-token rows, no Python). The oracle replays the cut via
+    explode + anti-join, a formulation DuckDB prefers; both reduce to
+    the same kept-token stream."""
+    toks_all, spans = _duplicated_spans(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    content = (
+        spans.join(toks_all, "doc_id")
+        .withColumn(
+            "chash",
+            u60(
+                F.expr(
+                    "concat_ws(' ', "
+                    "slice(t, cast(span_start + 1 as int), "
+                    "cast(span_tokens as int)))"
+                )
+            ),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "chash")
+    )
+    removed = (
+        content.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("chash").orderBy("doc_id", "span_start")
+            ),
+        )
+        .filter(F.col("rk") > 1)
+    )
+    ranges = removed.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans_removed"),
+        F.sum("span_tokens").alias("tokens_removed"),
+        F.collect_list(F.struct("span_start", "span_end")).alias("rs"),
+    )
+    out = (
+        toks_all.join(ranges, "doc_id", "left")
+        .withColumn(
+            "clean_t",
+            F.expr(
+                "filter(t, (tok, i) -> rs IS NULL OR NOT exists(rs, "
+                "r -> i >= r.span_start AND i <= r.span_end))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("orig_tokens"),
+            F.size("clean_t").cast("bigint").alias("clean_tokens"),
+            F.coalesce(F.col("n_spans_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_removed"),
+            F.coalesce(F.col("tokens_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.md5(F.concat_ws(" ", "clean_t")).alias("clean_md5"),
+        )
+    )
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -396,3 +396,20 @@ def test_substring_spans_two_hash_exchanges_no_python(spark, sf_dir):
     assert "partial_min" in p  # map-side partial aggregation
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_span_rewrite_no_python_no_cartesian(spark, sf_dir):
+    """dedup_span_rewrite cuts spans with a JVM higher-order filter
+    (positional lambda over the ranges array): no Python eval, no
+    cartesian, and the only text-carrying exchange is the doc_id join
+    of token arrays to removal ranges (inherent to a rewrite)."""
+    p = plan_str(fresh("dedup_span_rewrite")(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+
+    assert sorted(set(re.findall(r"hashpartitioning\((\w+)", p))) == [
+        "chash",
+        "doc_id",
+        "h",
+    ]

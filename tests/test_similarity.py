@@ -419,3 +419,51 @@ def test_substring_spans_are_maximal_and_truly_duplicated(spark, sf_dir):
         rs.sort(key=lambda r: r["span_start"])
         for a, b in zip(rs, rs[1:]):
             assert a["span_end"] < b["span_start"]  # disjoint
+
+
+def test_span_rewrite_accounting_and_independent_recompute(spark, sf_dir):
+    """dedup_span_rewrite: (a) per-doc token accounting closes
+    (orig - removed == clean), (b) an independent Python recompute of
+    the keep-first-occurrence rule over the operator's own spans
+    reproduces every doc's cleaned md5, (c) exactly one occurrence of
+    each duplicated span content survives removal."""
+    import hashlib
+
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", r"regexp_extract_all(lower(text), '\\S+', 0) AS t")
+        .collect()
+    }
+    spans = REG["dedup_substring_spans"].fn(spark, sf_dir).collect()
+    # rank occurrences of identical content; every non-first is removed
+    by_content: dict[str, list] = {}
+    for s in spans:
+        content = " ".join(
+            toks[s["doc_id"]][s["span_start"] : s["span_end"] + 1]
+        )
+        by_content.setdefault(content, []).append(s)
+    removed: dict[int, list] = {}
+    for content, occ in by_content.items():
+        occ.sort(key=lambda s: (s["doc_id"], s["span_start"]))
+        for s in occ[1:]:
+            removed.setdefault(s["doc_id"], []).append(s)
+    assert any(len(o) > 1 for o in by_content.values())  # fixture has dups
+
+    rows = {r["doc_id"]: r for r in REG["dedup_span_rewrite"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(toks)
+    for doc_id, r in rows.items():
+        assert r["orig_tokens"] - r["tokens_removed"] == r["clean_tokens"]
+        cut = {
+            k
+            for s in removed.get(doc_id, [])
+            for k in range(s["span_start"], s["span_end"] + 1)
+        }
+        kept = [t for i, t in enumerate(toks[doc_id]) if i not in cut]
+        assert r["clean_tokens"] == len(kept)
+        assert r["n_spans_removed"] == len(removed.get(doc_id, []))
+        assert (
+            hashlib.md5(" ".join(kept).encode()).hexdigest() == r["clean_md5"]
+        ), doc_id

@@ -33,6 +33,7 @@ OPS = (
     "dedup_ngram_jaccard",
     "dedup_passages",
     "dedup_substring_spans",
+    "dedup_span_rewrite",
     "dedup_incremental",
     "dedup_connected_clusters",
     "ann_cosine_topk",
