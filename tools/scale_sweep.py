@@ -27,6 +27,7 @@ sys.path.insert(0, REPO)
 OPS = (
     "text_quality_stats",
     "text_fingerprint",
+    "multimodal_video_keyframes",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
