@@ -634,8 +634,22 @@ marked AS (
 ),
 dup AS (
   SELECT doc_id, pos,
-         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
   FROM marked WHERE n > 1
+),
+isl AS (
+  -- coverage islands: window at pos covers [pos, pos+W-1]; a new
+  -- island starts only when the previous duplicated window's coverage
+  -- ends strictly before this one begins (gap > W). Start-adjacency
+  -- (pos - prev == 1) is NOT enough: starts 0 and 2 with W=8 produce
+  -- overlapping coverage, and overlapping "maximal" spans would
+  -- double-count tokens in the rewrite's accounting.
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM dup
 ),
 spans AS (
   SELECT doc_id,
@@ -643,23 +657,30 @@ spans AS (
          (MAX(pos) + {_SPAN_W} - 1)::BIGINT AS span_end,
          (MAX(pos) - MIN(pos) + {_SPAN_W})::BIGINT AS span_tokens,
          COUNT(*)::BIGINT AS n_windows
-  FROM dup GROUP BY doc_id, grp
+  FROM isl GROUP BY doc_id, grp
 )
 """
 
 
 def _duplicated_spans(spark: SparkSession, sf_dir: str):
     """Shared span pipeline: (toks_all, spans) where toks_all is every
-    doc's token array and spans are the maximal duplicated spans (see
-    dedup_substring_spans for the plan shape)."""
-    from pyspark.sql.window import Window as W
-
-    w = _SPAN_W
+    doc's token array and spans are the maximal duplicated-coverage
+    regions (see dedup_substring_spans for the plan shape)."""
     d = load_spread(spark, sf_dir, "documents")
     toks_all = d.select(
         "doc_id",
         F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
     )
+    return toks_all, duplicated_spans_over(toks_all)
+
+
+def duplicated_spans_over(toks_all: DataFrame) -> DataFrame:
+    """Span pipeline over a (doc_id, t) token-array frame — separated
+    from the table load so synthetic corpora can drive edge-case tests
+    (e.g. the overlapping-coverage counterexample)."""
+    from pyspark.sql.window import Window as W
+
+    w = _SPAN_W
     toks = toks_all.filter(F.expr(f"size(t) >= {w}"))
     wins = toks.select(
         "doc_id",
@@ -671,10 +692,23 @@ def _duplicated_spans(spark: SparkSession, sf_dir: str):
         ).alias("pos", "win"),
     ).select("doc_id", "pos", u60(F.col("win")).alias("h"))
     marked = wins.withColumn("n", F.count("*").over(W.partitionBy("h")))
-    dup = marked.filter(F.col("n") > 1).withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    # Coverage islands (NOT start-adjacency): window at pos covers
+    # [pos, pos+W-1], so islands break only when the gap between
+    # consecutive duplicated starts exceeds W — start-adjacency
+    # grouping (pos - row_number) emits OVERLAPPING spans for starts
+    # 2..W-1 apart, which double-counts tokens in the rewrite.
+    byd = W.partitionBy("doc_id").orderBy("pos")
+    dup = (
+        marked.filter(F.col("n") > 1)
+        .withColumn("prev", F.lag("pos").over(byd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > w),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("grp", F.sum("brk").over(byd.rowsBetween(W.unboundedPreceding, 0)))
     )
     spans = (
         dup.groupBy("doc_id", "grp")
@@ -688,7 +722,7 @@ def _duplicated_spans(spark: SparkSession, sf_dir: str):
         )
         .drop("grp")
     )
-    return toks_all, spans
+    return spans
 
 
 @register(
@@ -700,12 +734,18 @@ SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
     tags=("dedup", "span"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated token spans (>= {W} tokens) per document:
-    every rolling {W}-token window hash that occurs more than once in
-    the corpus marks its start position; adjacent marked positions
-    merge into maximal spans (gaps-and-islands). Span extents are in
-    token offsets — [span_start, span_end] inclusive — ready for a
-    span-removal rewrite pass (dedup_span_rewrite)."""
+    """Maximal duplicated-coverage regions (>= {W} tokens) per
+    document: every rolling {W}-token window hash that occurs more
+    than once in the corpus marks its start; marked starts whose
+    coverage intervals [pos, pos+W-1] touch or overlap (gap <= W)
+    merge into one region, so every token in [span_start, span_end]
+    belongs to at least one duplicated {W}-window and regions are
+    guaranteed DISJOINT per doc. (A region is duplicated coverage, not
+    necessarily one verbatim substring — two overlapping runs
+    duplicated against different sources merge; the rewrite pass only
+    ever removes regions whose full content matches verbatim
+    elsewhere, so merging is conservative.) Extents are token offsets,
+    inclusive, ready for dedup_span_rewrite."""
     _, spans = _duplicated_spans(spark, sf_dir)
     return spans
 

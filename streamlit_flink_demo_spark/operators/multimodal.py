@@ -112,10 +112,16 @@ SELECT doc_id,{_decode_oracle_sql(
 FROM base
 """
 
+# BYTE-exact (see _KEYFRAME_ORACLE note): windows are slices of the
+# UTF-8 byte stream, expressed as substrings of hex(encode(text)) — 2
+# hex chars per byte — and frame_md5 hashes that hex rendering (DuckDB
+# has no md5(BLOB)). Character-based substring(text, ...) silently
+# diverges from the operator's byte windows on multi-byte documents.
 _FRAME_SAMPLE_ORACLE = """
 WITH base AS (
-  SELECT doc_id, text, length(text) AS n,
-         least(4, greatest(length(text)//64, 1)) AS n_frames
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         least(4, greatest(octet_length(encode(text))//64, 1)) AS n_frames
   FROM documents
 ),
 idx AS (SELECT 0 AS frame_idx UNION ALL SELECT 1
@@ -123,9 +129,9 @@ idx AS (SELECT 0 AS frame_idx UNION ALL SELECT 1
 SELECT doc_id,
        idx.frame_idx::INT AS frame_idx,
        n_frames::INT AS n_frames,
-       hex(encode(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames)))
+       substring(hx, idx.frame_idx*(n//n_frames)*2 + 1, (n//n_frames)*2)
          AS frame_hex,
-       md5(substring(text, (idx.frame_idx*(n//n_frames))+1, n//n_frames))
+       md5(substring(hx, idx.frame_idx*(n//n_frames)*2 + 1, (n//n_frames)*2))
          AS frame_md5
 FROM base JOIN idx ON idx.frame_idx < base.n_frames
 """
@@ -371,17 +377,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver surface hex-encodes the frame bytes (``frame_hex``):
     raw binary crashes pandas-based result canonicalizers
     (``bytearray`` is unhashable — the CORRECTNESS_r04 harness
-    failure), and a comparison surface should be text anyway. The
-    internal API (``sample_frames_batch``) still returns real binary."""
+    failure), and a comparison surface should be text anyway; the
+    surface ``frame_md5`` hashes that hex rendering so the oracle is
+    byte-exact on multi-byte documents (DuckDB has no md5(BLOB)). The
+    internal API (``sample_frames_batch``) still returns real binary
+    with raw-byte md5s."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
+    hx = F.hex("frame")
     return sample_frames_batch(d, fake=True).select(
         "doc_id",
         "frame_idx",
         "n_frames",
-        F.hex("frame").alias("frame_hex"),
-        "frame_md5",
+        hx.alias("frame_hex"),
+        F.md5(hx).alias("frame_md5"),
     )
 
 
@@ -394,10 +404,17 @@ KEYFRAME_SCHEMA = (
     "frame_md5 string"
 )
 
+# BYTE-exact oracle: windowing is over the UTF-8 byte stream, and
+# DuckDB has neither blob slicing nor md5(BLOB) — so both engines hash
+# the uppercase-hex RENDERING of each byte window, which a VARCHAR
+# substring over hex(encode(text)) expresses exactly (2 hex chars per
+# byte). A character-based length(text)/substring oracle silently
+# diverges on any multi-byte document.
 _KEYFRAME_ORACLE = """
 WITH base AS (
-  SELECT doc_id, text, length(text) AS n,
-         least(4, greatest(length(text)//256, 1)) AS n_kf
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         least(4, greatest(octet_length(encode(text))//256, 1)) AS n_kf
   FROM documents
 ),
 idx AS (SELECT 0 AS kf_idx UNION ALL SELECT 1
@@ -406,7 +423,7 @@ SELECT doc_id,
        idx.kf_idx::INT AS kf_idx,
        n_kf::INT AS n_keyframes,
        (idx.kf_idx * (n // n_kf) * 40)::BIGINT AS pts_ms,
-       md5(substring(text, idx.kf_idx*(n//n_kf) + 1, 16)) AS frame_md5
+       md5(substring(hx, idx.kf_idx*(n//n_kf)*2 + 1, 32)) AS frame_md5
 FROM base JOIN idx ON idx.kf_idx < base.n_kf
 """
 
@@ -474,6 +491,12 @@ def video_keyframes_batch(
                         if len(out) >= max_frames:
                             break
                 return out
+            # Fake tier hashes the UPPERCASE-HEX rendering of each
+            # 16-byte window: DuckDB has no md5(BLOB), so the oracle
+            # hashes a substring of hex(encode(text)) — byte-exact for
+            # any UTF-8 content including multi-byte characters. (The
+            # real pyav tier hashes raw plane bytes — tier-internal
+            # contract, not oracle-checked.)
             if not data:
                 return [(0, _hl.md5(b"").hexdigest())]
             n = len(data)
@@ -483,7 +506,8 @@ def video_keyframes_batch(
             for i in range(n_kf):
                 pos = i * stride
                 window = data[pos : pos + 16]
-                out.append((pos * 40, _hl.md5(window).hexdigest()))
+                digest = _hl.md5(window.hex().upper().encode()).hexdigest()
+                out.append((pos * 40, digest))
             return out
 
         for pdf in batches:

@@ -308,20 +308,64 @@ def _index_dir(kind: str, sf_dir: str) -> str:
 
 
 def _publish_artifact(tmp: str, out: str) -> None:
-    """Atomically publish a fully-built artifact dir: the data and
-    meta.json are staged under ``tmp`` and swapped in with rename, so a
-    concurrent reader sees the old complete artifact or the new
-    complete one — never a data directory whose meta.json describes
-    different data (the hazard when bench --force and a pytest build
-    interleave their two writes)."""
+    """Atomically publish a fully-built artifact dir via SYMLINK swap:
+    the staged ``tmp`` dir is renamed to a versioned sibling and
+    ``out`` (a symlink) is atomically repointed with os.replace, so a
+    reader opening ``out`` sees the old complete artifact or the new
+    complete one at every instant — never a missing path, never a data
+    directory whose meta.json describes different data. Writer-writer
+    races (bench --force vs a pytest build sharing .artifacts) are
+    serialized by an flock: directory-over-directory os.replace raises
+    ENOTEMPTY for the loser, and last-completed-build-wins requires the
+    swap sequence to be exclusive. The previous version's directory is
+    removed after the swap (a reader mid-scan on the old version is the
+    same already-accepted hazard as any cache eviction; open file
+    handles keep their data on POSIX)."""
+    import contextlib
+    import fcntl
     import shutil
+    import uuid
 
-    trash = f"{out}.old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(out):
-        os.rename(out, trash)
-    os.replace(tmp, out)
-    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            versioned = f"{out}.v-{uuid.uuid4().hex[:12]}"
+            os.rename(tmp, versioned)
+            old_target = None
+            if os.path.islink(out):
+                old_target = os.path.realpath(out)
+            elif os.path.isdir(out):
+                # legacy real-dir artifact from before the symlink
+                # scheme: move it aside (brief absence only during this
+                # one-time migration, and only under the lock)
+                old_target = f"{out}.old-{uuid.uuid4().hex[:12]}"
+                os.rename(out, old_target)
+            link_tmp = f"{out}.lnk-{uuid.uuid4().hex[:12]}"
+            os.symlink(versioned, link_tmp)
+            os.replace(link_tmp, out)  # atomic even over an old symlink
+            if old_target and os.path.isdir(old_target):
+                shutil.rmtree(old_target, ignore_errors=True)
+            # sweep crash debris: .v-/.old- siblings that are not the
+            # live target (a publish that died between stage and swap).
+            # .tmp- dirs are NOT swept — a concurrent builder may be
+            # mid-write to its staging dir without holding the lock.
+            base = os.path.basename(out)
+            live = os.path.realpath(out)
+            for name in os.listdir(os.path.dirname(out)):
+                p = os.path.join(os.path.dirname(out), name)
+                if (
+                    (
+                        name.startswith(base + ".v-")
+                        or name.startswith(base + ".old-")
+                    )
+                    and os.path.isdir(p)
+                    and os.path.realpath(p) != live
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+        finally:
+            with contextlib.suppress(OSError):
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:

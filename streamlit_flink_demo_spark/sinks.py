@@ -106,6 +106,27 @@ class IdempotentParquetSink:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_commits.json")
 
+    def _manifest_lock(self):
+        """Advisory flock serializing manifest read-modify-write
+        cycles ACROSS sink instances and processes: the live sink's
+        commit and compact_sink's repoint both mutate the manifest,
+        and an unlocked interleaving (compaction rewrites batch_ids
+        from a stale read) would silently dereference a batch the
+        stream committed mid-compaction."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def lock():
+            with open(os.path.join(self.path, "_commits.lock"), "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return lock()
+
     def _read_manifest(self) -> dict:
         """Manifest: ``batch_ids`` (live streaming batches),
         ``compactions`` (live compaction generations — a DISJOINT id
@@ -154,8 +175,13 @@ class IdempotentParquetSink:
                 os.path.join(self.path, f"batch_id={batch_id}")
             )
         )
-        m["batch_ids"].append(batch_id)
-        self._write_manifest(m)
+        with self._manifest_lock():
+            # re-read under the lock: a concurrent compaction may have
+            # repointed the manifest while this batch was writing.
+            m = self._read_manifest()
+            if batch_id not in m["batch_ids"] and batch_id > m["watermark"]:
+                m["batch_ids"].append(batch_id)
+                self._write_manifest(m)
 
     def _data_dirs(self) -> list[str]:
         """Every live data directory: compactions first (older rows),
@@ -218,15 +244,31 @@ def compact_sink(
     final = os.path.join(path, f"compact={new_gen}")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp_dir, final)
-    sink._write_manifest(
-        {
-            "batch_ids": [],
-            "compactions": [new_gen],
-            "watermark": max(
-                [m["watermark"]] + m["batch_ids"]
-            ),
-        }
-    )
+    folded_batches = set(m["batch_ids"])
+    folded_compactions = set(m["compactions"])
+    with sink._manifest_lock():
+        # Repoint under the manifest lock, CARRYING OVER anything the
+        # live sink committed while the compacted file was being
+        # written: only what this compaction actually folded (the
+        # snapshot read above) leaves batch_ids — a blind
+        # `batch_ids: []` rewrite would silently dereference a batch
+        # committed mid-compaction (data dir present, never replayed,
+        # invisible forever).
+        now = sink._read_manifest()
+        sink._write_manifest(
+            {
+                "batch_ids": [
+                    b for b in now["batch_ids"] if b not in folded_batches
+                ],
+                "compactions": [new_gen]
+                + [
+                    c
+                    for c in now["compactions"]
+                    if c not in folded_compactions
+                ],
+                "watermark": max([now["watermark"]] + m["batch_ids"]),
+            }
+        )
     for d in src_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(src_dirs)

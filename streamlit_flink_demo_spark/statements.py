@@ -393,6 +393,7 @@ class StatementsService:
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")
             snap_warn = os.environ.get("SPARK_GRAFT_SNAPSHOT_KEY_WARN")
             snap_cap = os.environ.get("SPARK_GRAFT_SNAPSHOT_KEY_CAP")
+            plan_stateful = _stream_plan_stateful(df)
             stmt.emitter = ChangelogEmitter(
                 stmt.columns,
                 keys,
@@ -403,7 +404,7 @@ class StatementsService:
                     int(keyless_cap) if keyless_cap else 10_000
                 ),
                 keyed_batch_cap=(int(keyed_cap) if keyed_cap else None),
-                plan_stateful=_stream_plan_stateful(df),
+                plan_stateful=plan_stateful,
                 snapshot_key_warn=(
                     int(snap_warn) if snap_warn else 100_000
                 ),
@@ -418,24 +419,14 @@ class StatementsService:
             # with ``sink.read_committed``.
             sink_path = props.get("sink.path")
             if sink_path:
-                if _stream_plan_stateful(df):
-                    # File materialization is append-only (an immutable
-                    # parquet batch can't retract rows); a stateful
-                    # plan (agg/dedup/stream-stream join) needs update
-                    # mode. Fail the statement with a targeted message
-                    # instead of letting Spark throw a generic
-                    # AnalysisException at start.
-                    stmt.phase = PHASE_FAILED
-                    stmt.error = (
-                        "sink.path materialization is append-only, but "
-                        "this statement's plan is stateful (aggregation/"
-                        "deduplication/stream-stream join) and would "
-                        "need to retract previously written rows. Drop "
-                        "sink.path to stream it through the changelog "
-                        "emitter (update mode), or restrict the "
-                        "statement to a stateless projection/filter."
-                    )
-                    return stmt.envelope()
+                # NOTE: no pre-emptive stateful rejection here —
+                # _stream_plan_stateful is deliberately pessimistic
+                # (stream-static joins, static-side aggregates, and any
+                # introspection failure all flag True), which is safe
+                # for the emitter's consume-path choice but would
+                # hard-fail statements that materialize fine in append
+                # mode. Spark's own start() is the authority; its
+                # failure is mapped to a targeted error below.
                 from streamlit_flink_demo_spark.sinks import (
                     IdempotentParquetSink,
                 )
@@ -516,7 +507,24 @@ class StatementsService:
                 stmt.phase = PHASE_RUNNING
             except Exception as ex:
                 stmt.phase = PHASE_FAILED
-                stmt.error = str(ex)
+                msg = str(ex)
+                if sink_path and (
+                    "Append output mode not supported" in msg
+                    or "OUTPUT_MODE" in msg.upper()
+                ):
+                    # Targeted error for the append-only file sink: an
+                    # aggregating/stateful statement needs update mode,
+                    # which immutable parquet batches cannot express.
+                    msg = (
+                        "sink.path materialization is append-only, but "
+                        "this statement's plan needs to retract or "
+                        "update previously written rows (streaming "
+                        "aggregation/dedup). Drop sink.path to stream "
+                        "it through the changelog emitter (update "
+                        "mode), or restrict the statement to a "
+                        "projection/filter. Underlying error: " + msg
+                    )
+                stmt.error = msg
                 _drop_tmp_ckpt(stmt)  # failed start leaves no tmpfs debris
         else:
             def run_batch() -> None:

@@ -136,7 +136,11 @@ def test_fake_video_keyframes_contract(spark):
     for r in rows:
         pos = r.kf_idx * stride
         assert r.pts_ms == pos * 40
-        assert r.frame_md5 == hashlib.md5(data[pos : pos + 16]).hexdigest()
+        # fake tier hashes the uppercase-hex rendering (oracle
+        # byte-exactness without DuckDB md5(BLOB))
+        assert r.frame_md5 == hashlib.md5(
+            data[pos : pos + 16].hex().upper().encode()
+        ).hexdigest()
 
 
 def test_fake_video_keyframes_short_blob_single_frame(spark):
@@ -190,3 +194,55 @@ def test_real_video_keyframes_with_pyav(spark):
     assert rows
     assert all(r.frame_md5 and len(r.frame_md5) == 32 for r in rows)
     assert sorted(r.kf_idx for r in rows) == list(range(len(rows)))
+
+
+def test_binary_window_oracles_are_byte_exact_on_multibyte_text(spark):
+    """Regression: the keyframe/frame-sample oracles must window the
+    UTF-8 BYTE stream, not characters — a corpus with multi-byte
+    characters (é, 中, emoji) must still hash-match DuckDB."""
+    import duckdb
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        _FRAME_SAMPLE_ORACLE,
+        _KEYFRAME_ORACLE,
+        sample_frames_batch,
+        video_keyframes_batch,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        (0, "héllo wörld " * 40),          # 2-byte chars sprinkled
+        (1, "中文文本" * 100),               # 3-byte chars only
+        (2, "plain ascii text " * 30),      # control
+        (3, "mixed 🚀 emoji ascii " * 25),  # 4-byte chars
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        texts, columns=["doc_id", "text"]
+    ))
+
+    blob = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    for op_df, oracle, cols in (
+        (
+            video_keyframes_batch(blob),
+            _KEYFRAME_ORACLE,
+            ["doc_id", "kf_idx", "n_keyframes", "pts_ms", "frame_md5"],
+        ),
+        (
+            sample_frames_batch(blob).select(
+                "doc_id",
+                "frame_idx",
+                "n_frames",
+                F.hex("frame").alias("frame_hex"),
+                F.md5(F.hex("frame")).alias("frame_md5"),
+            ),
+            _FRAME_SAMPLE_ORACLE,
+            ["doc_id", "frame_idx", "n_frames", "frame_hex", "frame_md5"],
+        ),
+    ):
+        got = sorted(tuple(r[c] for c in cols) for r in op_df.collect())
+        want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert got == want

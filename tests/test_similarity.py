@@ -108,9 +108,10 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r)
         # Driver surface is hex text (raw binary crashes pandas-based
-        # canonicalizers); md5 must match the decoded bytes.
+        # canonicalizers); surface md5 hashes the hex rendering so the
+        # oracle stays byte-exact without DuckDB md5(BLOB).
         assert isinstance(r["frame_hex"], str)
-        assert hashlib.md5(bytes.fromhex(r["frame_hex"])).hexdigest() == r["frame_md5"]
+        assert hashlib.md5(r["frame_hex"].encode()).hexdigest() == r["frame_md5"]
     for doc, frs in per_doc.items():
         n = frs[0]["n_frames"]
         assert 1 <= n <= 4 and len(frs) == n
@@ -341,8 +342,10 @@ def test_ivf_artifact_probe_equals_inline_pipeline(spark, sf_dir):
 
 def test_index_dir_is_collision_free_and_publish_is_atomic(tmp_path):
     """Distinct source dirs must map to distinct artifact dirs (the old
-    os.sep→'_' flattening collided /x/sf0_1 with /x/sf0/1), and
-    _publish_artifact must leave only a complete artifact behind."""
+    os.sep->'_' flattening collided /x/sf0_1 with /x/sf0/1), and
+    _publish_artifact must swap a symlink so the artifact path resolves
+    to a complete (data + matching meta.json) version at every instant,
+    survive repeated publishes, and sweep superseded versions."""
     import json
     import os
 
@@ -351,33 +354,47 @@ def test_index_dir_is_collision_free_and_publish_is_atomic(tmp_path):
     a = str(tmp_path / "sf0_1")
     b = str(tmp_path / "sf0" / "1")
     assert sim._index_dir("lsh_topk", a) != sim._index_dir("lsh_topk", b)
-    # same input → same dir (cache key stability)
     assert sim._index_dir("lsh_topk", a) == sim._index_dir("lsh_topk", a)
 
     out = str(tmp_path / "art" / "current")
-    # pre-existing (stale) artifact
+
+    def stage(fp):
+        tmp = f"{out}.tmp-{fp}"
+        os.makedirs(os.path.join(tmp, "data"))
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"fingerprint": fp}, fh)
+        return tmp
+
+    # legacy real-dir artifact migrates cleanly
     os.makedirs(out)
-    (tmp_path / "art" / "current" / "meta.json").write_text(
-        json.dumps({"fingerprint": "old"})
-    )
-    tmp = out + ".tmp-1234"
-    os.makedirs(os.path.join(tmp, "data"))
-    (tmp_path / "art" / (os.path.basename(tmp)) / "meta.json").write_text(
-        json.dumps({"fingerprint": "new"})
-    )
-    sim._publish_artifact(tmp, out)
-    assert json.load(open(os.path.join(out, "meta.json")))["fingerprint"] == "new"
+    with open(os.path.join(out, "meta.json"), "w") as fh:
+        json.dump({"fingerprint": "legacy"}, fh)
+    sim._publish_artifact(stage("v1"), out)
+    assert os.path.islink(out)
+    assert json.load(open(os.path.join(out, "meta.json")))["fingerprint"] == "v1"
     assert os.path.isdir(os.path.join(out, "data"))
-    assert not os.path.exists(tmp)
-    # no leftover trash dirs
-    assert [d for d in os.listdir(tmp_path / "art")] == ["current"]
 
+    # second publish repoints and sweeps the superseded version
+    sim._publish_artifact(stage("v2"), out)
+    assert json.load(open(os.path.join(out, "meta.json")))["fingerprint"] == "v2"
+    versions = [
+        d
+        for d in os.listdir(tmp_path / "art")
+        if d.startswith("current.v-")
+    ]
+    assert len(versions) == 1  # only the live version remains
+    # no leftover tmp/old/link debris beyond the lock file
+    leftover = sorted(os.listdir(tmp_path / "art"))
+    assert leftover == sorted(["current", "current.lock"] + versions)
 
-def test_substring_spans_are_maximal_and_truly_duplicated(spark, sf_dir):
-    """Every reported span must (a) be >= the window length, (b) not
-    overlap another span of the same doc (maximality), and (c) contain
-    only genuinely duplicated windows — re-derived here from the raw
-    token streams, independently of the operator's hashing."""
+def test_substring_spans_exact_independent_recompute(spark, sf_dir):
+    """Exact recompute of the span operator from raw token streams:
+    mark duplicated window starts corpus-wide, merge starts whose
+    coverage touches (gap <= W), and compare the resulting region set
+    (extents + n_windows) to the operator output EXACTLY. Also pins
+    disjointness and coverage-maximality."""
+    from collections import Counter
+
     from streamlit_flink_demo_spark.operators.dedup import _SPAN_W
     from streamlit_flink_demo_spark.sources.catalog import load_table
 
@@ -388,37 +405,71 @@ def test_substring_spans_are_maximal_and_truly_duplicated(spark, sf_dir):
         .selectExpr("doc_id", r"regexp_extract_all(lower(text), '\\S+', 0) AS t")
         .collect()
     }
-    # corpus-wide window occurrence counts, straight from the text
-    from collections import Counter
-
     counts = Counter()
     for t in toks.values():
         for k in range(len(t) - w + 1):
             counts[" ".join(t[k : k + w])] += 1
+    expect = set()
+    for doc_id, t in toks.items():
+        marked = [
+            k
+            for k in range(len(t) - w + 1)
+            if counts[" ".join(t[k : k + w])] > 1
+        ]
+        if not marked:
+            continue
+        start, prev, n = marked[0], marked[0], 1
+        for k in marked[1:]:
+            if k - prev > w:
+                expect.add((doc_id, start, prev + w - 1, n))
+                start, n = k, 0
+            prev = k
+            n += 1
+        expect.add((doc_id, start, prev + w - 1, n))
 
-    spans = REG["dedup_substring_spans"].fn(spark, sf_dir).collect()
-    assert spans, "test corpus contains duplicated docs — spans expected"
+    got = set()
     per_doc: dict[int, list] = {}
-    for r in spans:
-        assert r["span_tokens"] >= w
-        assert r["span_end"] - r["span_start"] + 1 == r["span_tokens"]
-        assert r["n_windows"] == r["span_tokens"] - w + 1
+    for r in REG["dedup_substring_spans"].fn(spark, sf_dir).collect():
+        got.add((r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]))
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1 >= w
         per_doc.setdefault(r["doc_id"], []).append(r)
-        t = toks[r["doc_id"]]
-        # every window inside the span is duplicated corpus-wide
-        for k in range(r["span_start"], r["span_end"] - w + 2):
-            assert counts[" ".join(t[k : k + w])] > 1, (r["doc_id"], k)
-        # maximality: the windows just outside are NOT duplicated
-        if r["span_start"] > 0:
-            k = r["span_start"] - 1
-            assert counts[" ".join(t[k : k + w])] <= 1
-        if r["span_end"] + 1 < len(t):
-            k = r["span_end"] - w + 2
-            assert counts[" ".join(t[k : k + w])] <= 1
+    assert got == expect and got  # exact match; fixture has dup spans
     for doc, rs in per_doc.items():
         rs.sort(key=lambda r: r["span_start"])
         for a, b in zip(rs, rs[1:]):
-            assert a["span_end"] < b["span_start"]  # disjoint
+            assert a["span_end"] < b["span_start"]  # disjoint per doc
+
+
+def test_substring_spans_overlap_counterexample(spark):
+    """Regression for the start-adjacency islands bug: duplicated
+    window starts 2 apart (coverage overlapping, gap < W) must merge
+    into ONE region, never two overlapping "maximal" spans. Corpus:
+    doc 2 = x0..x9; doc 0 = x0..x7 (dups windows at start 0); doc 1 =
+    x2..x9 (dups window at start 2); window at start 1 of doc 2 is
+    unique."""
+    from streamlit_flink_demo_spark.operators.dedup import (
+        _SPAN_W,
+        duplicated_spans_over,
+    )
+
+    w = _SPAN_W
+    xs = [f"x{i}" for i in range(w + 2)]  # x0..x9 for W=8
+    docs = [
+        (0, xs[: w]),        # x0..x7
+        (1, xs[2 : w + 2]),  # x2..x9
+        (2, xs),             # x0..x9 — starts 0 and 2 duplicated, 1 not
+    ]
+    toks = spark.createDataFrame(
+        [(d, t) for d, t in docs], "doc_id long, t array<string>"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans_over(toks).collect()
+    }
+    assert spans[0] == (0, w - 1, 1)
+    assert spans[1] == (0, w - 1, 1)
+    # ONE merged region covering the whole doc, built from 2 windows
+    assert spans[2] == (0, w + 1, 2)
 
 
 def test_span_rewrite_accounting_and_independent_recompute(spark, sf_dir):

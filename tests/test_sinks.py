@@ -265,3 +265,47 @@ def test_compact_sink_preserves_rows_and_stays_readable(spark, tmp_path):
         "watermark": 5,
     }
     assert len(sink.read_committed(spark).collect()) == len(before) + 1
+
+
+def test_compact_sink_carries_over_mid_compaction_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A batch the live sink commits WHILE compaction is writing the
+    consolidated file must survive the manifest repoint (the blind
+    batch_ids=[] rewrite dereferenced it: data dir present, invisible
+    forever, never replayed). The hook commits batch 3 between
+    compaction's snapshot read and its write."""
+    # Spark 4: patch the CONCRETE class (pyspark.sql.DataFrame is the
+    # abstract base; compact_sink's df is a classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from streamlit_flink_demo_spark.sinks import (
+        IdempotentParquetSink,
+        compact_sink,
+    )
+
+    out = str(tmp_path / "out")
+    sink = IdempotentParquetSink(out)
+    for b in range(3):
+        sink(
+            spark.createDataFrame([(b, f"v{b}")], "id long, v string"), b
+        )
+    orig = DataFrame.coalesce
+    fired = []
+
+    def hooked(self, n):
+        if not fired:
+            fired.append(True)
+            sink(
+                spark.createDataFrame([(99, "late")], "id long, v string"),
+                3,
+            )
+        return orig(self, n)
+
+    monkeypatch.setattr(DataFrame, "coalesce", hooked)
+    assert compact_sink(spark, out, target_partitions=1) == 3
+    m = sink._read_manifest()
+    assert m["batch_ids"] == [3]  # carried over, not dereferenced
+    assert m["compactions"] == [0] and m["watermark"] == 2
+    rows = sorted((r["id"], r["v"]) for r in sink.read_committed(spark).collect())
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2"), (99, "late")]

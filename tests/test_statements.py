@@ -393,10 +393,14 @@ def test_sink_statement_restart_recovery_exactly_once(spark, tmp_path):
     svc.stop(env["name"])
 
 
-def test_sink_path_rejects_stateful_plan(spark, tmp_path):
-    """sink.path materialization is append-only; a stateful statement
-    (GROUP BY) must fail at create with a targeted message, not a
-    generic AnalysisException from Spark's start()."""
+def test_sink_path_rejects_stateful_plan_with_targeted_error(
+    spark, tmp_path
+):
+    """sink.path materialization is append-only; an aggregating
+    statement must fail with a TARGETED message (mapped from Spark's
+    own start() rejection — not a pre-emptive plan sniff, which would
+    also reject stateless stream-static joins the pessimistic
+    _stream_plan_stateful helper flags)."""
     import os
 
     from streamlit_flink_demo_spark.sources.stream_fixtures import user_stream
@@ -414,3 +418,40 @@ def test_sink_path_rejects_stateful_plan(spark, tmp_path):
     assert env["status"]["phase"].lower() == "failed"
     assert "append-only" in svc._statements[env["name"]].error
     assert "sink.path" in svc._statements[env["name"]].error
+
+
+def test_sink_path_allows_stream_static_join(spark, tmp_path):
+    """A stream-static join is stateless and append-safe even though
+    the pessimistic plan sniff flags it — sink.path must accept it
+    and materialize rows (regression for the round-5 pre-emptive
+    rejection)."""
+    import os
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import (
+        user_row,
+        user_stream,
+        write_user_batch,
+    )
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spark.createDataFrame(
+        [("blue", 1), ("brown", 2), ("green", 3)], "color string, rank int"
+    ).createOrReplaceTempView("eye_dim")
+    user_stream(spark, spool).createOrReplaceTempView("user_ss_join")
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT u.guid, u.eyeColor, d.rank FROM user_ss_join u "
+        "JOIN eye_dim d ON u.eyeColor = d.color",
+        properties={"sink.path": str(tmp_path / "mat")},
+    )
+    svc.wait_for_status(env, "running", timeout=60)
+    try:
+        write_user_batch(spark, spool, 0, [user_row(i) for i in range(12)])
+        svc.process_available(env["name"])
+        stmt = svc._statements[env["name"]]
+        rows = stmt.sink.read_committed(spark).collect()
+        assert rows and all(r["rank"] in (1, 2, 3) for r in rows)
+    finally:
+        svc.stop(env["name"])
