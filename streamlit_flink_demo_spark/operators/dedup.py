@@ -108,18 +108,14 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h): 60-bit shingle hashes — the compact frame minhash
     and jaccard actually consume (see _SHH_CTE note).
 
-    persist(): minhash and jaccard each reference this frame several
-    times (bands, pair-verify sides); without materialization Spark
-    re-runs the tokenize+explode lineage per reference (the cache
-    manager dedups by canonicalized plan, so the two consumers inside
-    one operator share a single cached copy). Only this compact
-    8-byte-hash frame is cached — never the shingle strings. At 100 TB
-    the equivalent is a checkpointed/staged intermediate table; the
-    bench harness clears caches between queries so operators don't
-    pressure each other's memory."""
-    return track_persist(
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", u60(F.col("s")).alias("h"))
+    NOT persisted: after the window-function rewrite of
+    dedup_ngram_jaccard, every consumer reads this frame exactly once
+    (minhash: one groupBy; jaccard: one withColumn chain; incremental:
+    one groupBy) — the multiply-referenced frames downstream (minh,
+    sh_kept) carry their own track_persist. Caching here was pure
+    materialization overhead paid on every run for zero reuse."""
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id", u60(F.col("s")).alias("h")
     )
 
 
@@ -188,6 +184,54 @@ WHERE ({_eq_sum_sql}) / {float(_K)!r} >= 0.5
 """
 
 
+def _minhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h{K-1}): the persisted MinHash signature frame —
+    ONE definition shared by dedup_minhash_lsh and dedup_incremental
+    (which probes the same index layout); a banding/hash change edits
+    exactly one place."""
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    base = F.col("h") % F.lit(_P)
+    return track_persist(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)
+                ).alias(f"h{i}")
+                for i in range(_K)
+            ]
+        )
+    )
+
+
+def _band_keys_col() -> F.Column:
+    """Array of the {BANDS} LSH band keys ('<band>:h,h,...') over the
+    signature columns — the bucket key of build_dup_sig_index's layout."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.concat(
+                    F.lit(f"{j}:"), F.col(f"h{j * _ROWS}").cast("string")
+                ),
+                *[
+                    F.col(f"h{j * _ROWS + r}").cast("string")
+                    for r in range(1, _ROWS)
+                ],
+            )
+            for j in range(_BANDS)
+        ]
+    )
+
+
+def _minhash_eq_sum(a: str = "ma", b: str = "mb") -> F.Column:
+    """Count of agreeing minhash components between two aliased
+    signature frames (the est_jaccard numerator)."""
+    return sum(
+        F.when(F.col(f"{a}.h{i}") == F.col(f"{b}.h{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=16) + LSH(4 bands × 4): near-dup candidate pairs with
@@ -198,27 +242,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding turns pair discovery into an equi-join on band keys —
     never O(n²). The band self-join is the only quadratic risk and
     only within identical-signature buckets (true near-dups)."""
-    sh = _doc_shingle_hashes(spark, sf_dir)
-    base = F.col("h") % F.lit(_P)
-    minh = track_persist(
-        sh.groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
-                for i in range(_K)
-            ]
-        )
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.concat(F.lit(f"{j}:"), F.col(f"h{j * _ROWS}").cast("string")),
-                *[F.col(f"h{j * _ROWS + r}").cast("string") for r in range(1, _ROWS)],
-            )
-            for j in range(_BANDS)
-        ]
-    )
-    bands = minh.select("doc_id", F.explode(band_keys).alias("band_key"))
+    minh = _minhash_frame(spark, sf_dir)
+    bands = minh.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -232,10 +257,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = minh.alias("ma")
     mb = minh.alias("mb")
-    eq_sum = sum(
-        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
-        for i in range(_K)
-    )
+    eq_sum = _minhash_eq_sum()
     return (
         pairs.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
         .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
@@ -462,7 +484,11 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    # track_persist (not bare persist): cache-hit dispatch after the
+    # harness's clearCache() re-persists only TRACKED frames — a bare
+    # persist on the loop frames would silently re-execute every
+    # propagation round's joins on re-runs of the cached plan.
+    labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("lbl")))
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     prev = labels
     # log2(n) rounds suffice with pointer jumping; the cap is a
@@ -488,12 +514,11 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab2 = relaxed.select(
             F.col("doc_id").alias("d2"), F.col("lbl").alias("l2")
         )
-        jumped = (
+        jumped = track_persist(
             relaxed.join(lab2, relaxed["lbl"] == lab2["d2"])
             .select(
                 "doc_id", F.least(F.col("lbl"), F.col("l2")).alias("lbl")
             )
-            .persist()
         )
         new_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
         prev.unpersist()
@@ -940,39 +965,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCH, not the corpus — at 100 TB the corpus band keys are a
     static bucketed artifact (same layout as build_dup_sig_index) and
     the new batch's bands broadcast."""
-    sh = _doc_shingle_hashes(spark, sf_dir)
-    base = F.col("h") % F.lit(_P)
-    minh = track_persist(
-        sh.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    (F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)
-                ).alias(f"h{i}")
-                for i in range(_K)
-            ]
-        )
-    )
+    minh = _minhash_frame(spark, sf_dir)
     is_new = (
         u60(F.col("doc_id").cast("string")) % 100 >= 90
     )
     tagged = minh.withColumn("is_new", is_new)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.concat(
-                    F.lit(f"{j}:"), F.col(f"h{j * _ROWS}").cast("string")
-                ),
-                *[
-                    F.col(f"h{j * _ROWS + r}").cast("string")
-                    for r in range(1, _ROWS)
-                ],
-            )
-            for j in range(_BANDS)
-        ]
-    )
     bands = tagged.select(
-        "doc_id", "is_new", F.explode(band_keys).alias("band_key")
+        "doc_id", "is_new", F.explode(_band_keys_col()).alias("band_key")
     )
     new_b = bands.filter(F.col("is_new")).select(
         F.col("doc_id").alias("new_doc"), "band_key"
@@ -988,10 +987,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = tagged.alias("ma")
     mb = tagged.alias("mb")
-    eq_sum = sum(
-        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
-        for i in range(_K)
-    )
+    eq_sum = _minhash_eq_sum()
     verified = (
         cand.join(ma, F.col("new_doc") == F.col("ma.doc_id"))
         .join(mb, F.col("old_doc") == F.col("mb.doc_id"))

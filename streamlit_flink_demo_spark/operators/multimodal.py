@@ -71,11 +71,14 @@ DECODE_SCHEMA = (
 
 # -- deterministic-codec oracles -------------------------------------------
 # The fake codec is pure integer arithmetic over the blob bytes, so the
-# whole decode/resize/frame pipeline is SQL-replayable: the documents
-# corpus is ASCII (asserted in tests), so byte p of encode(text) is
-# ord(substring(text, p+1, 1)) and blob slices are valid varchar for
-# DuckDB's md5(VARCHAR). These replays make the multimodal queries
-# hash-checked CORRECTNESS rows instead of rows-only.
+# whole decode/resize/frame pipeline is SQL-replayable BYTE-exactly:
+# DuckDB has no blob indexing, but byte p of the stream is the hex pair
+# ('0x' || substring(hex(encode(text)), p*2+1, 2))::INT — valid for any
+# UTF-8 content including multi-byte characters (a char-based
+# ord(substring(text, ...)) formulation diverges there, and returns -1
+# for the out-of-range reads an empty document produces). These replays
+# make the multimodal queries hash-checked CORRECTNESS rows instead of
+# rows-only.
 
 def _decode_oracle_sql(n_expr: str, byte_at: "callable") -> str:
     """SELECT-list fragment for the fake decoder over a byte stream of
@@ -91,23 +94,37 @@ def _decode_oracle_sql(n_expr: str, byte_at: "callable") -> str:
 
 
 _DECODE_FAKE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id,{_decode_oracle_sql(
-    "length(text)",
-    lambda p: f"ord(substring(text, ({p})+1, 1))",
+    "n",
+    lambda p: f"('0x' || substring(hx, ({p})*2+1, 2))::INT",
 )}
-FROM documents
+FROM base
 """
 
 _RESIZE_TARGET = 224 * 224 // 64  # resize_binary_batch's output byte count
 
 # decode∘resize: the resized stream has exactly _RESIZE_TARGET bytes and
-# its byte i is input byte (i*n)//target (stride re-sample), so the
-# decoder's luma window reads original bytes at computed offsets.
+# its byte i is input byte (i*n)//target (stride re-sample) — or 0 for
+# an empty input (resize emits bytes(target) zeros), which the CASE
+# mirrors: the decoder's n is the constant target, so the zero-input
+# branch must live in byte_at, not in the n=0 luma guard.
 _DECODE_RESIZE_ORACLE = f"""
-WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents)
+WITH base AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id,{_decode_oracle_sql(
     str(_RESIZE_TARGET),
-    lambda p: f"ord(substring(text, ((({p})*n)//{_RESIZE_TARGET})+1, 1))",
+    lambda p: (
+        "(CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(hx, "
+        f"((({p})*n)//{_RESIZE_TARGET})*2+1, 2))::INT END)"
+    ),
 )}
 FROM base
 """

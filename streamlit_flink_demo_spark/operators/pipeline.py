@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.operators.sampling import _rate_bps_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_table
 
@@ -480,9 +481,7 @@ sampled AS (
   SELECT doc_id, lang, n_chars
   FROM uniq
   WHERE {u60_sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000 <
-        CASE lang WHEN 'en' THEN 10000 WHEN 'es' THEN 5000
-                  WHEN 'fr' THEN 5000 WHEN 'de' THEN 2500
-                  WHEN 'zh' THEN 2500 ELSE 1000 END
+        {_rate_bps_sql()}
 )
 SELECT CASE WHEN {u60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
             THEN 'train' ELSE 'eval' END AS split,

@@ -7,8 +7,10 @@
   the candidate set before exact re-ranking; at 100 TB the bucket join
   replaces the full cross product.  Hyperplane weights are ±1 derived
   from md5 (deterministic, no driver-side randomness to ship).
-- ``dedup_embedding_cosine``: near-duplicate pairs (cosine ≥ 0.99)
-  via the same LSH bucketing.
+- ``dedup_embedding_cosine``: near-duplicate pairs via the same LSH
+  bucketing (threshold ``_NEAR_DUP_COS`` = 0.45 — tuned to the
+  synthetic corpus's similarity distribution; a production corpus
+  would run ≥0.9).
 """
 
 from __future__ import annotations
@@ -385,13 +387,25 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     return ";".join(parts)
 
 
-def _artifact_is_fresh(out: str, fp: str) -> bool:
+def _artifact_is_fresh(out: str, fp: str, params: dict | None = None) -> bool:
+    """An artifact is reusable only if BOTH the source-data fingerprint
+    and every build parameter recorded in meta.json (banding, planes,
+    salt, cluster count — whatever the builder passes) match: a code
+    change to a banding constant must invalidate the artifact, or
+    probes run against buckets built under the old scheme and return
+    silently wrong candidates."""
     meta = os.path.join(out, "meta.json")
     if not os.path.exists(meta):
         return False
     try:
         with open(meta) as fh:
-            return json.load(fh).get("fingerprint") == fp
+            m = json.load(fh)
+        if m.get("fingerprint") != fp:
+            return False
+        for k, v in (params or {}).items():
+            if m.get(k) != v:
+                return False
+        return True
     except (OSError, ValueError):
         return False
 
@@ -426,7 +440,13 @@ def _build_sig_index(
     mtime of the source parquet). Returns the artifact directory."""
     out = _index_dir(kind, sf_dir)
     fp = _embeddings_fingerprint(sf_dir)
-    if not force and _artifact_is_fresh(out, fp):
+    params = {
+        "n_bands": n_bands,
+        "planes_per_band": planes_per_band,
+        "salt": salt,
+        "partition_cols": list(partition_cols),
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
         return out
     e = load_spread(spark, sf_dir, "embeddings")
     sigs = _banded_sigs_arrow(e, n_bands, planes_per_band, salt)
@@ -439,15 +459,7 @@ def _build_sig_index(
         .partitionBy(*partition_cols)
         .parquet(os.path.join(tmp, "data"))
     )
-    _write_meta(
-        tmp,
-        {
-            "fingerprint": fp,
-            "n_bands": n_bands,
-            "planes_per_band": planes_per_band,
-            "salt": salt,
-        },
-    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
     _publish_artifact(tmp, out)
     return out
 
@@ -718,44 +730,30 @@ def _ivf_centroids(e: DataFrame, k: int) -> DataFrame:
     used for broadcast probing and the JVM/Arrow assignment parity
     tests. Training itself is sample-bounded driver-side numpy
     (``_ivf_centroids_np``)."""
-    cents = _ivf_centroids_np(e, k)
-    return e.sparkSession.createDataFrame(
-        [(c, [float(v) for v in cents[c]]) for c in range(k)],
-        "c_id int, c_emb array<double>",
-    )
+    return _cents_df(e.sparkSession, _ivf_centroids_np(e, k))
 
 
-def ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    n_clusters: int = _IVF_CLUSTERS,
-    nprobe: int = _IVF_NPROBE,
-    n_queries: int = _N_QUERIES,
-    topk: int = _TOPK,
-) -> DataFrame:
-    """IVF search: queries score only the vectors whose cluster is
-    among the query's ``nprobe`` nearest centroids. With nprobe =
-    n_clusters the search is exhaustive and exactly reproduces the
-    brute-force top-k (property-tested); smaller nprobe trades recall
-    for a ~nprobe/n_clusters fraction of the scoring work."""
-    e = load_spread(spark, sf_dir, "embeddings")
-    # Quantizer: trained once on a bounded sample (driver-side numpy,
-    # see _ivf_centroids_np) and shipped two ways — as the assignment
-    # UDF's closure constant and as a k-row broadcast for probing.
-    cents_np = _ivf_centroids_np(e, n_clusters)
-    cents = spark.createDataFrame(
+def _cents_df(spark: SparkSession, cents_np: "np.ndarray") -> DataFrame:
+    """k-row (c_id, c_emb double[]) frame of the trained quantizer —
+    the broadcast-sized state every probe path ships."""
+    return spark.createDataFrame(
         [
             (c, [float(v) for v in cents_np[c]])
-            for c in range(n_clusters)
+            for c in range(len(cents_np))
         ],
         "c_id int, c_emb array<double>",
     )
-    # Inverted list: cluster id computed inline as an extra column —
-    # one narrow pass, no assignment self-join, no shuffle.
-    inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+
+
+def _ivf_probe(
+    q: DataFrame, cents: DataFrame, inv: DataFrame, nprobe: int, topk: int
+) -> DataFrame:
+    """Shared probe→score→rank block for BOTH the inline pipeline
+    (ivf_topk) and the artifact path (ann_ivf_topk): nprobe nearest
+    centroids per query (broadcast k-row cross join + rank window),
+    score only the probed clusters' inverted-list rows, exact re-rank.
+    One definition keeps tie-breaking and the self-match exclusion from
+    forking between the two paths (their equality is pytest-pinned)."""
     from pyspark.sql import Window as W
 
     wp = W.partitionBy("q_id").orderBy(F.col("c_cs").desc(), F.col("c_id"))
@@ -787,6 +785,34 @@ def ivf_topk(
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = _IVF_CLUSTERS,
+    nprobe: int = _IVF_NPROBE,
+    n_queries: int = _N_QUERIES,
+    topk: int = _TOPK,
+) -> DataFrame:
+    """IVF search: queries score only the vectors whose cluster is
+    among the query's ``nprobe`` nearest centroids. With nprobe =
+    n_clusters the search is exhaustive and exactly reproduces the
+    brute-force top-k (property-tested); smaller nprobe trades recall
+    for a ~nprobe/n_clusters fraction of the scoring work."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    # Quantizer: trained once on a bounded sample (driver-side numpy,
+    # see _ivf_centroids_np) and shipped two ways — as the assignment
+    # UDF's closure constant and as a k-row broadcast for probing.
+    cents_np = _ivf_centroids_np(e, n_clusters)
+    cents = _cents_df(spark, cents_np)
+    # Inverted list: cluster id computed inline as an extra column —
+    # one narrow pass, no assignment self-join, no shuffle.
+    inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return _ivf_probe(q, cents, inv, nprobe, topk)
+
+
 def _ivf_oracle_sql() -> str:
     """DuckDB replay of the ENTIRE deterministic IVF pipeline —
     training (first-k seeds over the bounded sample, one Lloyd step of
@@ -816,13 +842,23 @@ tassign AS (
   ) WHERE rk = 1
 ),
 cmeans AS (
-  SELECT c_id, list(avg_v ORDER BY dim) AS c_emb
-  FROM (
-    SELECT a.c_id, d.dim, AVG(a.embedding[d.dim+1]::DOUBLE) AS avg_v
-    FROM tassign a CROSS JOIN range({_DIM}) d(dim)
-    GROUP BY a.c_id, d.dim
-  )
-  GROUP BY c_id
+  -- empty clusters KEEP THEIR SEED (matching _ivf_centroids_np): an
+  -- inner aggregate alone would silently drop a cluster no training
+  -- vector chose (duplicate embeddings among the first k seeds do
+  -- this), leaving the oracle with k-1 centroids and wholesale
+  -- assignment divergence.
+  SELECT s.c_id,
+         coalesce(m.c_emb, list_transform(s.s_emb, x -> x::DOUBLE))
+           AS c_emb
+  FROM seeds s LEFT JOIN (
+    SELECT c_id, list(avg_v ORDER BY dim) AS c_emb
+    FROM (
+      SELECT a.c_id, d.dim, AVG(a.embedding[d.dim+1]::DOUBLE) AS avg_v
+      FROM tassign a CROSS JOIN range({_DIM}) d(dim)
+      GROUP BY a.c_id, d.dim
+    )
+    GROUP BY c_id
+  ) m USING (c_id)
 ),
 inv AS (
   SELECT vec_id, c_id AS cluster, embedding FROM (
@@ -873,7 +909,7 @@ def build_ivf_index(
     a production IVF deployment ships to queries."""
     out = _index_dir("ivf", sf_dir)
     fp = _embeddings_fingerprint(sf_dir)
-    if not force and _artifact_is_fresh(out, fp):
+    if not force and _artifact_is_fresh(out, fp, {"n_clusters": _IVF_CLUSTERS}):
         return out
     e = load_spread(spark, sf_dir, "embeddings")
     cents_np = _ivf_centroids_np(e, _IVF_CLUSTERS)
@@ -913,42 +949,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     cents_np = np.array(meta["centroids"], dtype=np.float64)
-    n_clusters = meta["n_clusters"]
     inv = spark.read.parquet(os.path.join(path, "data"))
-    cents = spark.createDataFrame(
-        [(c, [float(v) for v in cents_np[c]]) for c in range(n_clusters)],
-        "c_id int, c_emb array<double>",
-    )
+    cents = _cents_df(spark, cents_np)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    from pyspark.sql import Window as W
-
-    wp = W.partitionBy("q_id").orderBy(F.col("c_cs").desc(), F.col("c_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "q_emb",
-            "c_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cs"),
-        )
-        .withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= _IVF_NPROBE)
-        .select("q_id", "q_emb", "c_id")
-    )
-    scored = F.broadcast(probes).join(
-        inv,
-        (F.col("c_id") == F.col("cluster")) & (F.col("vec_id") != F.col("q_id")),
-    ).select(
-        "q_id",
-        "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK)
-        .select("q_id", "vec_id", "cos_sim", "rk")
-    )
+    return _ivf_probe(q, cents, inv, _IVF_NPROBE, _TOPK)

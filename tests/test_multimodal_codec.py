@@ -203,6 +203,8 @@ def test_binary_window_oracles_are_byte_exact_on_multibyte_text(spark):
     import duckdb
 
     from streamlit_flink_demo_spark.operators.multimodal import (
+        _DECODE_FAKE_ORACLE,
+        _DECODE_RESIZE_ORACLE,
         _FRAME_SAMPLE_ORACLE,
         _KEYFRAME_ORACLE,
         sample_frames_batch,
@@ -215,6 +217,7 @@ def test_binary_window_oracles_are_byte_exact_on_multibyte_text(spark):
         (1, "中文文本" * 100),               # 3-byte chars only
         (2, "plain ascii text " * 30),      # control
         (3, "mixed 🚀 emoji ascii " * 25),  # 4-byte chars
+        (4, ""),                            # empty doc (ord('')=-1 trap)
     ]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
     con = duckdb.connect()
@@ -241,6 +244,18 @@ def test_binary_window_oracles_are_byte_exact_on_multibyte_text(spark):
             ),
             _FRAME_SAMPLE_ORACLE,
             ["doc_id", "frame_idx", "n_frames", "frame_hex", "frame_md5"],
+        ),
+        (
+            decode_binary_batch(blob),
+            _DECODE_FAKE_ORACLE,
+            ["doc_id", "n_bytes", "width", "height", "mean_luma"],
+        ),
+        (
+            decode_binary_batch(
+                resize_binary_batch(blob).select("doc_id", "content")
+            ),
+            _DECODE_RESIZE_ORACLE,
+            ["doc_id", "n_bytes", "width", "height", "mean_luma"],
         ),
     ):
         got = sorted(tuple(r[c] for c in cols) for r in op_df.collect())

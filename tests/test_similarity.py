@@ -518,3 +518,48 @@ def test_span_rewrite_accounting_and_independent_recompute(spark, sf_dir):
         assert (
             hashlib.md5(" ".join(kept).encode()).hexdigest() == r["clean_md5"]
         ), doc_id
+
+
+def test_ivf_empty_cluster_keeps_seed_and_matches_oracle(spark, tmp_path):
+    """Regression: a duplicated embedding among the first-k seeds makes
+    one cluster empty after the Lloyd step. The kernel keeps the seed
+    as that cluster's centroid; the oracle must too (an inner aggregate
+    silently dropped the cluster, leaving k-1 centroids and wholesale
+    assignment divergence)."""
+    import duckdb
+    import numpy as np
+
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _IVF_CLUSTERS,
+        _ivf_centroids_np,
+        _ivf_oracle_sql,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 120
+    vecs = rng.randn(n, 64).astype(np.float32)
+    vecs[1] = vecs[0]  # duplicate seed → cluster 1 trains empty
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    # the kernel's empty-cluster contract
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = _ivf_centroids_np(e, _IVF_CLUSTERS)
+    assert np.allclose(cents[1], vecs[1].astype(np.float64))
+
+    got = sorted(
+        (r["q_id"], r["rk"], r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r[0], r[3], r[1], r[2]) for r in con.execute(_ivf_oracle_sql()).fetchall()
+    )
+    assert got == want
