@@ -91,7 +91,14 @@ class StatementsHTTPServer:
                 try:
                     if m.group("results"):
                         q = parse_qs(parsed.query)
-                        cursor = int(q.get("page_token", ["0"])[0])
+                        try:
+                            cursor = int(q.get("page_token", ["0"])[0])
+                        except ValueError:
+                            self._json(
+                                400,
+                                {"error": "page_token must be an integer"},
+                            )
+                            return
                         records, nxt = outer.service.next_results(
                             name, cursor, outer.page_size
                         )

@@ -166,9 +166,17 @@ class IdempotentParquetSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         m = self._read_manifest()
         if batch_id in set(m["batch_ids"]) or batch_id <= m["watermark"]:
-            # replay of a committed batch (directly committed, or
-            # folded through a compaction): consume nothing, write
-            # nothing — the previous write is the write.
+            # Replay of a committed batch (directly committed, or
+            # folded through a compaction): nothing is WRITTEN — but
+            # the batch must still be CONSUMED. On Spark 4.x a
+            # stateful plan (dropDuplicates, stream-stream join,
+            # watermarked window agg) commits its state stores as part
+            # of executing the batch plan; returning without an action
+            # fails STATE_STORE_COMMIT_VALIDATION and, since every
+            # restart replays the same batch, wedges the query
+            # permanently. The noop write executes the full plan
+            # distributed-side and discards the rows.
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         (
             batch_df.write.mode("overwrite").parquet(
@@ -236,7 +244,12 @@ def compact_sink(
     src_dirs = sink._data_dirs()
     if len(src_dirs) <= 1:
         return len(src_dirs)
-    df = sink.read_committed(spark)
+    # Fold exactly the SNAPSHOT this function already took (src_dirs):
+    # read_committed() would re-read the manifest and could pick up a
+    # batch the live sink commits between the snapshot and here — that
+    # batch would be folded into the compaction AND carried over in
+    # batch_ids (it is not in folded_batches), duplicating its rows.
+    df = spark.read.parquet(*src_dirs)
     new_gen = (max(m["compactions"]) if m["compactions"] else -1) + 1
     tmp_dir = os.path.join(path, "_compacting")
     shutil.rmtree(tmp_dir, ignore_errors=True)

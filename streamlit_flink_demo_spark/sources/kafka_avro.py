@@ -33,18 +33,23 @@ class ConnectorUnavailable(RuntimeError):
 def strip_confluent_header(value: Column) -> Column:
     """Remove the Confluent Schema Registry wire-format prefix: one
     magic byte (0x00) + 4-byte big-endian schema id; the Avro body
-    follows. Pure expression — works on batch or stream."""
-    return F.expr(
-        "CASE WHEN octet_length(value) > 5 "
-        "THEN substring(value, 6, octet_length(value) - 5) "
-        "ELSE CAST(NULL AS BINARY) END"
-    ).alias("avro_body")
+    follows. Pure expressions over the PASSED column (an F.expr with a
+    hardcoded 'value' name would silently read the wrong column — or
+    blow up — when value_col differs); works on batch or stream."""
+    body = F.substring(value, 6, F.octet_length(value) - F.lit(5))
+    return (
+        F.when(F.octet_length(value) > 5, body)
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("avro_body")
+    )
 
 
 def confluent_schema_id(value: Column) -> Column:
     """The 4-byte big-endian schema id from the wire-format header —
     used to look the writer schema up in the registry."""
-    b = lambda i: F.expr(f"CAST(conv(hex(substring(value, {i}, 1)), 16, 10) AS INT)")
+    b = lambda i: F.conv(
+        F.hex(F.substring(value, i, 1)), 16, 10
+    ).cast("int")
     return (
         b(2) * F.lit(1 << 24) + b(3) * F.lit(1 << 16) + b(4) * F.lit(1 << 8) + b(5)
     ).alias("schema_id")
@@ -129,7 +134,14 @@ def decode_wire_format(
                 ]
                 out = parts[0]
                 for p in parts[1:]:
-                    out = out.unionByName(p, allowMissingColumns=False)
+                    # allowMissingColumns: the canonical COMPATIBLE
+                    # evolution is an added field — the older ids'
+                    # rows take NULL for it (exactly what a reader
+                    # schema with a defaulted new field yields);
+                    # genuinely incompatible evolutions (same name,
+                    # different type) still raise from the union's
+                    # type check.
+                    out = out.unionByName(p, allowMissingColumns=True)
                 return out
             schema_json = registry.get_schema(ids[0])
     return decode_avro_python(

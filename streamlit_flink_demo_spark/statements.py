@@ -40,6 +40,13 @@ from streamlit_flink_demo_spark.streaming.emitter import (
     ResultBuffer,
 )
 
+# Serializes the session-conf save/set/restore window around
+# writer.start(): under the threaded HTTP server two concurrent
+# creates interleaving that window can capture the OTHER create's
+# temporary value as "previous" and restore it permanently (e.g.
+# shuffle.partitions stuck at 1 for every later batch query).
+_START_CONF_LOCK = threading.Lock()
+
 PHASE_PENDING = "pending"
 PHASE_RUNNING = "running"
 PHASE_COMPLETED = "completed"
@@ -132,11 +139,19 @@ def sweep_stale_ckpts(max_age_s: float = 3600.0) -> int:
 
 
 def _json_safe(v: Any) -> Any:
-    """Values as JSON-wire-friendly types (timestamps → ISO strings)."""
+    """Values as JSON-wire-friendly types (timestamps → ISO strings,
+    Decimal → float: the repo's decimal-sum pattern makes DECIMAL
+    columns common, and json.dumps raises on Decimal — a dead handler
+    thread and a dropped connection, not an error response)."""
     import datetime
+    import decimal
 
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ")
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex().upper()
     return v
 
 
@@ -369,6 +384,18 @@ class StatementsService:
         stmt = Statement(
             name=name or random_name(prefix), sql=sql, properties=props
         )
+        prior = self._statements.get(stmt.name)
+        if prior is not None and prior.phase in (PHASE_PENDING, PHASE_RUNNING):
+            # silently replacing a LIVE statement would orphan its
+            # running StreamingQuery (unreachable via the API, still
+            # consuming the source, tmpfs checkpoint leaked) — fail the
+            # new create instead; terminal-phase names may be reused.
+            stmt.phase = PHASE_FAILED
+            stmt.error = (
+                f"statement name {stmt.name!r} already exists and is "
+                f"{prior.phase}; stop it first or use a fresh name"
+            )
+            return stmt.envelope()
         self._statements[stmt.name] = stmt
         try:
             df = self.spark.sql(sql)
@@ -472,38 +499,50 @@ class StatementsService:
                         writer = writer.option(
                             "checkpointLocation", stmt._tmp_ckpt
                         )
-                prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
-                prev_maint = self.spark.conf.get(
-                    "spark.sql.streaming.stateStore.maintenanceInterval", None
-                )
-                self.spark.conf.set(
-                    "spark.sql.shuffle.partitions",
-                    str(self.stream_shuffle_partitions),
-                )
-                # Keep the state-store background snapshot out of
-                # dashboard-statement lifetimes: the default 60 s
-                # maintenance can land one multi-100-ms pause inside a
-                # short-lived continuous query's latency envelope.
-                # Recovery doesn't depend on snapshots (deltas replay).
-                self.spark.conf.set(
-                    "spark.sql.streaming.stateStore.maintenanceInterval",
-                    "600s",
-                )
+                prev_parts = prev_maint = None
+                _START_CONF_LOCK.acquire()
                 try:
+                    prev_parts = self.spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                    prev_maint = self.spark.conf.get(
+                        "spark.sql.streaming.stateStore.maintenanceInterval",
+                        None,
+                    )
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(self.stream_shuffle_partitions),
+                    )
+                    # Keep the state-store background snapshot out of
+                    # dashboard-statement lifetimes: the default 60 s
+                    # maintenance can land one multi-100-ms pause inside
+                    # a short-lived continuous query's latency envelope.
+                    # Recovery doesn't depend on snapshots (deltas
+                    # replay).
+                    self.spark.conf.set(
+                        "spark.sql.streaming.stateStore.maintenanceInterval",
+                        "600s",
+                    )
                     # start() clones the session; the clone keeps the
                     # low partition count for the query's lifetime
                     stmt._query = writer.start()
                 finally:
-                    self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-                    if prev_maint is None:
-                        self.spark.conf.unset(
-                            "spark.sql.streaming.stateStore.maintenanceInterval"
-                        )
-                    else:
-                        self.spark.conf.set(
-                            "spark.sql.streaming.stateStore.maintenanceInterval",
-                            prev_maint,
-                        )
+                    try:
+                        if prev_parts is not None:
+                            self.spark.conf.set(
+                                "spark.sql.shuffle.partitions", prev_parts
+                            )
+                        if prev_maint is None:
+                            self.spark.conf.unset(
+                                "spark.sql.streaming.stateStore.maintenanceInterval"
+                            )
+                        else:
+                            self.spark.conf.set(
+                                "spark.sql.streaming.stateStore.maintenanceInterval",
+                                prev_maint,
+                            )
+                    finally:
+                        _START_CONF_LOCK.release()
                 stmt.phase = PHASE_RUNNING
             except Exception as ex:
                 stmt.phase = PHASE_FAILED
@@ -555,10 +594,30 @@ class StatementsService:
         return stmt.envelope()
 
     # -- lifecycle -----------------------------------------------------------
+    def _sync_phase(self, s: "Statement") -> None:
+        """Fold a streaming query's RUNTIME fate into the statement
+        phase: without this, a query that dies after start() (source
+        gone, emitter raised) stays 'running' forever — clients poll
+        keep-alives into a void and the failure is invisible."""
+        if s.phase != PHASE_RUNNING or getattr(s, "_query", None) is None:
+            return
+        try:
+            ex = s._query.exception()
+        except Exception:
+            return
+        if ex is not None:
+            s.phase = PHASE_FAILED
+            s.error = str(ex)
+            _drop_tmp_ckpt(s)
+        elif not s._query.isActive:
+            s.phase = PHASE_STOPPED
+
     def get(self, name: str) -> dict:
         if name not in self._statements:
             raise KeyError(f"statement {name!r} not found")  # ref :57-59 (404)
-        return self._statements[name].envelope()
+        s = self._statements[name]
+        self._sync_phase(s)
+        return s.envelope()
 
     def wait_for_status(
         self, stmt: dict | str, *statuses: str, timeout: float = 120.0
@@ -582,10 +641,19 @@ class StatementsService:
 
     def stop(self, name: str) -> None:
         s = self._statements[name]
-        if s._query is not None:
-            s._query.stop()
-            s._query.awaitTermination(30)
-        _drop_tmp_ckpt(s)
+        try:
+            if s._query is not None:
+                s._query.stop()
+                # a query that already died re-raises its
+                # StreamingQueryException here — record it as the
+                # failure instead of crashing the stop call (the
+                # reference DELETE must always succeed on a dead job).
+                s._query.awaitTermination(30)
+        except Exception as ex:
+            s.phase = PHASE_FAILED
+            s.error = str(ex)
+        finally:
+            _drop_tmp_ckpt(s)
         if s.phase == PHASE_RUNNING:
             s.phase = PHASE_STOPPED if s.streaming else s.phase
 
@@ -634,6 +702,7 @@ class StatementsService:
                 empty_pages = 0
                 yield from chunk
                 continue
+            self._sync_phase(s)
             if s.phase == PHASE_FAILED:
                 return
             if backoff:

@@ -104,6 +104,26 @@ def _dec(v: Any) -> Any:
     return v
 
 
+def _freeze(v: Any) -> Any:
+    """Hashable stand-in for a row value used in snapshot KEYS: Spark
+    rows carry Python lists for array columns and dicts for maps —
+    ``tuple(row)`` over those raises TypeError inside foreachBatch and
+    kills the query (e.g. a keyless complete-mode ``collect_list``
+    aggregate). Values stored in the snapshot stay as-is; only the
+    lookup keys are frozen (deterministically, so equality across
+    batches and across a JSON-checkpoint round-trip is preserved:
+    decoded tuples compare equal to frozen lists)."""
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, tuple):  # includes Row
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((_freeze(k), _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (bytearray, bytes)):
+        return bytes(v)
+    return v
+
+
 class ResultBuffer:
     """Thread-safe bounded append log of changelog records.
 
@@ -388,7 +408,7 @@ class ChangelogEmitter:
             out = [{"op": OP_INSERT, "row": r} for r in rows]
         else:
             for row in rows:
-                key = tuple(row[i] for i in self.key_idx)
+                key = tuple(_freeze(row[i]) for i in self.key_idx)
                 old = self._snapshot.get(key)
                 if old is None:
                     out.append({"op": OP_INSERT, "row": row})
@@ -416,7 +436,7 @@ class ChangelogEmitter:
             new_snap: dict[tuple, list[Any]] = {}
             new_counts: dict[tuple, int] = {}
             for row in rows:
-                key = tuple(row)
+                key = _freeze(tuple(row))
                 new_snap[key] = row
                 new_counts[key] = new_counts.get(key, 0) + 1
             if (
@@ -446,7 +466,7 @@ class ChangelogEmitter:
             return out
         new_snap = {}
         for row in rows:
-            key = tuple(row[i] for i in self.key_idx)
+            key = tuple(_freeze(row[i]) for i in self.key_idx)
             new_snap[key] = row
             old = self._snapshot.get(key)
             if old is None:

@@ -139,3 +139,36 @@ def test_legacy_snapshot_version_ignored(tmp_path):
     e = ChangelogEmitter(["k", "ts"], ["k"], checkpoint_dir=ckpt)
     assert e._last_batch == -1
     assert e._snapshot == {}
+
+
+def test_array_and_map_values_in_keys_do_not_crash():
+    """Rows carrying lists/dicts (collect_list aggregates, map columns)
+    must diff cleanly: snapshot keys are frozen to hashable forms —
+    tuple(row) over a list-valued column used to raise TypeError inside
+    foreachBatch and kill the query."""
+    from streamlit_flink_demo_spark.streaming.emitter import (
+        ChangelogEmitter,
+    )
+    from streamlit_flink_demo_spark.changelog import (
+        OP_INSERT,
+        OP_UPDATE_AFTER,
+        OP_UPDATE_BEFORE,
+    )
+
+    # keyless complete mode: the whole row (with a list) is the key
+    e = ChangelogEmitter(["n", "colors"], [], full_snapshot=True)
+    out1 = e.apply_full_snapshot([[2, ["blue", "brown"]]])
+    assert [o["op"] for o in out1] == [OP_INSERT]
+    out2 = e.apply_full_snapshot([[3, ["blue", "brown", "green"]]])
+    assert [o["op"] for o in out2] == [OP_UPDATE_BEFORE, OP_UPDATE_AFTER]
+
+    # keyed update mode with an ARRAY group key (e.g. window struct
+    # already covered; arrays/maps are the remaining unhashables)
+    e2 = ChangelogEmitter(["tags", "n"], ["tags"])
+    e2.apply_upserts([[["a", "b"], 1]])
+    out3 = e2.apply_upserts([[["a", "b"], 2], [{"k": 1}, 5]])
+    assert [o["op"] for o in out3] == [
+        OP_UPDATE_BEFORE,
+        OP_UPDATE_AFTER,
+        OP_INSERT,
+    ]

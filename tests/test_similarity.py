@@ -256,6 +256,20 @@ def test_confluent_header_strip(spark):
         "avro_body"
     ] is None
 
+    # the helpers must honor the PASSED column, not a hardcoded name
+    # (regression: an F.expr referencing 'value' crashed when the
+    # column was named differently — or silently read the wrong one)
+    renamed = spark.createDataFrame(
+        [(bytearray(payload), bytearray(b"decoy"))],
+        "payload binary, value binary",
+    )
+    out2 = renamed.select(
+        strip_confluent_header(F.col("payload")),
+        confluent_schema_id(F.col("payload")),
+    ).collect()[0]
+    assert bytes(out2["avro_body"]) == b"hello-avro"
+    assert out2["schema_id"] == (1 << 8) + 2
+
 
 def test_decode_json_fallback(spark):
     from pyspark.sql import functions as F

@@ -455,3 +455,65 @@ def test_sink_path_allows_stream_static_join(spark, tmp_path):
         assert rows and all(r["rank"] in (1, 2, 3) for r in rows)
     finally:
         svc.stop(env["name"])
+
+
+def test_runtime_failure_surfaces_in_phase(spark, tmp_path):
+    """A streaming query that dies AFTER start (corrupt source file)
+    must flip the statement to 'failed' with the error in the envelope
+    — not stay 'running' forever while clients poll keep-alives."""
+    import os
+    import time
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_stream
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    user_stream(spark, spool).createOrReplaceTempView("user_runtime_fail")
+    svc = StatementsService(spark)
+    env = svc.create("SELECT guid, eyeColor FROM user_runtime_fail")
+    svc.wait_for_status(env, "running", timeout=60)
+    # corrupt microbatch: not a parquet file at all
+    with open(os.path.join(spool, "batch_00000.parquet"), "wb") as fh:
+        fh.write(b"this is not parquet")
+    stmt = svc._statements[env["name"]]
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if svc.get(env["name"])["status"]["phase"] == "failed":
+            break
+        time.sleep(0.2)
+    got = svc.get(env["name"])
+    assert got["status"]["phase"] == "failed"
+    assert got["status"]["detail"]  # the underlying error is surfaced
+    assert stmt._tmp_ckpt is None  # tmpfs checkpoint reclaimed
+
+
+def test_create_rejects_live_name_collision(spark, tmp_path):
+    """Re-POSTing a LIVE statement's name must fail the new create
+    instead of silently replacing (and orphaning) the running query;
+    terminal names may be reused."""
+    import os
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_stream
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    user_stream(spark, spool).createOrReplaceTempView("user_name_clash")
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT guid FROM user_name_clash", name="clash-stmt"
+    )
+    svc.wait_for_status(env, "running", timeout=60)
+    try:
+        dup = svc.create("SELECT eyeColor FROM user_name_clash", name="clash-stmt")
+        assert dup["status"]["phase"] == "failed"
+        assert "already exists" in dup["status"]["detail"]
+        # the ORIGINAL statement is untouched and still addressable
+        assert svc.get("clash-stmt")["status"]["phase"] == "running"
+        assert svc._statements["clash-stmt"].sql.endswith("user_name_clash")
+    finally:
+        svc.stop("clash-stmt")
+    # terminal phase → name reusable
+    dup2 = svc.create("SELECT 1 AS one", name="clash-stmt")
+    assert svc.wait_for_status(dup2, "completed", timeout=30) is not None
