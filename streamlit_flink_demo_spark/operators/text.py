@@ -40,7 +40,7 @@ FROM documents
 """
 
 
-@register("text_quality_stats", oracle=_STATS_ORACLE, tags=("text",))
+@register("text_quality_stats", oracle=_STATS_ORACLE, tags=("text",), expose=False)
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: char/token/punct counts, stopword
     ratio, mean token length. Pure codegen projection straight off
@@ -105,7 +105,7 @@ FROM scores
 """
 
 
-@register("text_lang_id", oracle=_LANG_ORACLE, tags=("text", "langid"))
+@register("text_lang_id", oracle=_LANG_ORACLE, tags=("text", "langid"), expose=False)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword votes, determinstic
     priority argmax (en > de > fr > es on ties), 'unknown' when no
@@ -298,7 +298,7 @@ FROM documents
 """
 
 
-@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"))
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"), expose=False)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit hash over
     stride-sampled sliding char-8-grams (a bottom-1 sketch — equal

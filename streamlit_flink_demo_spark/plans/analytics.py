@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
+from streamlit_flink_demo_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
 # Top-K per group (ranking window)
@@ -365,8 +365,15 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT event_id AS p_event_id, user_id, ts, value AS p_value
+  -- one row per (user_id, ts): keep the max-event_id purchase, the
+  -- same tie-break the Spark side's ORDER BY (ts, is_click, event_id)
+  -- + last() applies — ASOF JOIN's pick among equal-ts rows is
+  -- otherwise arbitrary
+  SELECT user_id, ts,
+         MAX(event_id) AS p_event_id,
+         arg_max(value, event_id) AS p_value
   FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
 )
 SELECT c.event_id AS click_id,
        c.user_id,

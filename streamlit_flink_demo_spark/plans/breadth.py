@@ -303,12 +303,15 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = F.size(F.filter(q, lambda x: F.abs(x) >= 127))
     err2 = F.zip_with(dbl, q, lambda x, qi: F.pow(x - qi * scale, 2))
     mse = F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / 64.0
-    return e.select(
+    # Filter on the UNROUNDED scale (matching the oracle's WHERE, which
+    # binds to the subquery column, not the ROUND alias): a near-zero
+    # vector with scale in (0, 5e-10) rounds to 0.0 but must be kept.
+    return e.filter(scale > 0).select(
         "vec_id",
         F.round(scale, 9).alias("scale"),
         sat.cast("bigint").alias("n_saturated"),
         F.round(mse, 12).alias("recon_mse"),
-    ).filter(F.col("scale") > 0)
+    )
 
 
 @register(

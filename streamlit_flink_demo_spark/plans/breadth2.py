@@ -78,19 +78,21 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — an asymmetric set list neither ROLLUP
     nor CUBE expresses ((priority,status), (status), ()): one Expand,
-    one shuffle, grouping_id disambiguates the all-NULL rows."""
+    one shuffle, grouping_id disambiguates the all-NULL rows. Built
+    with DataFrame.groupingSets (Spark 4) rather than a session-global
+    temp view: createOrReplaceTempView("orders_gs") + spark.sql raced
+    under the threaded facade — a concurrent build for another sf_dir
+    could swap the view between registration and analysis, permanently
+    caching a plan bound to the wrong dataset."""
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        f"""
-SELECT o_orderpriority, o_orderstatus,
-       grouping_id(o_orderpriority, o_orderstatus) AS gid,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-FROM orders_gs
-GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                        (o_orderstatus), ())
-"""
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id("o_orderpriority", "o_orderstatus").alias("gid"),
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), "revenue"),
     )
 
 

@@ -48,7 +48,7 @@ from streamlit_flink_demo_spark.operators import (  # noqa: F401
     text,
 )
 from streamlit_flink_demo_spark.plans import REGISTRY, register
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 
 def _o(name: str) -> str:
@@ -1013,13 +1013,17 @@ FROM ({_o("text_normalize")}) n
 JOIN ({_o("text_token_count")}) t ON n.doc_id = t.doc_id
 """,
     tags=("text", "normalize", "tokens", "suite"),
+    expose=False,
 )
 def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization digest + token counts in ONE projection over one
     scan of documents (members text_normalize / text_token_count are
     fused Spark-side rather than joined — same columns, zero shuffle;
-    the oracle joins the member oracles on doc_id)."""
-    d = load_table(spark, sf_dir, "documents")
+    the oracle joins the member oracles on doc_id). Byte-gated spread
+    matches the members': below 32 MB the round-robin shuffle is a
+    measured loss; above it the single-split regexp kernel is the
+    bottleneck."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
@@ -1035,6 +1039,99 @@ def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis family: quality, lang-id, normalize+tokens, fingerprint
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_suite",
+    oracle=f"""
+SELECT 'quality' AS family, CAST(doc_id AS BIGINT) AS doc_id,
+       {_NULL_S} AS s1, {_NULL_S} AS s2,
+       CAST(n_chars_m AS BIGINT) AS i1, CAST(n_tokens AS BIGINT) AS i2,
+       CAST(n_punct AS BIGINT) AS i3, {_NULL_B} AS i4,
+       CAST(stopword_ratio AS DOUBLE) AS v1, CAST(avg_token_len AS DOUBLE) AS v2
+FROM ({_o("text_quality_stats")})
+UNION ALL
+SELECT 'langid', CAST(doc_id AS BIGINT), lang_actual, lang_guess,
+       {_NULL_B}, {_NULL_B}, {_NULL_B}, {_NULL_B}, {_NULL_D}, {_NULL_D}
+FROM ({_o("text_lang_id")})
+UNION ALL
+SELECT 'normtok', CAST(doc_id AS BIGINT), norm_md5, {_NULL_S},
+       CAST(n_chars_norm AS BIGINT), CAST(n_bpe_tokens AS BIGINT),
+       CAST(n_ws_tokens AS BIGINT), CAST(n_chars_div4 AS BIGINT),
+       {_NULL_D}, {_NULL_D}
+FROM ({_o("text_normalize_tokens")})
+UNION ALL
+SELECT 'fingerprint', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(fingerprint AS BIGINT), CAST(n_chars_m AS BIGINT),
+       {_NULL_B}, {_NULL_B}, {_NULL_D}, {_NULL_D}
+FROM ({_o("text_fingerprint")})
+""",
+    tags=("text", "suite"),
+)
+def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-analysis surface in one suite (members text_quality_stats,
+    text_lang_id, text_normalize_tokens, text_fingerprint — each still
+    individually oracle-checked in tests/test_oracle_parity.py).
+    Consolidated in round 5: the driver records correctness rows for at
+    most the first 50 sorted exposed names, and the three round-5
+    queries pushed the surface to 53, silently dropping the three
+    alphabetically-last suites from external checking. Each branch
+    keeps its member's own pinned plan (UNION ALL plans branches
+    independently)."""
+    q = _fn("text_quality_stats")(spark, sf_dir).select(
+        F.lit("quality").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ns().alias("s1"),
+        _ns().alias("s2"),
+        F.col("n_chars_m").cast("bigint").alias("i1"),
+        F.col("n_tokens").cast("bigint").alias("i2"),
+        F.col("n_punct").cast("bigint").alias("i3"),
+        _nb().alias("i4"),
+        F.col("stopword_ratio").cast("double").alias("v1"),
+        F.col("avg_token_len").cast("double").alias("v2"),
+    )
+    l = _fn("text_lang_id")(spark, sf_dir).select(
+        F.lit("langid").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang_actual").alias("s1"),
+        F.col("lang_guess").alias("s2"),
+        _nb().alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    n = _fn("text_normalize_tokens")(spark, sf_dir).select(
+        F.lit("normtok").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("norm_md5").alias("s1"),
+        _ns().alias("s2"),
+        F.col("n_chars_norm").cast("bigint").alias("i1"),
+        F.col("n_bpe_tokens").cast("bigint").alias("i2"),
+        F.col("n_ws_tokens").cast("bigint").alias("i3"),
+        F.col("n_chars_div4").cast("bigint").alias("i4"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    fp = _fn("text_fingerprint")(spark, sf_dir).select(
+        F.lit("fingerprint").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ns().alias("s1"),
+        _ns().alias("s2"),
+        F.col("fingerprint").cast("bigint").alias("i1"),
+        F.col("n_chars_m").cast("bigint").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp)
 
 
 # --------------------------------------------------------------------------
