@@ -99,10 +99,17 @@ class StatementsHTTPServer:
                                 {"error": "page_token must be an integer"},
                             )
                             return
+                        # Phase BEFORE page: the worker appends its
+                        # final chunk and THEN flips to a terminal
+                        # phase, so a terminal phase observed first
+                        # guarantees the subsequent page read sees
+                        # every record — the reverse order could
+                        # observe an empty page, miss a final chunk,
+                        # then see 'completed' and drop the tail.
+                        env = outer.service.get(name)
                         records, nxt = outer.service.next_results(
                             name, cursor, outer.page_size
                         )
-                        env = outer.service.get(name)
                         done = (
                             not env["status"]["phase"]
                             in ("pending", "running")

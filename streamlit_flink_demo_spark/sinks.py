@@ -241,7 +241,14 @@ def compact_sink(
 
     sink = IdempotentParquetSink(path)
     m = sink._read_manifest()
-    src_dirs = sink._data_dirs()
+    # Derive the fold set from the ONE snapshot `m` — _data_dirs()
+    # re-reads the manifest, and a batch committed between two reads
+    # would be folded into the compaction (in src_dirs) yet kept in
+    # batch_ids at the repoint (absent from folded_batches): its rows
+    # duplicated, then its directory deleted while still referenced.
+    src_dirs = [
+        os.path.join(path, f"compact={g}") for g in m["compactions"]
+    ] + [os.path.join(path, f"batch_id={b}") for b in m["batch_ids"]]
     if len(src_dirs) <= 1:
         return len(src_dirs)
     # Fold exactly the SNAPSHOT this function already took (src_dirs):

@@ -76,6 +76,7 @@ def decode_wire_format(
     value_col: str = "value",
     registry: "object | None" = None,
     subject: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full Confluent wire-format decode with NO connector jars: strip
     the 5-byte header (JVM expression), then decode the Avro binary
@@ -99,7 +100,13 @@ def decode_wire_format(
         decode_avro_python,
     )
 
+    # ``keep_cols`` ride alongside the decode (kafka timestamp, key,
+    # topic, partition, offset): without the passthrough, an event-time
+    # window over the decoded stream has no timestamp column to group
+    # on and callers must re-implement the strip/decode chain by hand.
+    passthrough = ("schema_id",) + tuple(keep_cols)
     stripped = df.select(
+        *[F.col(c) for c in keep_cols],
         confluent_schema_id(F.col(value_col)),
         strip_confluent_header(F.col(value_col)),
     )
@@ -128,7 +135,7 @@ def decode_wire_format(
                         stripped.filter(F.col("schema_id") == i),
                         registry.get_schema(i),
                         binary_col="avro_body",
-                        keep_cols=("schema_id",),
+                        keep_cols=passthrough,
                     )
                     for i in ids
                 ]
@@ -145,7 +152,7 @@ def decode_wire_format(
                 return out
             schema_json = registry.get_schema(ids[0])
     return decode_avro_python(
-        stripped, schema_json, binary_col="avro_body", keep_cols=("schema_id",)
+        stripped, schema_json, binary_col="avro_body", keep_cols=passthrough
     )
 
 

@@ -116,11 +116,36 @@ def _stream_plan_stateful(df) -> bool:
     return any(m in plan for m in markers)
 
 
+def _ckpt_tree_is_stale(path: str, now: float, max_age_s: float) -> bool:
+    """Staleness by the NEWEST mtime anywhere in the tree: Spark's
+    per-batch writes land in offsets/ commits/ state/ SUBdirectories
+    and never refresh the root dir's mtime (set once at mkdtemp), so a
+    sibling process's statement running longer than max_age_s would
+    look stale by the root alone — deleting it kills that live query
+    at its next walCommit. Early-exits on the first young entry."""
+    try:
+        if now - os.path.getmtime(path) <= max_age_s:
+            return False
+    except OSError:
+        return False
+    for root, dirs, files in os.walk(path):
+        for entry in dirs + files:
+            try:
+                m = os.path.getmtime(os.path.join(root, entry))
+            except OSError:
+                continue
+            if now - m <= max_age_s:
+                return False
+    return True
+
+
 def sweep_stale_ckpts(max_age_s: float = 3600.0) -> int:
-    """Remove ``ckpt_*`` dirs on /dev/shm older than ``max_age_s`` that
-    no live statement of THIS process owns — crash debris from earlier
-    runs. The age guard keeps a concurrently-running sibling process's
-    fresh checkpoints safe. Returns the number of dirs removed."""
+    """Remove ``ckpt_*`` dirs on /dev/shm whose ENTIRE tree is older
+    than ``max_age_s`` and that no live statement of THIS process owns
+    — crash debris from earlier runs. The whole-tree age guard keeps a
+    concurrently-running sibling process's active checkpoints safe
+    (its per-batch offset/commit writes keep the tree young). Returns
+    the number of dirs removed."""
     import glob
     import shutil
 
@@ -129,12 +154,9 @@ def sweep_stale_ckpts(max_age_s: float = 3600.0) -> int:
     for path in glob.glob("/dev/shm/ckpt_*"):
         if path in _LIVE_TMP_CKPTS:
             continue
-        try:
-            if now - os.path.getmtime(path) > max_age_s:
-                shutil.rmtree(path, ignore_errors=True)
-                removed += 1
-        except OSError:
-            continue
+        if _ckpt_tree_is_stale(path, now, max_age_s):
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
     return removed
 
 
@@ -197,6 +219,30 @@ def infer_key_cols_from_plan(df: Any) -> list[str] | None:
         return keys
     except Exception:
         return None
+
+
+def _plan_global_aggregate(df: Any) -> bool:
+    """True when the analyzed plan's topmost Aggregate has ZERO
+    grouping expressions — a global aggregate (``SELECT count(*) FROM
+    stream`` with no GROUP BY). Update-mode upsert emission needs a
+    key to retract on; the single global row has none, so with
+    keys=[] the emitter's keyless path would append one stale +I per
+    microbatch ([5], [5,12], …). The façade promotes these statements
+    to complete mode, whose keyless single-row diff emits -U/+U of the
+    one row (emitter.apply_full_snapshot)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() == "Aggregate":
+                return n.groupingExpressions().length() == 0
+            children = n.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return False
 
 
 def infer_key_cols(sql: str, out_cols: list[str]) -> list[str]:
@@ -303,6 +349,11 @@ class StatementsService:
         self.defaults = dict(defaults or {})
         self.name_prefix = name_prefix
         self._statements: dict[str, Statement] = {}
+        # Serializes the duplicate-name check-then-act in create():
+        # ThreadingHTTPServer dispatches concurrent POSTs, and two
+        # same-name creates both passing the unlocked guard is exactly
+        # the orphaned-StreamingQuery scenario the guard exists for.
+        self._create_lock = threading.Lock()
         # Streaming microbatch latency is dominated by per-partition
         # state-store open/commit: 32 shuffle partitions ≈ 1-3 s per
         # batch, 4 ≈ 0.35 s, 2 ≈ 0.33 s, 1 ≈ 0.30 s (measured).
@@ -384,19 +435,24 @@ class StatementsService:
         stmt = Statement(
             name=name or random_name(prefix), sql=sql, properties=props
         )
-        prior = self._statements.get(stmt.name)
-        if prior is not None and prior.phase in (PHASE_PENDING, PHASE_RUNNING):
-            # silently replacing a LIVE statement would orphan its
-            # running StreamingQuery (unreachable via the API, still
-            # consuming the source, tmpfs checkpoint leaked) — fail the
-            # new create instead; terminal-phase names may be reused.
-            stmt.phase = PHASE_FAILED
-            stmt.error = (
-                f"statement name {stmt.name!r} already exists and is "
-                f"{prior.phase}; stop it first or use a fresh name"
-            )
-            return stmt.envelope()
-        self._statements[stmt.name] = stmt
+        with self._create_lock:
+            prior = self._statements.get(stmt.name)
+            if prior is not None and prior.phase in (
+                PHASE_PENDING,
+                PHASE_RUNNING,
+            ):
+                # silently replacing a LIVE statement would orphan its
+                # running StreamingQuery (unreachable via the API,
+                # still consuming the source, tmpfs checkpoint leaked)
+                # — fail the new create instead; terminal-phase names
+                # may be reused.
+                stmt.phase = PHASE_FAILED
+                stmt.error = (
+                    f"statement name {stmt.name!r} already exists and is "
+                    f"{prior.phase}; stop it first or use a fresh name"
+                )
+                return stmt.envelope()
+            self._statements[stmt.name] = stmt
         try:
             df = self.spark.sql(sql)
             stmt.columns = list(df.columns)
@@ -416,6 +472,16 @@ class StatementsService:
                     if plan_keys is not None
                     else infer_key_cols(sql, stmt.columns)
                 )
+            if (
+                output_mode == "update"
+                and not keys
+                and _plan_global_aggregate(df)
+            ):
+                # Global aggregate with no group key: update-mode
+                # upsert has nothing to retract on — promote to
+                # complete-mode single-row diffing (see
+                # _plan_global_aggregate).
+                output_mode = "complete"
             keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")
             snap_warn = os.environ.get("SPARK_GRAFT_SNAPSHOT_KEY_WARN")
@@ -569,6 +635,17 @@ class StatementsService:
             def run_batch() -> None:
                 stmt.phase = PHASE_RUNNING
                 try:
+                    # Pin the physical plan under the same lock the
+                    # streaming-create conf window holds: a batch plan
+                    # materialized while a concurrent create has
+                    # shuffle.partitions dropped to 1 would run every
+                    # shuffle single-task (silent multi-x slowdown +
+                    # one-task memory pressure). QueryExecution is
+                    # cached on the DataFrame, so the action below
+                    # reuses the plan captured here; the lock is held
+                    # only for planning (ms), never for execution.
+                    with _START_CONF_LOCK:
+                        df._jdf.queryExecution().executedPlan()
                     # Stream partitions through the driver instead of
                     # collect(): driver memory is bounded by one
                     # partition (+ prefetch) regardless of result size,
@@ -703,7 +780,12 @@ class StatementsService:
                 yield from chunk
                 continue
             self._sync_phase(s)
-            if s.phase == PHASE_FAILED:
+            # Terminal-phase returns must re-check the buffer: records
+            # appended between the empty read above and the phase flip
+            # (the emitter's last microbatch racing stop()/failure)
+            # would otherwise be silently dropped. An outstanding tail
+            # loops once more and is yielded by the next read.
+            if s.phase == PHASE_FAILED and offset >= s.buffer.size():
                 return
             if backoff:
                 empty_pages += 1
@@ -719,6 +801,9 @@ class StatementsService:
             if continuous_query:
                 yield None  # keep-alive (reference :110-141)
             else:
-                if s.phase in (PHASE_STOPPED,):
+                if (
+                    s.phase in (PHASE_STOPPED,)
+                    and offset >= s.buffer.size()
+                ):
                     return
                 yield None

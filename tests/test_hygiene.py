@@ -111,3 +111,35 @@ def test_driver_surface_within_50_name_window():
         f"50 sorted names — these would go unverified: "
         f"{sorted(exposed)[50:]}"
     )
+
+
+def test_ckpt_staleness_uses_newest_mtime_in_tree():
+    """Spark's per-batch writes land inside offsets/ commits/ subdirs
+    and never refresh the checkpoint ROOT's mtime — a sibling
+    process's statement running longer than max_age_s must not be
+    reaped while its tree carries young files."""
+    import tempfile
+
+    from streamlit_flink_demo_spark.statements import _ckpt_tree_is_stale
+
+    now = time.time()
+    old = now - 7200
+    with tempfile.TemporaryDirectory() as d:
+        live = os.path.join(d, "ckpt_live")
+        os.makedirs(os.path.join(live, "offsets"))
+        with open(os.path.join(live, "offsets", "41"), "w") as fh:
+            fh.write("x")
+        # age the root and the subdir, keep the offset file young
+        os.utime(os.path.join(live, "offsets", "41"), (now, now))
+        os.utime(os.path.join(live, "offsets"), (old, old))
+        os.utime(live, (old, old))
+        assert not _ckpt_tree_is_stale(live, now, 3600)
+
+        dead = os.path.join(d, "ckpt_dead")
+        os.makedirs(os.path.join(dead, "offsets"))
+        with open(os.path.join(dead, "offsets", "0"), "w") as fh:
+            fh.write("x")
+        os.utime(os.path.join(dead, "offsets", "0"), (old, old))
+        os.utime(os.path.join(dead, "offsets"), (old, old))
+        os.utime(dead, (old, old))
+        assert _ckpt_tree_is_stale(dead, now, 3600)

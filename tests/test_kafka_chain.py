@@ -130,3 +130,34 @@ def test_real_kafka_source_gated(spark):
             "KAFKA_BOOTSTRAP=<host:port> for the live path"
         )
     assert df.isStreaming
+
+
+def test_decode_wire_format_keep_cols_passthrough(spark):
+    """Source metadata (kafka timestamp/offset) must survive the
+    decode — an event-time window over the decoded stream needs the
+    timestamp column, and without the passthrough callers would have
+    to re-implement the strip/decode chain by hand."""
+    import datetime
+
+    from streamlit_flink_demo_spark.sources.stream_fixtures import KAFKA_SHAPE
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 7)
+    rows = [
+        {
+            "key": None,
+            "value": _wire(7, encode(USER_SCHEMA, _user(i))),
+            "topic": "user",
+            "partition": 0,
+            "offset": 100 + i,
+            "timestamp": ts,
+            "timestampType": 0,
+        }
+        for i in range(4)
+    ]
+    raw = spark.createDataFrame(rows, schema=KAFKA_SHAPE)
+    out = decode_wire_format(
+        raw, json.dumps(USER_SCHEMA), keep_cols=("timestamp", "offset")
+    )
+    assert {"timestamp", "offset", "schema_id", "guid"} <= set(out.columns)
+    got = {(r["offset"], r["timestamp"], r["guid"]) for r in out.collect()}
+    assert got == {(100 + i, ts, f"g{i:04d}") for i in range(4)}

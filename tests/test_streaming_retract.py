@@ -470,3 +470,33 @@ def test_ephemeral_statement_uses_tmpfs_checkpoint(spark, tmp_path):
     svc.stop(env["name"])
     assert not os.path.exists(ckpt)
     assert stmt._tmp_ckpt is None
+
+
+def test_global_aggregate_promoted_to_single_row_retracts(spark, tmp_path):
+    """``SELECT count(*)`` with no GROUP BY has no upsert key — with
+    keys=[] the keyless emitter path would append one stale +I per
+    microbatch ([3], [3,5], ...). The facade promotes the statement to
+    complete-mode single-row diffing (statements._plan_global_aggregate),
+    so the changelog carries -U/+U of the one row."""
+    from streamlit_flink_demo_spark.sources.stream_fixtures import user_row
+
+    spool = str(tmp_path / "spool")
+    user_stream(spark, spool).createOrReplaceTempView("user_gagg")
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT COUNT(*) AS n FROM user_gagg",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+    cl = Changelog(["n"], svc.results(env["name"], continuous_query=True))
+
+    write_user_batch(spark, spool, 0, [user_row(i) for i in range(3)])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(0, (3,))]  # first result row → +I
+
+    write_user_batch(spark, spool, 1, [user_row(i) for i in range(3, 5)])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert ops == [(1, (3,)), (2, (5,))]  # -U old count, +U new count
+
+    assert [tuple(r) for r in cl.collapse().rows] == [(5,)]
+    svc.stop(env["name"])
