@@ -956,3 +956,173 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return _ivf_probe(q, cents, inv, _IVF_NPROBE, _TOPK)
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means clustering of the embedding corpus
+# --------------------------------------------------------------------------
+# The clustering complement to IVF: IVF trains its coarse quantizer on
+# a bounded SAMPLE (it only needs k well-placed centroids); corpus
+# clustering — topic grouping, dedup-bucket seeding, mixture analysis
+# for a training-data pipeline — needs Lloyd iterations over the FULL
+# corpus. Per iteration: one broadcast-free Arrow argmax pass
+# (centroids ship as a k×dim closure constant, no shuffle) and ONE
+# shuffle of 65 combinable aggregates (count + 64 per-dimension
+# scaled-integer sums — map-side partial aggregation reduces the
+# exchange to k rows per input partition). Elements are quantized to
+# round(x * 2^30) BIGINT before summing: integer sums are exact and
+# order-independent, so the distributed per-dimension means are
+# deterministic under any partitioning (a plain double sum would give
+# a different centroid per run), and — unlike wide DECIMAL sums, which
+# fall off Spark's long-backed fast path and ran 10×+ slower — they
+# stay in whole-stage codegen. Both engines' round() is half-away-
+# from-zero, so the quantization is bit-identical in the SQL replay.
+# Overflow bound: |x|≤10 quantizes to ≤1.1e10, so a single cluster
+# supports ~8e8 members before a BIGINT sum wraps — repartition the
+# corpus into per-shard clusterers long before that. Driver state is
+# k×(dim+1) values per iteration, bounded regardless of corpus size.
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = float(1 << 30)
+
+
+def _kmeans_centroids_np(e: DataFrame) -> "np.ndarray":
+    """_KM_ITERS Lloyd iterations over the full corpus; seeds are the
+    first _KM_K vectors by vec_id (the IVF seeding convention). Empty
+    clusters keep their previous centroid, mirroring the oracle's
+    COALESCE(LEFT JOIN) and _ivf_centroids_np; the scaled-integer
+    determinism story is in the section comment above."""
+    seed_rows = (
+        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
+    )
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    for _ in range(_KM_ITERS):
+        a = _ivf_assign_arrow(e, cents, with_embedding=True)
+        sums = (
+            a.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.round(
+                            F.col("embedding")[d].cast("double") * _KM_SCALE
+                        ).cast("bigint")
+                    ).alias(f"s{d}")
+                    for d in range(_DIM)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            n = r["n"]
+            new[r["cluster"]] = [
+                (float(r[f"s{d}"]) / n) / _KM_SCALE for d in range(_DIM)
+            ]
+        cents = new
+    return cents
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB replay of the full distributed pipeline: seeds → (assign
+    → decimal-exact per-dim mean) × _KM_ITERS → final assignment →
+    integer-only cluster summary. The decimal-sum replay keeps the two
+    engines' centroids equal to the last unit in nearly every
+    dimension; residual float divergence (numpy matmul vs the SQL
+    fold) can flip an assignment only on a near-exact centroid tie —
+    measure-zero for float embeddings, and the OUTPUT columns are all
+    integers, so any surviving row is value-exact (same shape of
+    argument as _ivf_oracle_sql; swept at sf0.001/0.01/0.1)."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)  # noqa: E731
+    steps = [
+        f"""seeds AS (
+  SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS c_emb
+  FROM embeddings WHERE vec_id < {_KM_K}
+)"""
+    ]
+    prev = "seeds"
+    for t in range(_KM_ITERS):
+        steps.append(
+            f"""a{t} AS (
+  SELECT vec_id, c_id, embedding FROM (
+    SELECT e.vec_id, c.c_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS rk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)"""
+        )
+        steps.append(
+            f"""c{t} AS (
+  SELECT p.c_id, coalesce(m.c_emb, p.c_emb) AS c_emb
+  FROM {prev} p LEFT JOIN (
+    SELECT c_id, list(mv ORDER BY dim) AS c_emb
+    FROM (
+      SELECT a.c_id, d.dim,
+             (CAST(SUM(CAST(round(a.embedding[d.dim+1]::DOUBLE
+                               * 1073741824.0) AS BIGINT))
+                   AS DOUBLE) / COUNT(*)) / 1073741824.0 AS mv
+      FROM a{t} a CROSS JOIN range({_DIM}) d(dim)
+      GROUP BY a.c_id, d.dim
+    ) GROUP BY c_id
+  ) m USING (c_id)
+)"""
+        )
+        prev = f"c{t}"
+    steps.append(
+        f"""af AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS rk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT CAST(c_id AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(MIN(vec_id) AS BIGINT) AS exemplar
+FROM af GROUP BY c_id
+"""
+    )
+
+
+@register(
+    "docs_cluster_kmeans",
+    oracle=_kmeans_oracle_sql(),
+    tags=("cluster", "kmeans", "embedding"),
+    expose=False,
+)
+def docs_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus k-means document clustering (k=8, 2 Lloyd
+    iterations, deterministic first-k seeding): the topic-grouping /
+    mixture-analysis operator of a training-data pipeline, as the
+    batch-iterative complement of the IVF coarse quantizer (which
+    trains on a bounded sample). Scans are spread (the Arrow matmul +
+    64-column extraction kernel dwarfs the repartition shuffle, the
+    text_fingerprint argument). The summary row set is integer-only
+    (members, vec_id checksum, exemplar) so the oracle comparison is
+    exact; driver-surfaced through the 'kmeans' branch of
+    group_agg_suite."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids_np(e)
+    a = _ivf_assign_arrow(e, cents)
+    return a.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        F.min("vec_id").cast("bigint").alias("exemplar"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "sum_vec_id",
+        "exemplar",
+    )

@@ -318,6 +318,12 @@ SELECT 'unpivot', CAST(user_id AS VARCHAR), etype,
        {_NULL_B}, {_NULL_B}, CAST(n AS BIGINT),
        {_NULL_D}, {_NULL_D}, {_NULL_D}
 FROM ({_o("user_event_unpivot")})
+UNION ALL
+SELECT 'kmeans', CAST(cluster AS VARCHAR), {_NULL_S},
+       CAST(sum_vec_id AS BIGINT), CAST(exemplar AS BIGINT),
+       CAST(n_members AS BIGINT),
+       {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_cluster_kmeans")})
 """,
     tags=("agg", "suite"),
 )
@@ -325,8 +331,10 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation-extension surface: GROUPING SETS (order_grouping_sets),
     ROLLUP (order_priority_rollup), CUBE + grouping_id
     (part_type_size_cube), exact continuous percentiles
-    (order_price_percentiles), DISTINCT projection (distinct_part_kinds)
-    and multi-COUNT(DISTINCT) (supplier_part_diversity)."""
+    (order_price_percentiles), DISTINCT projection (distinct_part_kinds),
+    multi-COUNT(DISTINCT) (supplier_part_diversity), and full-corpus
+    k-means clustering (docs_cluster_kmeans, round 5 — iterative
+    distributed aggregation with an unrolled-CTE oracle)."""
     gs = _fn("order_grouping_sets")(spark, sf_dir).select(
         F.lit("grouping_sets").alias("family"),
         F.col("o_orderpriority").alias("k1"),
@@ -426,7 +434,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up)
+    km = _fn("docs_cluster_kmeans")(spark, sf_dir).select(
+        F.lit("kmeans").alias("family"),
+        F.col("cluster").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("sum_vec_id").cast("bigint").alias("i1"),
+        F.col("exemplar").cast("bigint").alias("i2"),
+        F.col("n_members").cast("bigint").alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km)
 
 
 # --------------------------------------------------------------------------

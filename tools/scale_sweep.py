@@ -41,6 +41,7 @@ OPS = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "docs_cluster_kmeans",
 )
 
 
