@@ -26,11 +26,6 @@ def u60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def u60_str(col: Column) -> Column:
-    """u60 over a string column (casts to string first)."""
-    return u60(col.cast("string"))
-
-
 def u60_sql(expr: str) -> str:
     """DuckDB fragment computing the same 60-bit integer."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT)"

@@ -484,11 +484,16 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # track_persist (not bare persist): cache-hit dispatch after the
-    # harness's clearCache() re-persists only TRACKED frames — a bare
-    # persist on the loop frames would silently re-execute every
-    # propagation round's joins on re-runs of the cached plan.
-    labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("lbl")))
+    # Loop frames use BARE persist and are unpersisted as the loop
+    # advances; only edges and the FINAL labels frame are
+    # sink-tracked (track_persist) for cache-hit re-dispatch. Tracking
+    # every round would re-persist O(rounds) dead intermediate frames
+    # after the harness's clearCache() — undoing the loop's
+    # keep-memory-O(1) unpersist design. The final frame is where the
+    # cached plan's lineage stops, so re-persisting it alone restores
+    # re-execution speed; the one-time recompute of the loop lineage
+    # after a clearCache is bounded by the converged round count.
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     prev = labels
     # log2(n) rounds suffice with pointer jumping; the cap is a
@@ -514,11 +519,12 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab2 = relaxed.select(
             F.col("doc_id").alias("d2"), F.col("lbl").alias("l2")
         )
-        jumped = track_persist(
+        jumped = (
             relaxed.join(lab2, relaxed["lbl"] == lab2["d2"])
             .select(
                 "doc_id", F.least(F.col("lbl"), F.col("l2")).alias("lbl")
             )
+            .persist()
         )
         new_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
         prev.unpersist()
@@ -526,6 +532,7 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    track_persist(labels)  # final frame only: see the loop comment
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

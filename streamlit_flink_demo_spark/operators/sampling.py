@@ -221,7 +221,9 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     total = per_src.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
-    src_num = F.substring(F.col("source"), 4, 9).cast("int")
+    # unbounded tail (matches the oracle's substr(source, 4)): a fixed
+    # width would silently truncate 10+-digit source ids
+    src_num = F.expr("substring(source, 4)").cast("int")
     target = _target_frac_col(src_num)
     rate = F.least(F.lit(1.0), (target * F.col("total_docs")) / F.col("n_docs"))
     return per_src.crossJoin(F.broadcast(total)).select(
@@ -243,7 +245,7 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), b AS (
   SELECT doc_id, w,
          [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
@@ -275,7 +277,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document work (the oracle's list_filter scan is fine at
     sf0.01 but would not be at 100 TB, which is exactly why the
     engine path explodes instead)."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text: posexplode(NULL) emits no rows, so the doc would
+    # silently vanish here while the oracle's CTE kept a NULL-metric
+    # row — filter explicitly, mirrored by the oracle's WHERE.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     ex = d.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),

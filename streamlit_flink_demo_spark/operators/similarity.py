@@ -676,14 +676,15 @@ def _ivf_assign_arrow(
     a per-row constant the matmul removes. Ties (exactly equal
     cosines, measure-zero for float data) resolve to the lowest
     cluster id."""
-    Cn = cents_np / np.linalg.norm(cents_np, axis=1, keepdims=True)
+    Cn = cents_np / _safe_norms(cents_np)
 
     @F.pandas_udf("int")
     def assign(e_: pd.Series) -> pd.Series:
         if not len(e_):
             return pd.Series([], dtype="int32")
         M = np.vstack(e_.to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(n == 0, 1.0, n)
         return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
 
     cols = ["vec_id", "embedding"] if with_embedding else ["vec_id"]
@@ -697,6 +698,15 @@ def _ivf_assign_arrow(
 # k-row artifact). The vec_id predicate is pushdown-able into the
 # parquet scan.
 _IVF_TRAIN_SAMPLE = 64
+
+
+def _safe_norms(M: "np.ndarray") -> "np.ndarray":
+    """Row norms with zeros mapped to 1: a zero vector then normalizes
+    to zeros (cosine 0 vs every centroid) instead of NaN-poisoning the
+    argmax — and an all-NaN cosine row in the SQL oracle resolves to
+    the same lowest-c_id pick, so the two paths agree."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.where(n == 0, 1.0, n)
 
 
 def _ivf_centroids_np(e: DataFrame, k: int) -> "np.ndarray":
@@ -713,13 +723,17 @@ def _ivf_centroids_np(e: DataFrame, k: int) -> "np.ndarray":
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        raise ValueError("no embeddings to train the IVF quantizer on")
     M = np.array([r.embedding for r in rows], dtype=np.float64)
+    # degrade like the SQL oracle on a tiny corpus: fewer than k
+    # vectors yields fewer seeds/centroids, not an IndexError
     seeds = M[:k]
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    Sn = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    Mn = M / _safe_norms(M)
+    Sn = seeds / _safe_norms(seeds)
     assign = np.argmax(Mn @ Sn.T, axis=1)
     cents = np.empty_like(seeds)
-    for c in range(k):
+    for c in range(len(seeds)):
         members = M[assign == c]
         cents[c] = members.mean(axis=0) if len(members) else seeds[c]
     return cents
@@ -909,7 +923,9 @@ def build_ivf_index(
     a production IVF deployment ships to queries."""
     out = _index_dir("ivf", sf_dir)
     fp = _embeddings_fingerprint(sf_dir)
-    if not force and _artifact_is_fresh(out, fp, {"n_clusters": _IVF_CLUSTERS}):
+    if not force and _artifact_is_fresh(
+        out, fp, {"n_clusters": _IVF_CLUSTERS, "train_sample": _IVF_TRAIN_SAMPLE}
+    ):
         return out
     e = load_spread(spark, sf_dir, "embeddings")
     cents_np = _ivf_centroids_np(e, _IVF_CLUSTERS)
@@ -927,6 +943,10 @@ def build_ivf_index(
         {
             "fingerprint": fp,
             "n_clusters": _IVF_CLUSTERS,
+            # every build constant that shapes the quantizer: a code
+            # change to the training bound must invalidate the
+            # artifact, like the banding constants in the sig index
+            "train_sample": _IVF_TRAIN_SAMPLE,
             "centroids": [[float(v) for v in row] for row in cents_np],
         },
     )
@@ -997,6 +1017,8 @@ def _kmeans_centroids_np(e: DataFrame) -> "np.ndarray":
         e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
     )
     seed_rows.sort(key=lambda r: r["vec_id"])
+    if not seed_rows:
+        raise ValueError("no embeddings to seed k-means from")
     cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
     for _ in range(_KM_ITERS):
         a = _ivf_assign_arrow(e, cents, with_embedding=True)

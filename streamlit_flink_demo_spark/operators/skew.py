@@ -37,11 +37,21 @@ def salted_agg(
 
     Phase 1 shuffles on (key, salt) — the hot key spreads over
     n_salts reducers; phase 2 shuffles ≤ |keys|·n_salts tiny partial
-    rows. Returns columns (key, total, n)."""
+    rows. Returns columns (key, total, n).
+
+    The salt is PER-ROW (hash of monotonically_increasing_id), not
+    per-partition: a spark_partition_id salt collapses to one value
+    per input split, so a hot key physically clustered in few splits
+    (sorted/compacted parquet — exactly the layouts that skew) would
+    still land on that few reducers. The salt value never reaches the
+    result (phase 2 folds it away), so the nondeterministic id is
+    safe."""
     salted = df.select(
         F.col(key),
         value_expr.cast(DEC).alias("_v"),
-        (F.spark_partition_id() % n_salts).alias("_salt"),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+        ).alias("_salt"),
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.sum("_v").alias("_pv"), F.count("*").alias("_pn")
@@ -87,16 +97,22 @@ def salted_join(
     dim_key: str,
     n_salts: int = _SALTS,
 ) -> DataFrame:
-    """Skew-proof equi-join: the fact side gets a random-ish salt (from
-    spark_partition_id, no RNG to ship), the dim side is exploded
+    """Skew-proof equi-join: every fact row gets a per-row salt (hash
+    of monotonically_increasing_id — a spark_partition_id salt would
+    collapse to one value per input split and leave a physically
+    clustered hot key on 1-2 reducers), the dim side is exploded
     n_salts× with every salt value, and the join key becomes
-    (key, salt) — a hot fact key now lands on n_salts reducers instead
-    of one. The dim replication is n_salts×|dim| rows, which is the
+    (key, salt) — a hot fact key now spreads over n_salts reducers.
+    The dim replication is n_salts×|dim| rows, which is the
     deliberate trade: use it when AQE's skew split can't help (e.g.
     the skew is in the JOIN key itself and the dim is modest). Result
-    is row-identical to the plain join."""
+    is row-identical to the plain join for ANY salt assignment, which
+    is why the nondeterministic id is safe (oracle-checked)."""
     salted_fact = fact.withColumn(
-        "_salt", (F.spark_partition_id() % n_salts).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+        ).cast("int"),
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

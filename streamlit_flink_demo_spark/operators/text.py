@@ -10,7 +10,7 @@ oracle is exact.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
@@ -399,4 +399,127 @@ def udaf_lang_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         total_chars(F.length("text")).alias("total_chars"),
         n_docs(F.length("text")).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval (Okapi BM25, Lucene's always-positive idf)
+# --------------------------------------------------------------------------
+# The retrieval/quality-ranking operator of a training-data pipeline:
+# score every document against a small query-term set and keep the
+# top k. Scale shape: ONE corpus scan computes per-term tfs (codegen
+# regexp_count — no tokenize/explode shuffle for a bounded query set),
+# one 1-row global aggregate collects N / Σdl / per-term dfs (bounded
+# driver transfer at any corpus size), idfs become plan literals, and
+# the final top-k is orderBy+limit — Spark's TakeOrderedAndProject,
+# which never materializes a full sort at scale.
+
+_BM25_TERMS = ("query", "join", "window", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ",\n         ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{t}\b')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    # term score: idf(t) * tf / (tf + k1*(1-b + b*dl/avgdl)) — the
+    # arithmetic order mirrors the Spark expression token for token so
+    # the doubles agree before the 6-digit display round.
+    parts = " +\n           ".join(
+        f"(ln(1 + (s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * b.tf_{t} / (b.tf_{t} + {_BM25_K1} * ({1.0 - _BM25_B}"
+        f" + {_BM25_B} * b.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))"
+        for t in _BM25_TERMS
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT b.doc_id,
+         ({parts}) AS score
+  FROM base b CROSS JOIN stats s
+), ranked AS (
+  SELECT doc_id, ROUND(score, 6) AS score_r,
+         ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, score_r FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    tags=("text", "retrieval", "bm25"),
+    expose=False,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over the corpus for a fixed query-term set
+    (k1=1.2, b=0.75, Lucene's ln(1+(N-df+.5)/(df+.5)) idf). The idfs
+    and avgdl are computed from a single collected 1-row aggregate and
+    enter the scoring projection as literals, so the per-row score is
+    pure JVM codegen arithmetic; ln() runs once per term in Python
+    (libm — the same library the DuckDB oracle calls, so the idf
+    literals agree bit-for-bit). Scores are ranked on their 6-digit
+    round with doc_id tie-break, making the top-k deterministic."""
+    import math
+
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    base = d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("dl"),
+        *[
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit(rf"\b{t}\b")
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = float(stats["sumdl"]) / n
+    score = None
+    for t in _BM25_TERMS:
+        idf = math.log(1 + (n - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5))
+        tfc = F.col(f"tf_{t}")
+        term = (
+            F.lit(idf)
+            * tfc
+            / (
+                tfc
+                + _BM25_K1 * (F.lit(1.0 - _BM25_B) + _BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    ranked = base.select(
+        "doc_id", F.round(score, 6).alias("score_r")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+        "doc_id", F.col("rank").cast("bigint").alias("rank"), "score_r"
     )

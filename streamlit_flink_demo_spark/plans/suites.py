@@ -1089,13 +1089,19 @@ SELECT 'fingerprint', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(fingerprint AS BIGINT), CAST(n_chars_m AS BIGINT),
        {_NULL_B}, {_NULL_B}, {_NULL_D}, {_NULL_D}
 FROM ({_o("text_fingerprint")})
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(rank AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
+       CAST(score_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_bm25_topk")})
 """,
     tags=("text", "suite"),
 )
 def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface in one suite (members text_quality_stats,
-    text_lang_id, text_normalize_tokens, text_fingerprint — each still
-    individually oracle-checked in tests/test_oracle_parity.py).
+    text_lang_id, text_normalize_tokens, text_fingerprint, and — round
+    5 — docs_bm25_topk retrieval; each still individually
+    oracle-checked in tests/test_oracle_parity.py).
     Consolidated in round 5: the driver records correctness rows for at
     most the first 50 sorted exposed names, and the three round-5
     queries pushed the surface to 53, silently dropping the three
@@ -1150,7 +1156,19 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp)
+    bm = _fn("docs_bm25_topk")(spark, sf_dir).select(
+        F.lit("bm25").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ns().alias("s1"),
+        _ns().alias("s2"),
+        F.col("rank").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("score_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm)
 
 
 # --------------------------------------------------------------------------

@@ -42,6 +42,7 @@ OPS = (
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "docs_cluster_kmeans",
+    "docs_bm25_topk",
 )
 
 
