@@ -75,10 +75,16 @@ GROUP BY event_type
     expose=False,
 )
 def skew_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase aggregation over event_type (5 hot keys — the
-    worst case for a naive groupBy at scale: 5 reducers do all the
-    work). The oracle is the DIRECT group-by: the salted plan must be
-    value-identical, proving the rewrite is semantics-preserving."""
+    """Salted two-phase aggregation over event_type (5 hot keys). For
+    ALGEBRAIC aggregates like this SUM/COUNT, Spark's map-side partial
+    aggregation already bounds each reducer's input to one partial row
+    per task, so the salt mostly demonstrates the pattern; the salt
+    earns its keep on aggregates withOUT partial pushdown — exact
+    COUNT(DISTINCT x) per hot key, collect_list/set, percentile_approx
+    with large state — where the un-salted plan really does ship every
+    hot-key row to one reducer. The oracle is the DIRECT group-by: the
+    salted plan must be value-identical, proving the rewrite is
+    semantics-preserving."""
     e = load_table(spark, sf_dir, "events")
     return salted_agg(e, "event_type", F.col("value")).select(
         "event_type", "total", "n"

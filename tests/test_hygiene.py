@@ -143,3 +143,20 @@ def test_ckpt_staleness_uses_newest_mtime_in_tree():
         os.utime(os.path.join(dead, "offsets"), (old, old))
         os.utime(dead, (old, old))
         assert _ckpt_tree_is_stale(dead, now, 3600)
+
+
+def test_bm25_topk_rank_contract(spark, sf_dir):
+    """BM25 output: ranks are exactly 1..k, scores non-increasing in
+    rank, finite, and doc_id tie-break makes the ordering total."""
+    from streamlit_flink_demo_spark.plans import REGISTRY, load_all
+    from streamlit_flink_demo_spark.operators import text as t
+
+    load_all(exposed_only=False)
+    rows = sorted(
+        REGISTRY["docs_bm25_topk"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, t._BM25_TOPK + 1))
+    scores = [r["score_r"] for r in rows]
+    assert all(s == s and s >= 0 for s in scores)
+    assert all(a >= b for a, b in zip(scores, scores[1:]))

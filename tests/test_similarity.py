@@ -577,3 +577,39 @@ def test_ivf_empty_cluster_keeps_seed_and_matches_oracle(spark, tmp_path):
         (r[0], r[3], r[1], r[2]) for r in con.execute(_ivf_oracle_sql()).fetchall()
     )
     assert got == want
+
+
+def test_kmeans_summary_partitions_corpus(spark, sf_dir):
+    """The k-means cluster summary must partition the corpus: member
+    counts sum to N, cluster ids come from the seed range, ranks of
+    the vec_id checksum are internally consistent."""
+    import duckdb  # noqa: F401  (parity itself is in test_oracle_parity)
+
+    from streamlit_flink_demo_spark.operators import similarity as sim
+
+    rows = REG["docs_cluster_kmeans"].fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert all(0 <= r["cluster"] < sim._KM_K for r in rows)
+    assert all(r["exemplar"] >= 0 for r in rows)
+    # checksum sanity: sum of all per-cluster vec_id sums = sum 0..N-1
+    assert sum(r["sum_vec_id"] for r in rows) == n_vecs * (n_vecs - 1) // 2
+
+
+def test_kmeans_and_ivf_training_degrade_on_tiny_corpus(spark):
+    """Fewer vectors than k must yield fewer centroids (like the SQL
+    oracle's seed CTE), not an IndexError; zero vectors must not
+    NaN-poison the assignment."""
+    import numpy as np
+
+    from streamlit_flink_demo_spark.operators import similarity as sim
+
+    rows = [(i, [float(i + d) for d in range(sim._DIM)]) for i in range(5)]
+    rows.append((5, [0.0] * sim._DIM))  # zero-norm vector
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = sim._ivf_centroids_np(e, sim._IVF_CLUSTERS)
+    assert 1 <= len(cents) <= 6
+    assert np.isfinite(cents).all()
+    a = sim._ivf_assign_arrow(e, cents).collect()
+    assert len(a) == 6
+    assert all(0 <= r["cluster"] < len(cents) for r in a)
