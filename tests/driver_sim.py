@@ -88,6 +88,19 @@ for name in sorted(qs):
                 elif dt in ("INTEGER", "SMALLINT", "TINYINT") and st == "bigint":
                     fails.append((name, f"oracle col {dcol} is {dtyp} but Spark emits bigint"))
                     status = "TYPE-LINT"
+                # reverse-direction hazards (the lint was one-way):
+                # Spark decimal serializes as Decimal('1.500000') vs the
+                # oracle's 1.5, and float32 reprs diverge from float64
+                # (0.1 -> 0.10000000149...) — both hash-mismatch at the
+                # gate even though Python == compares true. Plain
+                # int-width mismatches (int vs BIGINT) stay benign: the
+                # serialized integer text is identical.
+                elif dt in ("DOUBLE", "FLOAT") and st.startswith("decimal"):
+                    fails.append((name, f"oracle col {dcol} is {dtyp} but Spark emits {st} — cast the Spark side to DOUBLE"))
+                    status = "TYPE-LINT"
+                elif dt == "DOUBLE" and st == "float":
+                    fails.append((name, f"oracle col {dcol} is DOUBLE but Spark emits float32 — cast to DOUBLE (reprs diverge)"))
+                    status = "TYPE-LINT"
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = [tuple(r) for r in res.fetchall()]

@@ -43,3 +43,11 @@ def test_oracle_types_compatible(spark, sf_dir, con, name):
         # BIGINT) serialize identically and are fine.
         if dt in ("INTEGER", "SMALLINT", "TINYINT") and st == "bigint":
             pytest.fail(f"{name}.{col}: oracle {dt} vs Spark bigint")
+        # reverse-direction hazards (previously unlinted): a Spark
+        # DECIMAL serializes as Decimal('1.500000') against the
+        # oracle's 1.5, and a Spark float32's repr diverges from the
+        # oracle's float64 (0.1 -> 0.10000000149...).
+        if dt in ("DOUBLE", "FLOAT") and st.startswith("decimal"):
+            pytest.fail(f"{name}.{col}: oracle {dt} vs Spark {st}")
+        if dt == "DOUBLE" and st == "float":
+            pytest.fail(f"{name}.{col}: oracle DOUBLE vs Spark float32")
