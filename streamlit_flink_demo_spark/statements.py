@@ -221,22 +221,27 @@ def infer_key_cols_from_plan(df: Any) -> list[str] | None:
         return None
 
 
-def _plan_global_aggregate(df: Any) -> bool:
-    """True when the analyzed plan's topmost Aggregate has ZERO
-    grouping expressions — a global aggregate (``SELECT count(*) FROM
-    stream`` with no GROUP BY). Update-mode upsert emission needs a
-    key to retract on; the single global row has none, so with
-    keys=[] the emitter's keyless path would append one stale +I per
-    microbatch ([5], [5,12], …). The façade promotes these statements
-    to complete mode, whose keyless single-row diff emits -U/+U of the
-    one row (emitter.apply_full_snapshot)."""
+def _plan_has_aggregate(df: Any) -> bool:
+    """True when the analyzed plan carries an Aggregate. Used with
+    keys == [] to detect the two shapes update-mode upserting cannot
+    express: a GLOBAL aggregate (``SELECT count(*)`` — no GROUP BY),
+    and a grouped aggregate whose grouping key is NOT in the output
+    (``SELECT window(ts,…).start, n`` grouping on ``window``). In
+    both, the keyless emitter path would append one stale +I per
+    microbatch. The façade promotes such statements to complete mode:
+    the keyless full-result diff emits -U/+U for the single-row global
+    case and -D/+I row-multiset deltas otherwise — either way the
+    materialized table stays correct (emitter.apply_full_snapshot).
+    The cost is Spark emitting the full result per batch, bounded by
+    result (not input) cardinality — the price of an upsert stream
+    with no key."""
     try:
         node = df._jdf.queryExecution().analyzed()
         stack = [node]
         while stack:
             n = stack.pop()
             if n.getClass().getSimpleName() == "Aggregate":
-                return n.groupingExpressions().length() == 0
+                return True
             children = n.children()
             for i in range(children.length()):
                 stack.append(children.apply(i))
@@ -475,12 +480,12 @@ class StatementsService:
             if (
                 output_mode == "update"
                 and not keys
-                and _plan_global_aggregate(df)
+                and _plan_has_aggregate(df)
             ):
-                # Global aggregate with no group key: update-mode
-                # upsert has nothing to retract on — promote to
-                # complete-mode single-row diffing (see
-                # _plan_global_aggregate).
+                # Aggregate with no inferable upsert key (global, or
+                # group key not projected): update-mode has nothing to
+                # retract on — promote to complete-mode full-result
+                # diffing (see _plan_has_aggregate).
                 output_mode = "complete"
             keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")

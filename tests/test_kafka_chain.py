@@ -161,3 +161,45 @@ def test_decode_wire_format_keep_cols_passthrough(spark):
     assert {"timestamp", "offset", "schema_id", "guid"} <= set(out.columns)
     got = {(r["offset"], r["timestamp"], r["guid"]) for r in out.collect()}
     assert got == {(100 + i, ts, f"g{i:04d}") for i in range(4)}
+
+
+def test_kafka_decoded_stream_event_time_window(spark, tmp_path):
+    """The purpose of keep_cols end to end: wire bytes → decode with
+    the kafka timestamp carried through → event-time tumbling window
+    GROUP BY through the facade → retract changelog. Before the
+    passthrough this failed analysis with an unresolved `timestamp`."""
+    spool = str(tmp_path / "kwspool")
+    raw = kafka_shaped_stream(spark, spool)
+    decoded = decode_wire_format(
+        raw, json.dumps(USER_SCHEMA), keep_cols=("timestamp",)
+    )
+    decoded.createOrReplaceTempView("user_evt")
+
+    svc = StatementsService(spark)
+    env = svc.create(
+        "SELECT window(timestamp, '1 minute').start AS w_start, "
+        "count(*) AS n FROM user_evt GROUP BY window(timestamp, '1 minute')",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+
+    # batch 0 lands at 00:00:00, batch 61 at 00:01:01 (write_kafka_batch
+    # stamps ts = batch_no % 60 seconds — use two batches a minute apart)
+    write_kafka_batch(
+        spark, spool, 0, [_wire(7, encode(USER_SCHEMA, _user(i))) for i in range(4)]
+    )
+    svc.process_available(env["name"])
+    cl = Changelog(
+        ["w_start", "n"], svc.results(env["name"], continuous_query=True)
+    )
+    got = cl.consume(100)
+    assert [(r["op"], r["row"][1]) for r in got] == [(0, 4)]
+
+    # same minute → the window's count updates with a retract pair
+    write_kafka_batch(
+        spark, spool, 1, [_wire(7, encode(USER_SCHEMA, _user(10 + i))) for i in range(2)]
+    )
+    svc.process_available(env["name"])
+    got2 = cl.consume(100)
+    assert [(r["op"], r["row"][1]) for r in got2] == [(1, 4), (2, 6)]
+    svc.stop(env["name"])
