@@ -84,7 +84,18 @@ COPY (
 def main() -> int:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("SCALE_SWEEP_DIR", "/tmp/scale10")
-    generate(src, dst)
+    # reuse existing replicas (SCALE_SWEEP_REUSE=1) so a sweep can be
+    # split across invocations; SCALE_SWEEP_OPS=a,b,c narrows the set
+    if not (
+        os.environ.get("SCALE_SWEEP_REUSE") == "1"
+        and os.path.exists(os.path.join(dst, "embeddings.parquet"))
+    ):
+        generate(src, dst)
+    ops = tuple(
+        o.strip()
+        for o in os.environ.get("SCALE_SWEEP_OPS", "").split(",")
+        if o.strip()
+    ) or OPS
 
     from streamlit_flink_demo_spark.plans import load_all
     from streamlit_flink_demo_spark.session import get_spark
@@ -94,7 +105,7 @@ def main() -> int:
     spark.read.parquet(os.path.join(src, "region.parquet")).count()
 
     out = {}
-    for name in OPS:
+    for name in ops:
         row = {}
         for tag, d in (("base", src), ("x10", dst)):
             best = None
