@@ -278,23 +278,27 @@ def _streaming_latency(spark) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     spool = os.path.join(tmp, "spool")
     stage = os.path.join(tmp, "stage")
-    user_stream(spark, spool).createOrReplaceTempView("user")
-    svc = StatementsService(spark)
-    env = svc.create(
-        "SELECT eyeColor, count(*) AS n FROM user GROUP BY eyeColor"
-    )
-    # wait_for_status returns None on a failed create — surface the
-    # real statement error instead of a misleading 30 s poll timeout
-    if svc.wait_for_status(env, "running", timeout=60) is None:
-        detail = svc.get(env["name"])["status"].get("detail", "")
-        raise RuntimeError(f"latency statement failed to start: {detail}")
-    stmt_buffer = svc._statements[env["name"]].buffer
-
-    # try/finally: a mid-measurement failure (30 s timeout, staging
-    # error) must still stop the StreamingQuery and remove the tmp
-    # tree — an orphaned query would keep triggering through the rest
-    # of the bench and perturb every "clean" number it reports.
+    env = None
+    # try/finally from the first acquired resource: a failure anywhere
+    # — create, the running-wait, staging, the 30 s visibility timeout
+    # — must still stop the StreamingQuery (if one started) and remove
+    # the tmp tree; an orphaned query would keep triggering through
+    # the rest of the bench and perturb every "clean" number it
+    # reports.
     try:
+        user_stream(spark, spool).createOrReplaceTempView("user")
+        svc = StatementsService(spark)
+        env = svc.create(
+            "SELECT eyeColor, count(*) AS n FROM user GROUP BY eyeColor"
+        )
+        # wait_for_status returns None on a failed create — surface
+        # the real statement error instead of a misleading 30 s poll
+        # timeout
+        if svc.wait_for_status(env, "running", timeout=60) is None:
+            detail = svc.get(env["name"])["status"].get("detail", "")
+            raise RuntimeError(f"latency statement failed to start: {detail}")
+        stmt_buffer = svc._statements[env["name"]].buffer
+
         # Pre-stage every batch's parquet file: the timed section is
         # the atomic rename into the spool → changelog visible, i.e.
         # pure engine latency (source discovery + microbatch +
@@ -382,10 +386,11 @@ def _streaming_latency(spark) -> dict:
     finally:
         import shutil
 
-        try:
-            svc.stop(env["name"])
-        except Exception:
-            pass
+        if env is not None:
+            try:
+                svc.stop(env["name"])
+            except Exception:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
     out = {
         "metric": "event_to_changelog_visible_ms",

@@ -189,7 +189,7 @@ def _target_frac_sql(src_num: str) -> str:
     oracle=f"""
 WITH per_src AS (
   SELECT source,
-         CAST(substr(source, 4) AS INTEGER) AS src_num,
+         TRY_CAST(substr(source, 4) AS BIGINT) AS src_num,
          COUNT(*) AS n_docs
   FROM documents
   GROUP BY source
@@ -223,7 +223,9 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_src.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
     # unbounded tail (matches the oracle's substr(source, 4)): a fixed
     # width would silently truncate 10+-digit source ids
-    src_num = F.expr("substring(source, 4)").cast("int")
+    # BIGINT + TRY_CAST: both engines yield NULL on junk/overflow —
+    # Spark's ANSI-off int cast NULLs where DuckDB's CAST would RAISE
+    src_num = F.expr("substring(source, 4)").cast("bigint")
     target = _target_frac_col(src_num)
     rate = F.least(F.lit(1.0), (target * F.col("total_docs")) / F.col("n_docs"))
     return per_src.crossJoin(F.broadcast(total)).select(

@@ -678,6 +678,8 @@ def _ivf_assign_arrow(
     cluster id."""
     Cn = cents_np / _safe_norms(cents_np)
 
+    zero_c = np.linalg.norm(cents_np, axis=1) == 0
+
     @F.pandas_udf("int")
     def assign(e_: pd.Series) -> pd.Series:
         if not len(e_):
@@ -685,7 +687,10 @@ def _ivf_assign_arrow(
         M = np.vstack(e_.to_numpy()).astype(np.float64)
         n = np.linalg.norm(M, axis=1, keepdims=True)
         Mn = M / np.where(n == 0, 1.0, n)
-        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+        scores = Mn @ Cn.T
+        if zero_c.any():
+            scores[:, zero_c] = -np.inf  # see _safe_norms
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
 
     cols = ["vec_id", "embedding"] if with_embedding else ["vec_id"]
     return vecs.select(*cols, assign(F.col("embedding")).alias("cluster"))
@@ -702,11 +707,22 @@ _IVF_TRAIN_SAMPLE = 64
 
 def _safe_norms(M: "np.ndarray") -> "np.ndarray":
     """Row norms with zeros mapped to 1: a zero vector then normalizes
-    to zeros (cosine 0 vs every centroid) instead of NaN-poisoning the
-    argmax — and an all-NaN cosine row in the SQL oracle resolves to
-    the same lowest-c_id pick, so the two paths agree."""
+    to zeros instead of NaN-poisoning the argmax. Zero DATA row: all
+    cosines 0 in Spark / all NULL in the oracle — both resolve to the
+    lowest eligible c_id. Zero CENTROID column: the assignment kernels
+    additionally mask it to -inf, matching the oracle where x/0 → NULL
+    sorts LAST under ORDER BY cosine DESC (a 0.0 would wrongly beat
+    negative cosines to real centroids)."""
     n = np.linalg.norm(M, axis=1, keepdims=True)
     return np.where(n == 0, 1.0, n)
+
+
+def _mask_zero_centroids(scores: "np.ndarray", cents_np: "np.ndarray") -> "np.ndarray":
+    """See _safe_norms: zero-norm centroids must sort LAST, not as 0."""
+    zero = np.linalg.norm(cents_np, axis=1) == 0
+    if zero.any():
+        scores[:, zero] = -np.inf
+    return scores
 
 
 def _ivf_centroids_np(e: DataFrame, k: int) -> "np.ndarray":
@@ -731,7 +747,7 @@ def _ivf_centroids_np(e: DataFrame, k: int) -> "np.ndarray":
     seeds = M[:k]
     Mn = M / _safe_norms(M)
     Sn = seeds / _safe_norms(seeds)
-    assign = np.argmax(Mn @ Sn.T, axis=1)
+    assign = np.argmax(_mask_zero_centroids(Mn @ Sn.T, seeds), axis=1)
     cents = np.empty_like(seeds)
     for c in range(len(seeds)):
         members = M[assign == c]
@@ -1060,7 +1076,11 @@ def _kmeans_oracle_sql() -> str:
     cos = lambda a, b: cosine_sql(a, b, _DIM)  # noqa: E731
     steps = [
         f"""seeds AS (
-  SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS c_emb
+  -- POSITIONAL ids (0..len-1 by vec_id order), matching the Spark
+  -- side's sorted-collect array positions: with sparse vec_ids the
+  -- raw vec_id would diverge from the position label Spark emits
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_id,
+         list_transform(embedding, x -> x::DOUBLE) AS c_emb
   FROM embeddings WHERE vec_id < {_KM_K}
 )"""
     ]

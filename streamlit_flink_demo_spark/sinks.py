@@ -191,10 +191,13 @@ class IdempotentParquetSink:
                 m["batch_ids"].append(batch_id)
                 self._write_manifest(m)
 
-    def _data_dirs(self) -> list[str]:
+    def _data_dirs(self, m: dict | None = None) -> list[str]:
         """Every live data directory: compactions first (older rows),
-        then uncompacted streaming batches."""
-        m = self._read_manifest()
+        then uncompacted streaming batches. Pass a pre-read manifest
+        ``m`` to derive the set from ONE snapshot (compact_sink needs
+        this — two reads race a live sink's commit)."""
+        if m is None:
+            m = self._read_manifest()
         return [
             os.path.join(self.path, f"compact={g}") for g in m["compactions"]
         ] + [os.path.join(self.path, f"batch_id={b}") for b in m["batch_ids"]]
@@ -241,14 +244,12 @@ def compact_sink(
 
     sink = IdempotentParquetSink(path)
     m = sink._read_manifest()
-    # Derive the fold set from the ONE snapshot `m` — _data_dirs()
-    # re-reads the manifest, and a batch committed between two reads
+    # Derive the fold set from the ONE snapshot `m` — a second
+    # manifest read would race a live sink's commit: the new batch
     # would be folded into the compaction (in src_dirs) yet kept in
-    # batch_ids at the repoint (absent from folded_batches): its rows
+    # batch_ids at the repoint (absent from folded_batches), its rows
     # duplicated, then its directory deleted while still referenced.
-    src_dirs = [
-        os.path.join(path, f"compact={g}") for g in m["compactions"]
-    ] + [os.path.join(path, f"batch_id={b}") for b in m["batch_ids"]]
+    src_dirs = sink._data_dirs(m)
     if len(src_dirs) <= 1:
         return len(src_dirs)
     # Fold exactly the SNAPSHOT this function already took (src_dirs):

@@ -86,16 +86,22 @@ def main() -> int:
     dst = os.environ.get("SCALE_SWEEP_DIR", "/tmp/scale10")
     # reuse existing replicas (SCALE_SWEEP_REUSE=1) so a sweep can be
     # split across invocations; SCALE_SWEEP_OPS=a,b,c narrows the set
-    if not (
-        os.environ.get("SCALE_SWEEP_REUSE") == "1"
-        and os.path.exists(os.path.join(dst, "embeddings.parquet"))
-    ):
-        generate(src, dst)
     ops = tuple(
         o.strip()
         for o in os.environ.get("SCALE_SWEEP_OPS", "").split(",")
         if o.strip()
     ) or OPS
+    unknown = set(ops) - set(OPS)
+    if unknown:
+        # fail BEFORE the minutes-long 10× generation, like bench.py's
+        # BENCH_QUERIES guard
+        print(f"unknown SCALE_SWEEP_OPS: {sorted(unknown)}", file=sys.stderr)
+        return 2
+    if not (
+        os.environ.get("SCALE_SWEEP_REUSE") == "1"
+        and os.path.exists(os.path.join(dst, "embeddings.parquet"))
+    ):
+        generate(src, dst)
 
     from streamlit_flink_demo_spark.plans import load_all
     from streamlit_flink_demo_spark.session import get_spark
