@@ -413,3 +413,40 @@ def test_span_rewrite_no_python_no_cartesian(spark, sf_dir):
         "doc_id",
         "h",
     ]
+
+
+def test_kmeans_final_pass_single_partial_agg_shuffle(spark, sf_dir):
+    """docs_cluster_kmeans' steady-state (post-training) plan: one
+    Arrow assignment pass (the ONLY Python in the plan — a k×dim
+    closure-constant matmul) feeding ONE hash aggregation with
+    map-side partials; no joins, no cartesian, no extra exchanges
+    beyond the source spread + the cluster groupBy."""
+    p = plan_str(fresh("docs_cluster_kmeans")(spark, sf_dir))
+    import re
+
+    # formatted explain names each node twice (tree + details):
+    # count DISTINCT ArrowEvalPython node ids
+    arrow_nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", p))
+    assert len(arrow_nodes) == 1, arrow_nodes
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+    hashx = re.findall(r"hashpartitioning\((\w+)", p)
+    assert set(hashx) == {"cluster"}, hashx
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_bm25_takeordered_no_global_sort_no_python(spark, sf_dir):
+    """docs_bm25_topk's scale contract: the top-k is
+    TakeOrderedAndProject (per-partition heaps — never a whole-corpus
+    sort on one task), the scan reads only doc_id+text, and the
+    tf/score arithmetic is pure codegen (idfs are literals — zero
+    Python in the plan)."""
+    p = plan_str(fresh("docs_bm25_topk")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    rs = p.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" in rs and "doc_id" in rs
+    for absent in ("lang", "source", "n_chars"):
+        assert absent not in rs, rs
+    assert "Join" not in p and "CartesianProduct" not in p
