@@ -562,3 +562,152 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return video_keyframes_batch(d, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Audio tier: feature extraction over a PCM-ish blob column
+# --------------------------------------------------------------------------
+# Completes the modality triple (image decode/resize, video keyframes,
+# AUDIO features). The fake tier reads the blob as signed 8-bit mono
+# PCM at 16 kHz and extracts the classic pre-filter features a
+# training-data pipeline gates on — energy, zero-crossing rate, peak —
+# over a fixed 64-point stride resample (the resize tier's indexing,
+# (i*n)//64), so the oracle replays every byte read exactly. The real
+# tier decodes with soundfile when importable (not in this container).
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_bytes int, duration_ms bigint, "
+    "energy_sq bigint, zero_crossings bigint, peak bigint"
+)
+
+_AUDIO_SAMPLES = 64
+_AUDIO_RATE = 16_000
+
+
+def audio_features_batch(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature extraction over a blob column (fake PCM tier /
+    gated real-soundfile tier, the video_keyframes_batch pattern).
+    Output is integer-only, so the SQL oracle comparison is exact.
+
+    At 100 TB: audio rows are large and the output narrow — the Arrow
+    batch carries the blob once, features reduce it ~10^6×, and
+    everything downstream shuffles bytes-free metadata."""
+
+    def op(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def features(data: bytes):
+            if not fake:
+                try:
+                    import io
+
+                    import soundfile  # noqa: F401
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile "
+                        "(pip install soundfile) — not available here; "
+                        "use fake=True for the deterministic PCM tier"
+                    ) from ex
+                data_io = io.BytesIO(data)
+                samples, rate = soundfile.read(data_io, dtype="int16")
+                s = _np.asarray(samples, dtype=_np.int64).reshape(-1)
+                n = len(data)
+                dur = (len(s) * 1000) // max(rate, 1)
+            else:
+                n = len(data)
+                if n == 0:
+                    return (0, 0, 0, 0, 0)
+                raw = _np.frombuffer(data, dtype=_np.uint8)
+                idx = (_np.arange(_AUDIO_SAMPLES) * n) // _AUDIO_SAMPLES
+                # signed 8-bit reinterpretation: ((b+128) % 256) - 128
+                s = (
+                    (raw[idx].astype(_np.int64) + 128) % 256
+                ) - 128
+                dur = (n * 1000) // _AUDIO_RATE
+            if len(s) == 0:
+                return (n, int(dur), 0, 0, 0)
+            energy = int((s * s).sum())
+            zc = int(((s[1:] < 0) != (s[:-1] < 0)).sum())
+            peak = int(_np.abs(s).max())
+            return (n, int(dur), energy, zc, peak)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(data) if data is not None else b""
+                n, dur, energy, zc, peak = features(data)
+                rows.append((doc_id, n, dur, energy, zc, peak))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "duration_ms",
+                    "energy_sq",
+                    "zero_crossings",
+                    "peak",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
+def _audio_sv(i: "int | str") -> str:
+    """Signed byte at resample position i, as the oracle reads it:
+    the same (i*n)//64 indexing and ((b+128)%256)-128 reinterpretation
+    the fake kernel applies; CASE-guarded so empty blobs never parse
+    an empty hex substring."""
+    return (
+        f"(CASE WHEN n = 0 THEN 0 ELSE "
+        f"((('0x' || substring(hx, ((({i})*n)//{_AUDIO_SAMPLES})*2+1, 2))::INT"
+        f" + 128) % 256) - 128 END)"
+    )
+
+
+_AUDIO_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       n::INT AS n_bytes,
+       CAST((n * 1000) // {_AUDIO_RATE} AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_aggregate(
+           [{_audio_sv('i')} * {_audio_sv('i')}
+            for i in range({_AUDIO_SAMPLES})], 'sum') END AS BIGINT)
+         AS energy_sq,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_aggregate(
+           [CASE WHEN ({_audio_sv('i')} < 0) != ({_audio_sv('i - 1')} < 0)
+                 THEN 1 ELSE 0 END
+            for i in range(1, {_AUDIO_SAMPLES})], 'sum') END AS BIGINT)
+         AS zero_crossings,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_aggregate(
+           [abs({_audio_sv('i')}) for i in range({_AUDIO_SAMPLES})], 'max')
+        END AS BIGINT) AS peak
+FROM base
+"""
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=_AUDIO_ORACLE,
+    tags=("multimodal", "pandas-udf", "audio"),
+    expose=False,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over the documents blob as fake 8-bit PCM
+    (deterministic tier; the soundfile tier shares the plumbing and is
+    contract-tested both ways). Integer-only output — exact oracle.
+    Driver-surfaced through the 'audio' branch of scalar_funcs_suite;
+    suite-internal here (the 50-name window)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return audio_features_batch(d, fake=True)

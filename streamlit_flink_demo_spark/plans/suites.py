@@ -525,6 +525,12 @@ SELECT 'udaf_lang', {_NULL_B}, lang, {_NULL_S},
        CAST(total_chars AS BIGINT), {_NULL_B}, CAST(n_docs AS BIGINT),
        {_NULL_D}, {_NULL_D}, {_NULL_D}
 FROM ({_o("udaf_lang_chars")})
+UNION ALL
+SELECT 'audio', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(energy_sq AS BIGINT), CAST(zero_crossings AS BIGINT),
+       CAST(n_bytes AS BIGINT),
+       CAST(duration_ms AS DOUBLE), CAST(peak AS DOUBLE), {_NULL_D}
+FROM ({_o("multimodal_audio_features")})
 """,
     tags=("scalar", "suite"),
 )
@@ -536,7 +542,8 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     path extraction (events_json_extract), date arithmetic
     (order_ship_latency), and the Arrow-UDF surface driver-checked
     end-to-end (udf_text_metrics scalar pandas UDFs, udaf_lang_chars
-    grouped-agg pandas UDAFs)."""
+    grouped-agg pandas UDAFs, and — round 5 — the audio feature tier
+    multimodal_audio_features)."""
     nf = _fn("customer_null_funcs")(spark, sf_dir).select(
         F.lit("null_funcs").alias("family"),
         F.col("c_nationkey").cast("bigint").alias("k1"),
@@ -690,6 +697,18 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
+    au = _fn("multimodal_audio_features")(spark, sf_dir).select(
+        F.lit("audio").alias("family"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        _ns().alias("k2"),
+        _ns().alias("s1"),
+        F.col("energy_sq").cast("bigint").alias("i1"),
+        F.col("zero_crossings").cast("bigint").alias("i2"),
+        F.col("n_bytes").cast("bigint").alias("n"),
+        F.col("duration_ms").cast("double").alias("v1"),
+        F.col("peak").cast("double").alias("v2"),
+        _nd().alias("v3"),
+    )
     ua = _fn("udaf_lang_chars")(spark, sf_dir).select(
         F.lit("udaf_lang").alias("family"),
         _nb().alias("k1"),
@@ -702,7 +721,7 @@ def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz, st, rep, uf, ua)
+    return _u(nf, dp, sf_, ar, ds, js, da, rp, qz, st, rep, uf, ua, au)
 
 
 # --------------------------------------------------------------------------

@@ -261,3 +261,58 @@ def test_binary_window_oracles_are_byte_exact_on_multibyte_text(spark):
         got = sorted(tuple(r[c] for c in cols) for r in op_df.collect())
         want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
         assert got == want
+
+
+def test_fake_audio_features_contract(spark):
+    """Fake PCM tier: deterministic integer features reproducible from
+    pure Python over the same stride resample."""
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        _AUDIO_SAMPLES,
+        audio_features_batch,
+    )
+
+    data = bytes(range(200)) * 3
+    (row,) = audio_features_batch(_blob_df(spark, data)).collect()
+    n = len(data)
+    sv = []
+    for i in range(_AUDIO_SAMPLES):
+        b = data[(i * n) // _AUDIO_SAMPLES]
+        sv.append(((b + 128) % 256) - 128)
+    assert row["n_bytes"] == n
+    assert row["duration_ms"] == (n * 1000) // 16000
+    assert row["energy_sq"] == sum(v * v for v in sv)
+    assert row["zero_crossings"] == sum(
+        1 for a, b in zip(sv, sv[1:]) if (a < 0) != (b < 0)
+    )
+    assert row["peak"] == max(abs(v) for v in sv)
+
+
+def test_fake_audio_features_empty_blob(spark):
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        audio_features_batch,
+    )
+
+    (row,) = audio_features_batch(_blob_df(spark, b"")).collect()
+    assert (
+        row["n_bytes"],
+        row["duration_ms"],
+        row["energy_sq"],
+        row["zero_crossings"],
+        row["peak"],
+    ) == (0, 0, 0, 0, 0)
+
+
+def test_real_audio_without_soundfile_raises_with_remedy(spark):
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        audio_features_batch,
+    )
+
+    df = audio_features_batch(_blob_df(spark, b"\x00" * 64), fake=False)
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile available — covered by the with-dep test")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="soundfile"):
+        df.collect()

@@ -43,6 +43,7 @@ OPS = (
     "dedup_embedding_cosine",
     "docs_cluster_kmeans",
     "docs_bm25_topk",
+    "multimodal_audio_features",
 )
 
 
