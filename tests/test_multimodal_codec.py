@@ -316,3 +316,44 @@ def test_real_audio_without_soundfile_raises_with_remedy(spark):
         pass
     with pytest.raises(Exception, match="soundfile"):
         df.collect()
+
+
+def test_fake_audio_features_boundary_blobs(spark):
+    """Byte-math edge cases in ONE Spark job: sign boundaries (0x7f vs
+    0x80 vs 0xff), sub-/at-/over-resample-width lengths, constant
+    extremes — each checked against an independent pure-Python
+    reference of the documented contract."""
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        _AUDIO_SAMPLES,
+        audio_features_batch,
+    )
+
+    blobs = {
+        1: b"\x7f",                      # +127, single byte
+        2: b"\x80",                      # -128, single byte (peak 128)
+        3: b"\x80" * 64,                 # constant extreme negative
+        4: b"\x00\xff" * 40,             # alternating 0 / -1
+        5: bytes(range(256)),            # full byte range
+        6: b"a" * (_AUDIO_SAMPLES - 1),  # below resample width
+        7: b"b" * _AUDIO_SAMPLES,        # exactly resample width
+        8: b"c" * (_AUDIO_SAMPLES + 1),  # above resample width
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in audio_features_batch(df).collect()}
+    for k, data in blobs.items():
+        n = len(data)
+        sv = [
+            ((data[(i * n) // _AUDIO_SAMPLES] + 128) % 256) - 128
+            for i in range(_AUDIO_SAMPLES)
+        ]
+        r = got[k]
+        assert r["n_bytes"] == n
+        assert r["duration_ms"] == (n * 1000) // 16000
+        assert r["energy_sq"] == sum(v * v for v in sv), k
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(sv, sv[1:]) if (a < 0) != (b < 0)
+        ), k
+        assert r["peak"] == max(abs(v) for v in sv), k
