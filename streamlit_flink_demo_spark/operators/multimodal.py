@@ -614,10 +614,20 @@ def audio_features_batch(
                         "(pip install soundfile) — not available here; "
                         "use fake=True for the deterministic PCM tier"
                     ) from ex
-                data_io = io.BytesIO(data)
-                samples, rate = soundfile.read(data_io, dtype="int16")
-                s = _np.asarray(samples, dtype=_np.int64).reshape(-1)
                 n = len(data)
+                if n == 0:
+                    # same contract as the fake tier: empty/NULL blob →
+                    # zero row, never a decoder crash failing the job
+                    return (0, 0, 0, 0, 0)
+                samples, rate = soundfile.read(
+                    io.BytesIO(data), dtype="int16"
+                )
+                s = _np.asarray(samples, dtype=_np.int64)
+                if s.ndim > 1:
+                    # first channel only: flattening interleaved
+                    # (frames, channels) would double duration and
+                    # count cross-channel sign flips as crossings
+                    s = s[:, 0]
                 dur = (len(s) * 1000) // max(rate, 1)
             else:
                 n = len(data)

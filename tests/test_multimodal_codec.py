@@ -357,3 +357,41 @@ def test_fake_audio_features_boundary_blobs(spark):
             1 for a, b in zip(sv, sv[1:]) if (a < 0) != (b < 0)
         ), k
         assert r["peak"] == max(abs(v) for v in sv), k
+
+
+def test_real_audio_with_soundfile(spark):
+    """With-dep tier: a real mono WAV (and a stereo one, exercising the
+    first-channel selection) decodes to sane integer features."""
+    try:
+        import soundfile
+    except ImportError:
+        pytest.skip("soundfile not installed — remedy path tested instead")
+    import io
+
+    import numpy as np
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        audio_features_batch,
+    )
+
+    rate = 16_000
+    t = np.arange(rate)  # 1 second
+    mono = (np.sin(2 * np.pi * 440 * t / rate) * 20_000).astype(np.int16)
+    buf = io.BytesIO()
+    soundfile.write(buf, mono, rate, format="WAV", subtype="PCM_16")
+    (row,) = audio_features_batch(
+        _blob_df(spark, buf.getvalue()), fake=False
+    ).collect()
+    assert row["duration_ms"] == 1000
+    assert 19_000 <= row["peak"] <= 20_000
+    assert row["zero_crossings"] > 800  # ~880 crossings for 440 Hz
+
+    stereo = np.stack([mono, np.zeros_like(mono)], axis=1)
+    buf2 = io.BytesIO()
+    soundfile.write(buf2, stereo, rate, format="WAV", subtype="PCM_16")
+    (row2,) = audio_features_batch(
+        _blob_df(spark, buf2.getvalue()), fake=False
+    ).collect()
+    # first channel only: duration must NOT double, crossings match mono
+    assert row2["duration_ms"] == 1000
+    assert abs(row2["zero_crossings"] - row["zero_crossings"]) <= 2
