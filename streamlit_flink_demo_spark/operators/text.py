@@ -532,3 +532,119 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         "score_r",
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring (CCNet-style statistical quality filter)
+# --------------------------------------------------------------------------
+# Score every document by its average negative log-likelihood under a
+# bigram LM trained on the corpus itself — the classic
+# perplexity-bucket quality gate. Scale shape: one explode + lead per
+# document (narrow after the doc_id shuffle), TWO count aggregations
+# (bigram counts and bigram-start counts — both map-side combined and
+# vocabulary-bounded), a broadcast join of the tiny count tables back
+# to the bigram stream, and one per-doc aggregation. Per-bigram log
+# probabilities are quantized to round(ln(p) * 2^40) BIGINT before the
+# per-doc sum — the k-means trick: integer sums are exact and
+# order-independent, so the distributed doc score is deterministic and
+# bit-identical to the SQL replay (ln() itself is the same libm call
+# in Python-free form: both engines evaluate ln over IEEE-identical
+# count ratios).
+
+_LM_SCALE = float(1 << 40)
+
+
+_LM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+           AS bigram
+  FROM toks WHERE len(w) >= 2
+), cb AS (
+  SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram
+), cs AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, SUM(c_bg) AS c_start
+  FROM cb GROUP BY w1
+), scored AS (
+  SELECT g.doc_id,
+         CAST(round(ln(cb.c_bg / CAST(cs.c_start AS DOUBLE))
+                    * {_LM_SCALE}) AS BIGINT) AS q
+  FROM bg g
+  JOIN cb ON g.bigram = cb.bigram
+  JOIN cs ON split_part(g.bigram, ' ', 1) = cs.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-((CAST(SUM(q) AS DOUBLE) / {_LM_SCALE}) / COUNT(*)), 6)
+         AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "docs_lm_score",
+    oracle=_LM_ORACLE,
+    tags=("text", "lm", "quality"),
+    expose=False,
+)
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram negative log-likelihood per document under the
+    corpus's own bigram LM (conditional p = C(w1 w2) / C(w1 ·), where
+    C(w1 ·) sums bigrams starting with w1). Low avg_nll = formulaic /
+    repetitive text, high = rare constructions — the statistical
+    quality signal next to the rule-based text_quality_stats. Docs
+    with fewer than two tokens have no bigrams and no row (mirrored by
+    the oracle's len >= 2 filter)."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
+        F.col("text").isNotNull()
+    )
+    ex = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "w1"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        ex.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("bigram"))
+    )
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    cs = (
+        cb.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "c_bg",
+        )
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_start"))
+    )
+    # NOT force-broadcast: the count tables are vocabulary-bounded
+    # (tiny here — AQE promotes them to broadcast at runtime), but a
+    # web-scale corpus has billions of bigram TYPES; the plain join
+    # lets the same plan degrade to a shuffle join instead of OOMing
+    # the driver on a forced broadcast.
+    scored = (
+        bg.join(cb, "bigram")
+        .join(
+            cs,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.ln(F.col("c_bg") / F.col("c_start").cast("double"))
+                * _LM_SCALE
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            -((F.sum("q").cast("double") / _LM_SCALE) / F.count("*")), 6
+        ).alias("avg_nll"),
+    )

@@ -44,6 +44,7 @@ OPS = (
     "docs_cluster_kmeans",
     "docs_bm25_topk",
     "multimodal_audio_features",
+    "docs_lm_score",
 )
 
 
