@@ -30,7 +30,7 @@ from streamlit_flink_demo_spark.functions.vectors import (
     dot,
     norm,
 )
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import (
     load_spread,
     load_table,
@@ -1063,16 +1063,14 @@ def _kmeans_centroids_np(e: DataFrame) -> "np.ndarray":
     return cents
 
 
-def _kmeans_oracle_sql() -> str:
-    """DuckDB replay of the full distributed pipeline: seeds → (assign
-    → decimal-exact per-dim mean) × _KM_ITERS → final assignment →
-    integer-only cluster summary. The decimal-sum replay keeps the two
-    engines' centroids equal to the last unit in nearly every
-    dimension; residual float divergence (numpy matmul vs the SQL
-    fold) can flip an assignment only on a near-exact centroid tie —
-    measure-zero for float embeddings, and the OUTPUT columns are all
-    integers, so any surviving row is value-exact (same shape of
-    argument as _ivf_oracle_sql; swept at sf0.001/0.01/0.1)."""
+def _kmeans_ctes() -> tuple[list[str], str]:
+    """Shared CTE chain replaying the distributed k-means pipeline:
+    seeds → (assign → decimal-exact per-dim mean) × _KM_ITERS, plus a
+    final full-corpus assignment ``af (vec_id, c_id, embedding)``.
+    Returns (cte_list, name_of_final_centroid_cte) so both the k-means
+    summary oracle and the SemDeDup oracle extend ONE definition of the
+    training replay (their assignment/tie-break semantics cannot
+    fork)."""
     cos = lambda a, b: cosine_sql(a, b, _DIM)  # noqa: E731
     steps = [
         f"""seeds AS (
@@ -1116,8 +1114,8 @@ def _kmeans_oracle_sql() -> str:
         prev = f"c{t}"
     steps.append(
         f"""af AS (
-  SELECT vec_id, c_id FROM (
-    SELECT e.vec_id, c.c_id,
+  SELECT vec_id, c_id, embedding FROM (
+    SELECT e.vec_id, c.c_id, e.embedding,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
                                        c.c_id) AS rk
@@ -1125,6 +1123,20 @@ def _kmeans_oracle_sql() -> str:
   ) WHERE rk = 1
 )"""
     )
+    return steps, prev
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB replay of the full distributed pipeline: seeds → (assign
+    → decimal-exact per-dim mean) × _KM_ITERS → final assignment →
+    integer-only cluster summary. The decimal-sum replay keeps the two
+    engines' centroids equal to the last unit in nearly every
+    dimension; residual float divergence (numpy matmul vs the SQL
+    fold) can flip an assignment only on a near-exact centroid tie —
+    measure-zero for float embeddings, and the OUTPUT columns are all
+    integers, so any surviving row is value-exact (same shape of
+    argument as _ivf_oracle_sql; swept at sf0.001/0.01/0.1)."""
+    steps, _ = _kmeans_ctes()
     return (
         "WITH "
         + ",\n".join(steps)
@@ -1167,4 +1179,169 @@ def docs_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "sum_vec_id",
         "exemplar",
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-prune
+# --------------------------------------------------------------------------
+# The cluster-based complement of the LSH near-dup path
+# (dedup_embedding_cosine): k-means partitions the embedding space,
+# and near-duplicates are searched only WITHIN a cluster — the
+# published SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication").
+# The quadratic intra-cluster pair matrix is replaced by a
+# deterministic 1-D windowed scan: members are ranked by cosine
+# similarity to their centroid (ties → vec_id) and each member is
+# compared to its next _SEM_W neighbors in that order. Near-identical
+# vectors have near-identical centroid similarity, so true duplicates
+# land adjacent in the ranking; candidate count is n·W (linear),
+# not n²/k — the property that survives a 100 TB corpus where even
+# per-cluster n² is unpayable. Pairs above _SEM_TAU drop the
+# less-central member (higher rank), keeping the exemplar closest to
+# the cluster centroid — SemDeDup's keep-most-representative rule.
+#
+# Scale shape: ONE cluster-partitioned shuffle feeds one Window pass
+# (rank + W leads share the window spec); the n·W candidate explode
+# is pipelined post-shuffle (never crosses the wire) and collapses
+# map-side into the distinct; the summary is two k-row aggregates.
+# Driver state: the k×dim centroid matrix only.
+
+_SEM_W = 16
+# Tuned to the synthetic corpus like _NEAR_DUP_COS: neighbor-window
+# pair cosines top out near 0.49 here (p97 ≈ 0.28), so 0.30 exercises
+# the prune on a few percent of candidates at every SF; a production
+# embedding corpus would run ≥0.9.
+_SEM_TAU = 0.30
+
+
+def _semdedup_oracle_sql() -> str:
+    """Extends the shared k-means replay (_kmeans_ctes) with the
+    windowed prune: rank by centroid-cosine, neighbor pairs within
+    _SEM_W ranks, drop the higher-ranked member of any pair with
+    cosine >= _SEM_TAU. All output columns are integers (counts and
+    vec_id checksums), so the comparison is exact under the same
+    measure-zero tie argument as _kmeans_oracle_sql."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)  # noqa: E731
+    steps, cents = _kmeans_ctes()
+    steps.append(
+        f"""rkd AS (
+  SELECT vec_id, c_id, embedding,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY {cos('a.embedding', 'c.c_emb')} DESC,
+                                     vec_id) AS rk
+  FROM af a JOIN {cents} c USING (c_id)
+)"""
+    )
+    steps.append(
+        f"""drops AS (
+  SELECT a.c_id, b.vec_id AS b_id
+  FROM rkd a JOIN rkd b
+    ON a.c_id = b.c_id AND b.rk > a.rk AND b.rk <= a.rk + {_SEM_W}
+  WHERE {cos('a.embedding', 'b.embedding')} >= {_SEM_TAU}
+  GROUP BY a.c_id, b.vec_id
+)"""
+    )
+    steps.append(
+        """mem AS (
+  SELECT c_id, COUNT(*) AS n_members, SUM(vec_id) AS sum_vec_id
+  FROM rkd GROUP BY c_id
+)"""
+    )
+    steps.append(
+        """dst AS (
+  SELECT c_id, COUNT(*) AS n_dropped, SUM(b_id) AS dropped_sum
+  FROM drops GROUP BY c_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT CAST(m.c_id AS BIGINT) AS cluster,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(d.dropped_sum, 0) AS BIGINT) AS dropped_checksum,
+       CAST(m.sum_vec_id - COALESCE(d.dropped_sum, 0) AS BIGINT)
+         AS kept_checksum
+FROM mem m LEFT JOIN dst d USING (c_id)
+"""
+    )
+
+
+@register(
+    "docs_semdedup",
+    oracle=_semdedup_oracle_sql(),
+    tags=("dedup", "semantic", "embedding", "cluster"),
+    expose=False,
+)
+def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): k-means cluster the embedding corpus
+    (shared trainer with docs_cluster_kmeans — deterministic first-k
+    seeding, scaled-integer means), rank members by centroid cosine,
+    prune near-duplicate neighbors within a _SEM_W-rank window at
+    cosine >= _SEM_TAU, keeping the most-central member. Per-cluster
+    integer summary (members / dropped / id checksums) so the full
+    train→assign→rank→prune pipeline is value-exact against the SQL
+    replay. Driver-surfaced through the 'semdedup' branch of
+    group_agg_suite."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents_np = _kmeans_centroids_np(e)
+    a = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+
+    # One applyInPandas per cluster — the published SemDeDup execution
+    # shape (each cluster pruned independently on one worker). The
+    # first attempt expressed the W-neighbor scan as a 16-lead Window
+    # + explode: it shipped every embedding 16× through the window
+    # buffer (measured ~18 s at sf0.1 vs <1 s here). The kernel keeps
+    # all cosine arithmetic in the oracle's fold order: dots
+    # accumulate dimension-by-dimension left-to-right (the
+    # cosine_pairs_arrow pattern), so cs/cc are bit-identical to
+    # cosine_sql. Memory bound: ONE CLUSTER per worker (n/k rows ×
+    # dim) — the SemDeDup contract; k scales with the corpus so the
+    # bound holds at 100 TB.
+    C = cents_np.astype(np.float64)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        cl = int(pdf["cluster"].iloc[0])
+        E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, dim = E.shape
+        c = C[cl]
+        d_ec = np.zeros(n)
+        d_ee = np.zeros(n)
+        c_cc = 0.0
+        for dd in range(dim):
+            ed = E[:, dd]
+            d_ec = d_ec + ed * c[dd]
+            d_ee = d_ee + ed * ed
+            c_cc = c_cc + c[dd] * c[dd]
+        ne = np.sqrt(d_ee)
+        cc = d_ec / (ne * np.sqrt(c_cc))
+        order = np.lexsort((ids, -cc))  # (cc DESC, vec_id ASC)
+        E = E[order]
+        ids = ids[order]
+        ne = ne[order]
+        dropped = np.zeros(n, dtype=bool)
+        for off in range(1, min(_SEM_W, n - 1) + 1):
+            d_ab = np.zeros(n - off)
+            for dd in range(dim):
+                d_ab = d_ab + E[:-off, dd] * E[off:, dd]
+            cs = d_ab / (ne[:-off] * ne[off:])
+            dropped[off:] |= cs >= _SEM_TAU
+        dsum = int(ids[dropped].sum()) if dropped.any() else 0
+        return pd.DataFrame(
+            {
+                "cluster": [cl],
+                "n_members": [n],
+                "n_dropped": [int(dropped.sum())],
+                "dropped_checksum": [dsum],
+                "kept_checksum": [int(ids.sum()) - dsum],
+            }
+        )
+
+    return a.groupBy("cluster").applyInPandas(
+        prune,
+        "cluster bigint, n_members bigint, n_dropped bigint, "
+        "dropped_checksum bigint, kept_checksum bigint",
     )

@@ -324,6 +324,12 @@ SELECT 'kmeans', CAST(cluster AS VARCHAR), {_NULL_S},
        CAST(n_members AS BIGINT),
        {_NULL_D}, {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_cluster_kmeans")})
+UNION ALL
+SELECT 'semdedup', CAST(cluster AS VARCHAR), {_NULL_S},
+       CAST(dropped_checksum AS BIGINT), CAST(kept_checksum AS BIGINT),
+       CAST(n_members AS BIGINT),
+       CAST(n_dropped AS DOUBLE), {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_semdedup")})
 """,
     tags=("agg", "suite"),
 )
@@ -332,9 +338,11 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLUP (order_priority_rollup), CUBE + grouping_id
     (part_type_size_cube), exact continuous percentiles
     (order_price_percentiles), DISTINCT projection (distinct_part_kinds),
-    multi-COUNT(DISTINCT) (supplier_part_diversity), and full-corpus
+    multi-COUNT(DISTINCT) (supplier_part_diversity), full-corpus
     k-means clustering (docs_cluster_kmeans, round 5 — iterative
-    distributed aggregation with an unrolled-CTE oracle)."""
+    distributed aggregation with an unrolled-CTE oracle), and semantic
+    dedup (docs_semdedup, round 6 — cluster-then-prune per the
+    SemDeDup recipe, one applyInPandas per cluster)."""
     gs = _fn("order_grouping_sets")(spark, sf_dir).select(
         F.lit("grouping_sets").alias("family"),
         F.col("o_orderpriority").alias("k1"),
@@ -445,7 +453,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km)
+    sd = _fn("docs_semdedup")(spark, sf_dir).select(
+        F.lit("semdedup").alias("family"),
+        F.col("cluster").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("dropped_checksum").cast("bigint").alias("i1"),
+        F.col("kept_checksum").cast("bigint").alias("i2"),
+        F.col("n_members").cast("bigint").alias("n"),
+        F.col("n_dropped").cast("double").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd)
 
 
 # --------------------------------------------------------------------------
