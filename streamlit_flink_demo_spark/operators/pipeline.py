@@ -528,3 +528,148 @@ def docs_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR: importance weights for data selection
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every raw document by how much more likely its hashed-n-gram bag is
+# under a TARGET distribution (a trusted high-quality slice — here the
+# lang='en' slice standing in for DSIR's Wikipedia/books target) than
+# under the RAW corpus distribution. log w(x) = Σ_f [ln p_t(f) −
+# ln p_r(f)] over the doc's unigram+bigram features hashed into
+# _DSIR_B buckets (Laplace-smoothed). Downstream, selection resamples
+# ∝ w(x); the weight table is the artifact this operator produces.
+#
+# Scale shape: one doc-partitioned explode+lead pass builds the
+# feature stream (persisted — it feeds three consumers); the two count
+# tables are BOUNDED at _DSIR_B rows by construction (feature hashing
+# exists precisely to cap model size), so both sides of the scoring
+# join broadcast at any corpus size; per-doc sums are scaled-integer
+# (the docs_lm_score trick) so the distributed fold is deterministic
+# and bit-identical to the SQL replay. The smoothing constants enter
+# once per doc via a 1-row totals broadcast — no driver collect.
+
+_DSIR_B = 4096
+_DSIR_SCALE = float(1 << 40)
+_DSIR_TARGET = "en"
+
+
+def _dsir_oracle_sql() -> str:
+    b = _DSIR_B
+    s = _DSIR_SCALE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+  FROM toks WHERE len(w) >= 2
+), feats AS (
+  SELECT doc_id, lang, {u60_sql('g')} % {b} AS bkt FROM grams
+), cr AS (
+  SELECT bkt, COUNT(*) AS c_r FROM feats GROUP BY bkt
+), ct AS (
+  SELECT bkt, COUNT(*) AS c_t FROM feats WHERE lang = '{_DSIR_TARGET}'
+  GROUP BY bkt
+), tot AS (
+  SELECT COUNT(*) AS tr,
+         COUNT(*) FILTER (lang = '{_DSIR_TARGET}') AS tt
+  FROM feats
+), scored AS (
+  SELECT f.doc_id,
+         CAST(round((ln(COALESCE(ct.c_t, 0) + 1) - ln(cr.c_r + 1)) * {s})
+              AS BIGINT) AS q
+  FROM feats f JOIN cr USING (bkt) LEFT JOIN ct USING (bkt)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(CAST(SUM(q) AS DOUBLE) / {s}
+             + COUNT(*) * (ln(tr + {b}) - ln(tt + {b})), 6) AS logw_r
+FROM scored CROSS JOIN tot
+GROUP BY doc_id, tr, tt
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=_dsir_oracle_sql(),
+    tags=("pipeline", "dsir", "selection", "quality"),
+    expose=False,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: hashed unigram+bigram bag
+    scored under target (lang='en' slice) vs raw corpus n-gram
+    distributions, Laplace-smoothed. High logw_r = looks like the
+    target slice; resample ∝ exp(logw) downstream. Count tables are
+    _DSIR_B-bounded → always broadcastable; per-doc sums are
+    scaled-integer quantized → order-independent and exact vs the
+    oracle."""
+    from streamlit_flink_demo_spark.sources.catalog import load_spread
+
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
+        F.col("text").isNotNull()
+    )
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "w1"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    tok = ex.withColumn("w2", F.lead("w1").over(win))
+    uni = tok.select("doc_id", "lang", F.col("w1").alias("g"))
+    big = tok.filter(F.col("w2").isNotNull()).select(
+        "doc_id", "lang", F.concat_ws(" ", "w1", "w2").alias("g")
+    )
+    feats = track_persist(
+        uni.unionByName(big).select(
+            "doc_id", "lang", (u60(F.col("g")) % _DSIR_B).alias("bkt")
+        )
+    )
+    is_t = F.col("lang") == _DSIR_TARGET
+    cr = feats.groupBy("bkt").agg(F.count("*").alias("c_r"))
+    ct = feats.filter(is_t).groupBy("bkt").agg(F.count("*").alias("c_t"))
+    tot = feats.agg(
+        F.count("*").alias("tr"),
+        F.count(F.when(is_t, 1)).alias("tt"),
+    )
+    scored = (
+        feats.join(F.broadcast(cr), "bkt")
+        .join(F.broadcast(ct), "bkt", "left")
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    F.ln(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    - F.ln(F.col("c_r") + 1)
+                )
+                * _DSIR_SCALE
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("q").alias("sq"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            F.round(
+                F.col("sq").cast("double") / _DSIR_SCALE
+                + F.col("n_feats")
+                * (
+                    F.ln(F.col("tr") + _DSIR_B)
+                    - F.ln(F.col("tt") + _DSIR_B)
+                ),
+                6,
+            ).alias("logw_r"),
+        )
+    )

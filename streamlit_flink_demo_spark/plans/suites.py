@@ -1137,15 +1137,20 @@ SELECT 'lm', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(n_bigrams AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
        CAST(avg_nll AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_lm_score")})
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
+       CAST(n_feats AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
+       CAST(logw_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_dsir_weights")})
 """,
     tags=("text", "suite"),
 )
 def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface in one suite (members text_quality_stats,
-    text_lang_id, text_normalize_tokens, text_fingerprint, and — round
-    5 — docs_bm25_topk retrieval and docs_lm_score bigram-LM quality
-    scoring; each still individually oracle-checked in
-    tests/test_oracle_parity.py).
+    text_lang_id, text_normalize_tokens, text_fingerprint, round 5's
+    docs_bm25_topk retrieval and docs_lm_score bigram-LM quality
+    scoring, and round 6's docs_dsir_weights importance weights; each
+    still individually oracle-checked in tests/test_oracle_parity.py).
     Consolidated in round 5: the driver records correctness rows for at
     most the first 50 sorted exposed names, and the three round-5
     queries pushed the surface to 53, silently dropping the three
@@ -1224,7 +1229,19 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_nll").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp, bm, lm)
+    ds = _fn("docs_dsir_weights")(spark, sf_dir).select(
+        F.lit("dsir").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ns().alias("s1"),
+        _ns().alias("s2"),
+        F.col("n_feats").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("logw_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm, lm, ds)
 
 
 # --------------------------------------------------------------------------
