@@ -673,3 +673,181 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logw_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes text classifier (fastText-style quality/domain gate)
+# --------------------------------------------------------------------------
+# The trainable-classifier stage of a data pipeline (CCNet / fastText
+# quality and language gates): multinomial Naive Bayes over hashed
+# unigram features, trained CLOSED-FORM in one aggregation pass on the
+# deterministic hash-mod train split, scored on the eval split.
+# score(d,c) = ln P(c) + Σ_f ln p_c(f), Laplace-smoothed; predicted
+# class = argmax (ties → lexicographically smallest class). Here the
+# label is `lang` (ground truth exists for accuracy assertions); the
+# same shape trains any label column.
+#
+# Scale shape: the model IS two bounded broadcast tables — per-class
+# feature counts (≤ _DSIR_B × n_classes rows) and class stats
+# (n_classes rows). Training = one groupBy over the train slice's
+# feature stream; scoring = eval features × classes (broadcast
+# fan-out, n_classes-bounded) left-joined to the model, scaled-integer
+# per-(doc,class) sums, one argmax window per doc. No driver-side
+# model state, no Python.
+
+_NB_B = _DSIR_B  # same hashed-feature space as DSIR
+
+
+def _nb_oracle_sql() -> str:
+    b, s = _NB_B, _DSIR_SCALE
+    train = f"{u60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {train} AS is_train,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), feats AS (
+  SELECT doc_id, lang, is_train,
+         {u60_sql('g')} % {b} AS bkt
+  FROM (SELECT doc_id, lang, is_train, unnest(w) AS g FROM toks)
+), model AS (
+  SELECT lang AS cls, bkt, COUNT(*) AS cnt
+  FROM feats WHERE is_train GROUP BY lang, bkt
+), cstat AS (
+  SELECT t.cls, t.n_docs_c, f.tot_c FROM
+    (SELECT lang AS cls, COUNT(*) AS n_docs_c
+     FROM toks WHERE is_train GROUP BY lang) t
+    JOIN
+    (SELECT lang AS cls, COUNT(*) AS tot_c
+     FROM feats WHERE is_train GROUP BY lang) f USING (cls)
+), tstat AS (
+  SELECT COUNT(*) AS n_tr, (SELECT COUNT(*) FROM cstat) AS n_cls
+  FROM toks WHERE is_train
+), escore AS (
+  SELECT f.doc_id, c.cls,
+         SUM(CAST(round(ln(COALESCE(m.cnt, 0) + 1) * {s}) AS BIGINT))
+           AS sq,
+         COUNT(*) AS n_feats
+  FROM feats f
+  CROSS JOIN cstat c
+  LEFT JOIN model m ON m.cls = c.cls AND m.bkt = f.bkt
+  WHERE NOT f.is_train
+  GROUP BY f.doc_id, c.cls
+), scored AS (
+  SELECT e.doc_id, e.cls,
+         CAST(e.sq AS DOUBLE) / {s}
+         + ln(c.n_docs_c + 1) - ln(t.n_tr + t.n_cls)
+         - e.n_feats * ln(c.tot_c + {b}) AS score
+  FROM escore e JOIN cstat c USING (cls) CROSS JOIN tstat t
+), pred AS (
+  SELECT doc_id, cls, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls) AS rk
+  FROM scored
+)
+SELECT d.doc_id, d.lang AS lang_actual, p.cls AS lang_pred,
+       CAST(CASE WHEN d.lang = p.cls THEN 1 ELSE 0 END AS BIGINT) AS ok,
+       ROUND(p.score, 6) AS score_r
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+WHERE p.rk = 1
+"""
+
+
+@register(
+    "docs_nb_classify",
+    oracle=_nb_oracle_sql(),
+    tags=("pipeline", "classifier", "quality"),
+    expose=False,
+)
+def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language classifier over hashed unigram
+    features: closed-form train on the 90% hash-mod slice, argmax
+    scoring on the 10% eval slice (doc_id, lang_actual, lang_pred, ok,
+    score_r). The model is two broadcast-bounded count tables; the
+    per-(doc,class) log-likelihood sums are scaled-integer quantized,
+    so prediction and score replay exactly in the SQL oracle."""
+    from streamlit_flink_demo_spark.sources.catalog import load_spread
+
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
+        F.col("text").isNotNull()
+    )
+    is_train = u60(F.col("doc_id").cast("string")) % 100 < 90
+    docs = d.select("doc_id", "lang", is_train.alias("is_train"), "text")
+    feats = track_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            "is_train",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("g"),
+        ).select(
+            "doc_id", "lang", "is_train", (u60(F.col("g")) % _NB_B).alias("bkt")
+        )
+    )
+    tr = feats.filter("is_train")
+    model = tr.groupBy(F.col("lang").alias("cls"), "bkt").agg(
+        F.count("*").alias("cnt")
+    )
+    cstat = (
+        docs.filter("is_train")
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count("*").alias("n_docs_c"))
+        .join(
+            tr.groupBy(F.col("lang").alias("cls")).agg(
+                F.count("*").alias("tot_c")
+            ),
+            "cls",
+        )
+    )
+    tstat = docs.filter("is_train").agg(F.count("*").alias("n_tr"))
+    ncls = cstat.agg(F.count("*").alias("n_cls"))
+    ev = feats.filter(~F.col("is_train"))
+    escore = (
+        ev.crossJoin(F.broadcast(cstat.select("cls")))
+        .join(F.broadcast(model), ["cls", "bkt"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            F.round(
+                F.ln(F.coalesce(F.col("cnt"), F.lit(0)) + 1) * _DSIR_SCALE
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("q").alias("sq"), F.count("*").alias("n_feats"))
+    )
+    scored = (
+        escore.join(F.broadcast(cstat), "cls")
+        .crossJoin(F.broadcast(tstat))
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("sq").cast("double") / _DSIR_SCALE
+                + F.ln(F.col("n_docs_c") + 1)
+                - F.ln(F.col("n_tr") + F.col("n_cls"))
+                - F.col("n_feats") * F.ln(F.col("tot_c") + _NB_B)
+            ).alias("score"),
+        )
+    )
+    wp = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cls").alias("lang_pred"), "score")
+    )
+    return pred.join(
+        docs.select("doc_id", F.col("lang").alias("lang_actual")), "doc_id"
+    ).select(
+        "doc_id",
+        "lang_actual",
+        "lang_pred",
+        F.when(F.col("lang_actual") == F.col("lang_pred"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ok"),
+        F.round("score", 6).alias("score_r"),
+    )

@@ -1142,6 +1142,11 @@ SELECT 'dsir', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(n_feats AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
        CAST(logw_r AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_dsir_weights")})
+UNION ALL
+SELECT 'nb', CAST(doc_id AS BIGINT), lang_actual, lang_pred,
+       CAST(ok AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
+       CAST(score_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_nb_classify")})
 """,
     tags=("text", "suite"),
 )
@@ -1149,8 +1154,9 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface in one suite (members text_quality_stats,
     text_lang_id, text_normalize_tokens, text_fingerprint, round 5's
     docs_bm25_topk retrieval and docs_lm_score bigram-LM quality
-    scoring, and round 6's docs_dsir_weights importance weights; each
-    still individually oracle-checked in tests/test_oracle_parity.py).
+    scoring, and round 6's docs_dsir_weights importance weights and
+    docs_nb_classify Naive-Bayes classifier; each still individually
+    oracle-checked in tests/test_oracle_parity.py).
     Consolidated in round 5: the driver records correctness rows for at
     most the first 50 sorted exposed names, and the three round-5
     queries pushed the surface to 53, silently dropping the three
@@ -1241,7 +1247,19 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("logw_r").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp, bm, lm, ds)
+    nb = _fn("docs_nb_classify")(spark, sf_dir).select(
+        F.lit("nb").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang_actual").alias("s1"),
+        F.col("lang_pred").alias("s2"),
+        F.col("ok").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("score_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm, lm, ds, nb)
 
 
 # --------------------------------------------------------------------------
