@@ -318,3 +318,108 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("nb"), F.lit(0))
         ).alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "text_topngram",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, 2 AS n,
+         unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 FOR i IN range(1, len(w) - 1)])
+  FROM t WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, 4,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 FOR i IN range(1, len(w) - 2)])
+  FROM t WHERE len(w) >= 4
+), c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram
+), r AS (
+  SELECT doc_id, n, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram) AS rk
+  FROM c
+)
+SELECT r.doc_id, CAST(r.n AS BIGINT) AS n, r.gram AS top_gram,
+       CAST(r.cnt AS BIGINT) AS top_cnt,
+       ROUND(CAST(r.cnt * len(r.gram) AS DOUBLE) / len(t.tt), 6)
+         AS top_frac_r
+FROM r JOIN t USING (doc_id) WHERE rk = 1
+""",
+    tags=("text", "quality", "repetition"),
+    expose=False,
+)
+def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n-gram character fraction for n in {2,3,4} — the second
+    Gopher repetition family (Rae et al. 2021, §A1.1: 'fraction of
+    characters contained within the most frequently-occurring
+    n-gram'); complements text_repetition's duplicate-count
+    fractions. Per doc and n: the most frequent word n-gram (ties →
+    lexicographically smallest), its count, and the fraction of the
+    trimmed text's characters its occurrences cover. Spark path: ONE
+    posexplode + one (doc_id,pos) window producing all three gram
+    widths from the same lead chain, one count aggregation, one
+    rank-limit window — linear in corpus size; docs with fewer than
+    n tokens have no row for that n in either engine."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = d.select(
+        "doc_id", F.length(F.trim(F.col("text"))).alias("len_t")
+    )
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    led = ex.select(
+        "doc_id",
+        "w1",
+        F.lead("w1", 1).over(win).alias("w2"),
+        F.lead("w1", 2).over(win).alias("w3"),
+        F.lead("w1", 3).over(win).alias("w4"),
+    )
+    grams = (
+        led.filter(F.col("w2").isNotNull()).select(
+            "doc_id",
+            F.lit(2).alias("n"),
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+        )
+        .unionAll(
+            led.filter(F.col("w3").isNotNull()).select(
+                "doc_id",
+                F.lit(3).alias("n"),
+                F.concat_ws(" ", "w1", "w2", "w3").alias("gram"),
+            )
+        )
+        .unionAll(
+            led.filter(F.col("w4").isNotNull()).select(
+                "doc_id",
+                F.lit(4).alias("n"),
+                F.concat_ws(" ", "w1", "w2", "w3", "w4").alias("gram"),
+            )
+        )
+    )
+    cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    wr = W.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
+    top = cnt.withColumn("rk", F.row_number().over(wr)).filter("rk = 1")
+    return top.join(base, "doc_id").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").cast("bigint").alias("top_cnt"),
+        F.round(
+            (F.col("cnt") * F.length("gram")).cast("double") / F.col("len_t"),
+            6,
+        ).alias("top_frac_r"),
+    )

@@ -1147,6 +1147,11 @@ SELECT 'nb', CAST(doc_id AS BIGINT), lang_actual, lang_pred,
        CAST(ok AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
        CAST(score_r AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_nb_classify")})
+UNION ALL
+SELECT 'topngram', CAST(doc_id AS BIGINT), top_gram, {_NULL_S},
+       CAST(n AS BIGINT), CAST(top_cnt AS BIGINT), {_NULL_B}, {_NULL_B},
+       CAST(top_frac_r AS DOUBLE), {_NULL_D}
+FROM ({_o("text_topngram")})
 """,
     tags=("text", "suite"),
 )
@@ -1154,9 +1159,10 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface in one suite (members text_quality_stats,
     text_lang_id, text_normalize_tokens, text_fingerprint, round 5's
     docs_bm25_topk retrieval and docs_lm_score bigram-LM quality
-    scoring, and round 6's docs_dsir_weights importance weights and
-    docs_nb_classify Naive-Bayes classifier; each still individually
-    oracle-checked in tests/test_oracle_parity.py).
+    scoring, and round 6's docs_dsir_weights importance weights,
+    docs_nb_classify Naive-Bayes classifier, and text_topngram Gopher
+    top-n-gram char fractions; each still individually oracle-checked
+    in tests/test_oracle_parity.py).
     Consolidated in round 5: the driver records correctness rows for at
     most the first 50 sorted exposed names, and the three round-5
     queries pushed the surface to 53, silently dropping the three
@@ -1259,7 +1265,19 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_r").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp, bm, lm, ds, nb)
+    tn = _fn("text_topngram")(spark, sf_dir).select(
+        F.lit("topngram").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("top_gram").alias("s1"),
+        _ns().alias("s2"),
+        F.col("n").cast("bigint").alias("i1"),
+        F.col("top_cnt").cast("bigint").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("top_frac_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm, lm, ds, nb, tn)
 
 
 # --------------------------------------------------------------------------
