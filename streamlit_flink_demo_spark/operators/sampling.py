@@ -389,27 +389,32 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("w1", 2).over(win).alias("w3"),
         F.lead("w1", 3).over(win).alias("w4"),
     )
-    grams = (
-        led.filter(F.col("w2").isNotNull()).select(
-            "doc_id",
-            F.lit(2).alias("n"),
-            F.concat_ws(" ", "w1", "w2").alias("gram"),
+    # all three gram widths from ONE explode of a null-filtered struct
+    # array (a 3-branch UNION would replay the lead window + scan per
+    # width — measured 3 Generates / 4 scans vs 1 / 2 here). concat_ws
+    # silently skips NULLs, so each gram is explicitly gated on its
+    # last word being present.
+    def _gram(n: int, *cols: str):
+        return F.struct(
+            F.lit(n).alias("n"),
+            F.when(
+                F.col(cols[-1]).isNotNull(), F.concat_ws(" ", *cols)
+            ).alias("gram"),
         )
-        .unionAll(
-            led.filter(F.col("w3").isNotNull()).select(
-                "doc_id",
-                F.lit(3).alias("n"),
-                F.concat_ws(" ", "w1", "w2", "w3").alias("gram"),
+
+    grams = led.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    _gram(2, "w1", "w2"),
+                    _gram(3, "w1", "w2", "w3"),
+                    _gram(4, "w1", "w2", "w3", "w4"),
+                ),
+                lambda x: x["gram"].isNotNull(),
             )
-        )
-        .unionAll(
-            led.filter(F.col("w4").isNotNull()).select(
-                "doc_id",
-                F.lit(4).alias("n"),
-                F.concat_ws(" ", "w1", "w2", "w3", "w4").alias("gram"),
-            )
-        )
-    )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
     wr = W.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
     top = cnt.withColumn("rk", F.row_number().over(wr)).filter("rk = 1")

@@ -470,3 +470,33 @@ def test_semdedup_single_prune_exchange(spark, sf_dir):
     assert set(hashx) == {"cluster"}, hashx
     assert "Join" not in p and "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_topngram_single_explode_chain_no_python(spark, sf_dir):
+    """text_topngram derives all three gram widths from ONE lead
+    window + one gram explode (a per-width UNION would replay the
+    window and scan 3×); counting + argmax are pure JVM aggregations,
+    zero Python eval nodes."""
+    import re
+
+    p = plan_str(fresh("text_topngram")(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 2
+    assert "WindowGroupLimit" in p  # rk=1 pushed into the window sort
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p  # len join broadcasts
+
+
+def test_dsir_nb_model_joins_broadcast_no_python(spark, sf_dir):
+    """The DSIR count tables and the NB model/class-stat tables are
+    bounded by the hashed-feature space (4096 buckets × classes), so
+    every scoring join must be a broadcast — a sort-merge join here
+    would mean the optimizer lost the boundedness and the plan would
+    shuffle the full feature stream per join at 100 TB. Both scorers
+    are pure codegen (no Python eval)."""
+    for name in ("docs_dsir_weights", "docs_nb_classify"):
+        p = plan_str(fresh(name)(spark, sf_dir))
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+        assert "EvalPython" not in p, name
+        assert "CartesianProduct" not in p, name

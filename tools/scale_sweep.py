@@ -45,6 +45,10 @@ OPS = (
     "docs_bm25_topk",
     "multimodal_audio_features",
     "docs_lm_score",
+    "docs_semdedup",
+    "docs_dsir_weights",
+    "docs_nb_classify",
+    "text_topngram",
 )
 
 
