@@ -330,6 +330,11 @@ SELECT 'semdedup', CAST(cluster AS VARCHAR), {_NULL_S},
        CAST(n_members AS BIGINT),
        CAST(n_dropped AS DOUBLE), {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_semdedup")})
+UNION ALL
+SELECT 'pagerank', CAST(doc_id AS VARCHAR), {_NULL_S},
+       CAST(pr_q AS BIGINT), {_NULL_B}, CAST(deg AS BIGINT),
+       CAST(pr_r AS DOUBLE), {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_pagerank")})
 """,
     tags=("agg", "suite"),
 )
@@ -340,9 +345,12 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order_price_percentiles), DISTINCT projection (distinct_part_kinds),
     multi-COUNT(DISTINCT) (supplier_part_diversity), full-corpus
     k-means clustering (docs_cluster_kmeans, round 5 — iterative
-    distributed aggregation with an unrolled-CTE oracle), and semantic
+    distributed aggregation with an unrolled-CTE oracle), semantic
     dedup (docs_semdedup, round 6 — cluster-then-prune per the
-    SemDeDup recipe, one applyInPandas per cluster)."""
+    SemDeDup recipe, one applyInPandas per cluster), and PageRank over
+    the near-dup graph (docs_pagerank, round 6 — fixed power
+    iterations, scaled-integer ranks, per-round lineage
+    checkpointing)."""
     gs = _fn("order_grouping_sets")(spark, sf_dir).select(
         F.lit("grouping_sets").alias("family"),
         F.col("o_orderpriority").alias("k1"),
@@ -464,7 +472,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd)
+    pr = _fn("docs_pagerank")(spark, sf_dir).select(
+        F.lit("pagerank").alias("family"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("pr_q").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        F.col("deg").cast("bigint").alias("n"),
+        F.col("pr_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr)
 
 
 # --------------------------------------------------------------------------

@@ -49,6 +49,7 @@ OPS = (
     "docs_dsir_weights",
     "docs_nb_classify",
     "text_topngram",
+    "docs_pagerank",
 )
 
 
