@@ -61,3 +61,68 @@ def streaming_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_running_totals(
+    df: DataFrame, key_col: str = "user_id", value_col: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, sum, max) via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles) next to the classic ``applyInPandasWithState`` operator
+    above. Each micro-batch re-emits the updated totals for every key
+    it touched (update semantics), which is exactly the changelog-
+    upsert shape the emitter consumes.
+
+    State per key is one fixed-size ValueState row; ``ttl_ms`` opts
+    into the engine-managed state TTL (idle keys evicted without a
+    watermark — the knob applyInPandasWithState lacks). The processor
+    class is defined inside this factory so cloudpickle ships it BY
+    VALUE — executors never need this module importable (same
+    contract as streaming_first_seen's closure).
+
+    Runtime requirement: transformWithState's state protocol is
+    protobuf-framed, so ``google.protobuf`` must be importable by the
+    Python workers (absent from this sandbox — the pytest is
+    env-gated; standard cluster images carry it)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._tot = handle.getValueState(
+                "totals", "n bigint, total double, vmax double", ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            if self._tot.exists():
+                n, total, vmax = self._tot.get()
+            else:
+                n, total, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += int(len(pdf))
+                total += float(pdf[value_col].sum())
+                vmax = max(vmax, float(pdf[value_col].max()))
+            self._tot.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _RunningTotals(),
+        outputStructType=f"{key_col} bigint, n bigint, total double, "
+        "vmax double",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -103,3 +103,97 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         assert sorted(r["guid"] for r in rows) == ["a", "b", "c"]
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): per-key
+    running count/sum/max accumulate across micro-batches and the
+    final emission per key equals the batch aggregate over all rows.
+
+    Env-gated like the Kafka-broker and real-codec tiers: the
+    transformWithState Python<->JVM state protocol is protobuf-framed
+    (pyspark/sql/streaming/proto/StateMessage_pb2), and this container
+    has no google.protobuf and no package installs — without it the
+    driver-side state server crashes at query start
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The operator
+    itself is plain PySpark; on any normal cluster image (protobuf
+    ships with most distros' pyspark extras) this test runs."""
+    import os
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable (no installs in sandbox)")
+
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    out = streaming_running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twst_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    b1 = [(1, t, 1.0), (1, t, 5.0), (2, t, 2.0)]
+    b2 = [(1, t, 3.0), (3, t, 7.0)]
+
+    def write(n, rows):
+        df = spark.createDataFrame(rows, schema)
+        staging = os.path.join(spool, f"_s{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(staging, part),
+            os.path.join(spool, f"b{n:04d}.parquet"),
+        )
+
+    try:
+        write(0, b1)
+        q.processAllAvailable()
+        write(1, b2)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM twst_out"
+        ).toPandas()
+    finally:
+        q.stop()
+    # last emission per key = running totals after all batches
+    last = rows.groupby("user_id").last()
+    want = (
+        spark.createDataFrame(b1 + b2, schema)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("vmax"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    for uid in (1, 2, 3):
+        assert last.loc[uid, "n"] == want.loc[uid, "n"]
+        assert last.loc[uid, "total"] == want.loc[uid, "total"]
+        assert last.loc[uid, "vmax"] == want.loc[uid, "vmax"]
+    # update semantics: user 1 was touched in both batches → 2 rows
+    assert (rows.user_id == 1).sum() == 2
+    assert (rows.user_id == 3).sum() == 1
