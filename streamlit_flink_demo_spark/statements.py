@@ -596,7 +596,27 @@ class StatementsService:
                     )
                     # start() clones the session; the clone keeps the
                     # low partition count for the query's lifetime
-                    stmt._query = writer.start()
+                    try:
+                        stmt._query = writer.start()
+                    except Exception as ex:
+                        if (
+                            sink_mode == "update"
+                            and "only in Append output mode" in str(ex)
+                        ):
+                            # Stream-stream joins reject update mode
+                            # (Spark's rule), and for a non-aggregate
+                            # plan append is semantically identical
+                            # for the emitter (no retractable state —
+                            # every row is new). Spark's start() is
+                            # the authority on which plans need this
+                            # (same policy as the sink.path NOTE), so
+                            # retry in append rather than guessing
+                            # from plan introspection.
+                            stmt._query = writer.outputMode(
+                                "append"
+                            ).start()
+                        else:
+                            raise
                 finally:
                     try:
                         if prev_parts is not None:

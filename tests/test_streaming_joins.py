@@ -138,3 +138,45 @@ def test_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
         assert 2 in nulls  # user-2 click emitted null-padded
     finally:
         q.stop()
+
+
+def test_interval_join_sql_statement_through_facade(spark, tmp_path):
+    """The interval join as a continuous SQL STATEMENT (the way the
+    reference platform runs it — Flink SQL's `BETWEEN ... INTERVAL`):
+    two watermarked streaming views, one facade statement, +I-only
+    changelog (append semantics, keyless-stateful emitter path)."""
+    from streamlit_flink_demo_spark.changelog import Changelog
+    from streamlit_flink_demo_spark.statements import StatementsService
+
+    ls, rs, left, right = _spools(spark, tmp_path)
+    left.withWatermark("ts", "1 hour").createOrReplaceTempView("clicks")
+    right.withWatermark("ts", "1 hour").createOrReplaceTempView("purchases")
+    sql = """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS buy_ts, p.amount
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+"""
+    svc = StatementsService(spark)
+    env = svc.create(sql, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["user_id", "click_ts", "buy_ts", "amount"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    _write_batch(spark, ls, 0, [(1, _ts(1, 0), 1.0), (2, _ts(1, 0), 2.0)])
+    _write_batch(
+        spark, rs, 0, [(1, _ts(1, 20), 10.0), (2, _ts(2, 0), 20.0)]
+    )
+    svc.process_available(env["name"])
+    got = []
+    while True:
+        batch = cl.consume(100)
+        got.extend(batch)
+        if len(batch) < 100:
+            break
+    ops = {(r["op"], r["row"][0], r["row"][3]) for r in got}
+    # user 1's purchase is inside the window (+I); user 2's is 60 min
+    # out — never emitted
+    assert ops == {(0, 1, 10.0)}
+    svc.stop(env["name"])
