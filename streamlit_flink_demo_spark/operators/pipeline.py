@@ -611,24 +611,27 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from streamlit_flink_demo_spark.sources.catalog import load_spread
 
+    from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
+
     d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
         F.col("text").isNotNull()
     )
-    ex = d.select(
+    # unigrams ++ bigrams from the split array in one projection —
+    # zero exchanges before the bucket counts (see functions/ngrams).
+    base = d.select(
         "doc_id",
         "lang",
-        F.posexplode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("pos", "w1"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    tok = ex.withColumn("w2", F.lead("w1").over(win))
-    uni = tok.select("doc_id", "lang", F.col("w1").alias("g"))
-    big = tok.filter(F.col("w2").isNotNull()).select(
-        "doc_id", "lang", F.concat_ws(" ", "w1", "w2").alias("g")
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("w"), F.expr(ngram_array_expr(2)))
+        ).alias("g"),
     )
     feats = track_persist(
-        uni.unionByName(big).select(
+        grams.select(
             "doc_id", "lang", (u60(F.col("g")) % _DSIR_B).alias("bkt")
         )
     )

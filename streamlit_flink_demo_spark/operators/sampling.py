@@ -364,57 +364,37 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram'); complements text_repetition's duplicate-count
     fractions. Per doc and n: the most frequent word n-gram (ties →
     lexicographically smallest), its count, and the fraction of the
-    trimmed text's characters its occurrences cover. Spark path: ONE
-    posexplode + one (doc_id,pos) window producing all three gram
-    widths from the same lead chain, one count aggregation, one
-    rank-limit window — linear in corpus size; docs with fewer than
-    n tokens have no row for that n in either engine."""
+    trimmed text's characters its occurrences cover. Spark path: all
+    three gram widths from the split array in one projection + one
+    explode (functions/ngrams — no token-stream exchange), one count
+    aggregation, one rank-limit window — linear in corpus size; docs
+    with fewer than n tokens have no row for that n in either
+    engine."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     base = d.select(
         "doc_id", F.length(F.trim(F.col("text"))).alias("len_t")
     )
-    ex = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "pos", "w1"
-        ),
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    led = ex.select(
-        "doc_id",
-        "w1",
-        F.lead("w1", 1).over(win).alias("w2"),
-        F.lead("w1", 2).over(win).alias("w3"),
-        F.lead("w1", 3).over(win).alias("w4"),
-    )
-    # all three gram widths from ONE explode of a null-filtered struct
-    # array (a 3-branch UNION would replay the lead window + scan per
-    # width — measured 3 Generates / 4 scans vs 1 / 2 here). concat_ws
-    # silently skips NULLs, so each gram is explicitly gated on its
-    # last word being present.
-    def _gram(n: int, *cols: str):
-        return F.struct(
-            F.lit(n).alias("n"),
-            F.when(
-                F.col(cols[-1]).isNotNull(), F.concat_ws(" ", *cols)
-            ).alias("gram"),
-        )
+    # all three gram widths from the split array in ONE projection +
+    # ONE explode — no posexplode, no lead window, zero exchanges
+    # before the count aggregation (see functions/ngrams; the earlier
+    # lead-window formulation shuffled the whole token stream on
+    # doc_id first).
+    from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
 
-    grams = led.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.array(
-                    _gram(2, "w1", "w2"),
-                    _gram(3, "w1", "w2", "w3"),
-                    _gram(4, "w1", "w2", "w3", "w4"),
-                ),
-                lambda x: x["gram"].isNotNull(),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    widths = ", ".join(
+        f"transform({ngram_array_expr(n)}, x -> named_struct"
+        f"('n', {n}, 'gram', x))"
+        for n in (2, 3, 4)
+    )
+    grams = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).select(
+        "doc_id", F.explode(F.expr(f"concat({widths})")).alias("g")
+    ).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
     cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
     wr = W.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
     top = cnt.withColumn("rk", F.row_number().over(wr)).filter("rk = 1")

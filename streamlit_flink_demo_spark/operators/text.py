@@ -597,21 +597,18 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal next to the rule-based text_quality_stats. Docs
     with fewer than two tokens have no bigrams and no row (mirrored by
     the oracle's len >= 2 filter)."""
+    from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
+
     d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
         F.col("text").isNotNull()
     )
-    ex = d.select(
+    # bigrams straight from the split array — no posexplode+lead
+    # window, so the token stream is never exchanged before the count
+    # aggregations (see functions/ngrams).
+    bg = d.select(
         "doc_id",
-        F.posexplode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("pos", "w1"),
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        ex.withColumn("w2", F.lead("w1").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("bigram"))
-    )
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    ).select("doc_id", F.explode(F.expr(ngram_array_expr(2))).alias("bigram"))
     cb = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
     cs = (
         cb.select(

@@ -473,18 +473,30 @@ def test_semdedup_single_prune_exchange(spark, sf_dir):
 
 
 def test_topngram_single_explode_chain_no_python(spark, sf_dir):
-    """text_topngram derives all three gram widths from ONE lead
-    window + one gram explode (a per-width UNION would replay the
-    window and scan 3×); counting + argmax are pure JVM aggregations,
-    zero Python eval nodes."""
+    """text_topngram derives all three gram widths from the split
+    array in ONE projection + ONE explode — the ONLY window left is
+    the per-(doc,n) argmax rank (the earlier lead-window formulation
+    exchanged the whole token stream on doc_id first); counting +
+    argmax are pure JVM aggregations, zero Python eval nodes."""
     import re
 
     p = plan_str(fresh("text_topngram")(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
-    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
     assert "WindowGroupLimit" in p  # rk=1 pushed into the window sort
     assert "EvalPython" not in p
     assert "SortMergeJoin" not in p  # len join broadcasts
+
+
+def test_ngram_scorers_have_no_window_shuffle(spark, sf_dir):
+    """docs_lm_score / docs_dsir_weights form bigrams from the split
+    array (functions/ngrams) — zero Window nodes: the token stream
+    must never be exchanged just to pair adjacent words."""
+    import re
+
+    for name in ("docs_lm_score", "docs_dsir_weights"):
+        p = plan_str(fresh(name)(spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Window\b", p)) == 0, name
 
 
 def test_dsir_nb_model_joins_broadcast_no_python(spark, sf_dir):
