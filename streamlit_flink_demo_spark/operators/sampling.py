@@ -273,38 +273,41 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Rae et al. 2021, §A1.1): per-document word count, distinct-word
     count, most-frequent-word count, duplicate-word fraction and
     duplicate-bigram fraction — the signals that catch boilerplate
-    and degenerate repetition. Spark path: one posexplode, bigrams
-    via lead() over the (doc_id, pos) window, then two hash
-    aggregations joined on doc_id — linear in corpus size, no O(n²)
-    per-document work (the oracle's list_filter scan is fine at
-    sf0.01 but would not be at 100 TB, which is exactly why the
-    engine path explodes instead)."""
-    # NULL text: posexplode(NULL) emits no rows, so the doc would
+    and degenerate repetition. Spark path: every size-based metric is
+    a plain array projection over the split array (zero shuffles);
+    only top_word_n — the one metric that needs per-word counts —
+    pays an explode + two-level aggregation, joined back on doc_id.
+    Linear in corpus size, no O(n²) per-document work (the oracle's
+    list_filter scan is fine at sf0.01 but would not be at 100 TB,
+    which is exactly why the engine path explodes instead)."""
+    from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
+
+    # NULL text: explode(NULL) emits no rows, so the doc would
     # silently vanish here while the oracle's CTE kept a NULL-metric
     # row — filter explicitly, mirrored by the oracle's WHERE.
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    ex = d.select(
+    base = d.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+        F.expr(ngram_array_expr(2)).alias("bg"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    ex = ex.withColumn("nxt", F.lead("word").over(win)).withColumn(
-        "bigram",
-        F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "word", "nxt")),
+    sizes = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.size("bg").alias("nb"),
+        F.size(F.array_distinct("bg")).alias("nbd"),
     )
-    wcnt = ex.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    stats = wcnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct_words"),
-        F.max("c").alias("top_word_n"),
+    top = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"))
     )
-    bg = ex.groupBy("doc_id").agg(
-        F.count("bigram").alias("nb"),
-        F.countDistinct("bigram").alias("nbd"),
-    )
-    return stats.join(bg, "doc_id").select(
+    return sizes.join(top, "doc_id").select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
         F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
