@@ -1055,9 +1055,13 @@ _PR_ITERS = 3
 
 def _pagerank_oracle_sql() -> str:
     s = _PR_S
+    # MATERIALIZED: the minhash pair CTE is referenced (via edges) in
+    # every unrolled iteration; DuckDB's default heuristic re-inlined
+    # it per reference, turning a ~1 s oracle into ~35 s — pin the
+    # expensive subplans so the replay evaluates each once.
     steps = [
-        f"mh AS (\n{_MINHASH_ORACLE}\n)",
-        """edges AS (
+        f"mh AS MATERIALIZED (\n{_MINHASH_ORACLE}\n)",
+        """edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM mh
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM mh
@@ -1066,7 +1070,7 @@ def _pagerank_oracle_sql() -> str:
   SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src
 )""",
         "nn AS (\n  SELECT COUNT(*) AS n FROM documents\n)",
-        f"""r0 AS (
+        f"""r0 AS MATERIALIZED (
   SELECT d.doc_id, COALESCE(g.deg, 0) AS deg,
          CAST(round({s} / nn.n) AS BIGINT) AS q
   FROM documents d LEFT JOIN dg g ON d.doc_id = g.doc_id CROSS JOIN nn
@@ -1091,7 +1095,7 @@ def _pagerank_oracle_sql() -> str:
 )"""
         )
         steps.append(
-            f"""r{t + 1} AS (
+            f"""r{t + 1} AS MATERIALIZED (
   SELECT r.doc_id, r.deg,
          CAST(round(0.15 * {s} / nn.n
                     + 0.85 * (COALESCE(i.infl, 0)

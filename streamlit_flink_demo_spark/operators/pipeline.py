@@ -638,9 +638,12 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_t = F.col("lang") == _DSIR_TARGET
     cr = feats.groupBy("bkt").agg(F.count("*").alias("c_r"))
     ct = feats.filter(is_t).groupBy("bkt").agg(F.count("*").alias("c_t"))
-    tot = feats.agg(
-        F.count("*").alias("tr"),
-        F.count(F.when(is_t, 1)).alias("tt"),
+    # totals fold the ≤_DSIR_B-row count tables, NOT the feature
+    # stream — a third full pass over the corpus for two scalars was
+    # the review-caught waste; Σc_r / Σc_t are the same values by
+    # construction.
+    tot = cr.agg(F.sum("c_r").alias("tr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("tt"))
     )
     scored = (
         feats.join(F.broadcast(cr), "bkt")

@@ -376,14 +376,14 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    base = d.select(
-        "doc_id", F.length(F.trim(F.col("text"))).alias("len_t")
-    )
     # all three gram widths from the split array in ONE projection +
     # ONE explode — no posexplode, no lead window, zero exchanges
     # before the count aggregation (see functions/ngrams; the earlier
     # lead-window formulation shuffled the whole token stream on
-    # doc_id first).
+    # doc_id first). len_t rides the gram rows (8 bytes) and folds as
+    # MAX through the count aggregation — the earlier second
+    # documents scan + per-doc join was a broadcast-side hazard at
+    # scale (review finding).
     from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
 
     widths = ", ".join(
@@ -392,16 +392,23 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in (2, 3, 4)
     )
     grams = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+        "doc_id",
+        F.length(F.trim(F.col("text"))).alias("len_t"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
     ).select(
-        "doc_id", F.explode(F.expr(f"concat({widths})")).alias("g")
+        "doc_id", "len_t", F.explode(F.expr(f"concat({widths})")).alias("g")
     ).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+        "doc_id",
+        "len_t",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
     )
-    cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    cnt = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"), F.max("len_t").alias("len_t")
+    )
     wr = W.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
     top = cnt.withColumn("rk", F.row_number().over(wr)).filter("rk = 1")
-    return top.join(base, "doc_id").select(
+    return top.select(
         "doc_id",
         F.col("n").cast("bigint").alias("n"),
         F.col("gram").alias("top_gram"),

@@ -119,10 +119,15 @@ def streaming_running_totals(
         def close(self) -> None:
             pass
 
+    # Spark only allows state TTL under processing-time semantics
+    # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise),
+    # so the time mode follows the knob; the key field's type is taken
+    # from the input schema rather than assumed.
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).transformWithStateInPandas(
         _RunningTotals(),
-        outputStructType=f"{key_col} bigint, n bigint, total double, "
+        outputStructType=f"{key_col} {key_type}, n bigint, total double, "
         "vmax double",
         outputMode="update",
-        timeMode="none",
+        timeMode="processingtime" if ttl_ms is not None else "none",
     )

@@ -485,7 +485,7 @@ def test_topngram_single_explode_chain_no_python(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
     assert "WindowGroupLimit" in p  # rk=1 pushed into the window sort
     assert "EvalPython" not in p
-    assert "SortMergeJoin" not in p  # len join broadcasts
+    assert "SortMergeJoin" not in p  # no join at all: len_t rides the agg
 
 
 def test_ngram_scorers_have_no_window_shuffle(spark, sf_dir):

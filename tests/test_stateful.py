@@ -177,8 +177,10 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         ).toPandas()
     finally:
         q.stop()
-    # last emission per key = running totals after all batches
-    last = rows.groupby("user_id").last()
+    # last emission per key = running totals after all batches; the
+    # memory-sink SELECT has no row order, so "last" is selected by
+    # the monotone running count, not by incidental scan order
+    last = rows.sort_values("n").groupby("user_id").last()
     want = (
         spark.createDataFrame(b1 + b2, schema)
         .groupBy("user_id")
