@@ -180,3 +180,33 @@ FROM clicks c JOIN purchases p
     # out — never emitted
     assert ops == {(0, 1, 10.0)}
     svc.stop(env["name"])
+
+
+def test_interval_join_negative_lower_bound(spark, tmp_path):
+    """Flink's full interval shape allows a negative lower bound
+    (match events BEFORE the left row too): rows at exactly both
+    bounds match, rows outside either side don't."""
+    lb = spark.createDataFrame([(1, _ts(2, 0), 1.0)], _SCHEMA)
+    rb = spark.createDataFrame(
+        [
+            (1, _ts(1, 50), 10.0),   # -10 min → exactly at lower bound
+            (1, _ts(1, 40), 20.0),   # -20 min → outside
+            (1, _ts(2, 10), 30.0),   # +10 min → exactly at upper bound
+            (1, _ts(2, 20), 40.0),   # +20 min → outside
+        ],
+        _SCHEMA,
+    )
+    got = {
+        r["r_amount"]
+        for r in interval_join(
+            lb, rb, "user_id", lower="-10 minutes", upper="10 minutes"
+        ).collect()
+    }
+    assert got == {10.0, 30.0}
+
+
+def test_interval_join_rejects_unknown_how():
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported interval-join"):
+        interval_join(None, None, "k", how="full_outer")
