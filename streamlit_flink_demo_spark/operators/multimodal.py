@@ -721,3 +721,172 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return audio_features_batch(d, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs (image dedup plumbing)
+# --------------------------------------------------------------------------
+# The multimodal member of the dedup family: a pHash-style bit
+# signature over the binary content, banded into Hamming buckets, and
+# exact bit_count re-ranking of bucket collisions — the pipeline web
+# corpora run over images (LAION's pHash/embedding pass). As with the
+# decode/resize/audio tiers, the SIGNATURE KERNEL here consumes the
+# deterministic stand-in bytes (utf-8 content; a production deployment
+# puts the real image decode tier in front — the bucketing, capping
+# and re-ranking are codec-independent), which keeps the whole
+# operator JVM-side and byte-exact against the SQL replay.
+#
+# Signature: byte_i of the first _PHASH_BITS bytes (zero-padded) sets
+# bit i iff BITS*byte_i > sum(bytes) — the mean threshold compared in
+# EXACT INTEGER form (no float mean). Candidate generation: 4 bands ×
+# 15 bits; buckets are CAPPED at _PHASH_BUCKET_CAP members (lowest
+# doc_ids kept — the LSH df-cap anti-skew guard: shared prefixes make
+# popular buckets quadratic otherwise, measured 797k candidate pairs
+# at sf0.1 uncapped). Scale shape: one projection builds signatures,
+# one explode + one window caps buckets, one self-join on
+# (band, value), one bit_count filter — no all-pairs stage anywhere.
+
+_PHASH_BITS = 60
+_PHASH_BANDS = 4
+_PHASH_BANDW = _PHASH_BITS // _PHASH_BANDS
+_PHASH_T = 6  # max Hamming distance for a near-dup pair
+_PHASH_BUCKET_CAP = 64
+
+_PHASH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, [CASE WHEN 2*i+2 <= len(hx)
+                  THEN ('0x' || substr(hx, 2*i+1, 2))::INT ELSE 0 END
+                  for i in range({_PHASH_BITS})] AS bytes
+  FROM h
+), s AS (
+  SELECT doc_id, bytes, list_sum(bytes) AS tot FROM b
+), sig AS (
+  SELECT doc_id,
+         list_aggregate([CASE WHEN {_PHASH_BITS}*bytes[i+1] > tot
+                         THEN (1::BIGINT << i) ELSE 0 END
+                         for i in range({_PHASH_BITS})], 'sum')::BIGINT
+           AS sig
+  FROM s
+), bands AS (
+  SELECT doc_id, sig, band,
+         (sig >> (band * {_PHASH_BANDW})) & {(1 << _PHASH_BANDW) - 1} AS bv
+  FROM sig, (SELECT unnest(range({_PHASH_BANDS})) AS band)
+), capped AS (
+  SELECT doc_id, sig, band, bv FROM (
+    SELECT doc_id, sig, band, bv,
+           ROW_NUMBER() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= {_PHASH_BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {_PHASH_T}
+"""
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "phash"),
+    expose=False,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary-content pairs via a pHash-style 60-bit
+    mean-threshold signature: banded Hamming buckets (4×15 bits,
+    bucket-capped) generate candidates, exact bit_count(xor) <=
+    {T} re-ranks them. Entirely JVM-side (hex-string byte extraction,
+    higher-order-function folds, bit ops) — byte-exact against the
+    SQL replay; driver-surfaced through the 'phash' branch of
+    join_breadth_suite."""
+    from streamlit_flink_demo_spark.plans import track_persist
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hx = d.select(
+        "doc_id", F.hex(F.encode(F.col("text"), "utf-8")).alias("hx")
+    )
+    bits = _PHASH_BITS
+    bytes_expr = (
+        f"transform(sequence(0, {bits - 1}), i -> CASE WHEN 2*i+2 <= "
+        f"length(hx) THEN CAST(conv(substring(hx, 2*i+1, 2), 16, 10) AS INT) "
+        f"ELSE 0 END)"
+    )
+    sig_expr = (
+        f"CAST(aggregate(transform(sequence(0, {bits - 1}), "
+        f"i -> CASE WHEN {bits} * element_at(bytes, i + 1) > tot "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+    )
+    sig = track_persist(
+        hx.select("doc_id", F.expr(bytes_expr).alias("bytes"))
+        .select(
+            "doc_id",
+            "bytes",
+            F.expr("aggregate(bytes, 0, (acc, x) -> acc + x)").alias("tot"),
+        )
+        .select("doc_id", F.expr(sig_expr).alias("sig"))
+    )
+    # band value: (sig >> band*W) & mask — the shift amount is the
+    # band COLUMN, so the expression is built in SQL form
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(sig, band * {_PHASH_BANDW}) "
+            f"& {(1 << _PHASH_BANDW) - 1}"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    capped = (
+        bands.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("band", "bv").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= _PHASH_BUCKET_CAP)
+        .select("doc_id", "band", "bv")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), "band", "bv"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sig_a ^ sig_b")).cast("bigint").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= _PHASH_T)
+    )

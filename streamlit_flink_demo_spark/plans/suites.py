@@ -847,6 +847,11 @@ SELECT 'funnel', CAST(user_id AS BIGINT), {_NULL_B}, {_NULL_S},
        CAST(reached_stage AS BIGINT), {_NULL_B},
        CAST(sec_to_convert AS DOUBLE), {_NULL_D}
 FROM ({_o("events_funnel")})
+UNION ALL
+SELECT 'phash', CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT), {_NULL_S},
+       CAST(hamming AS BIGINT), {_NULL_B},
+       {_NULL_D}, {_NULL_D}
+FROM ({_o("multimodal_phash_pairs")})
 """,
     tags=("join", "suite"),
 )
@@ -948,7 +953,17 @@ def join_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sec_to_convert").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(fo, an, aa, cm, tp, iv, ct, e2e, fu)
+    ph = _fn("multimodal_phash_pairs")(spark, sf_dir).select(
+        F.lit("phash").alias("family"),
+        F.col("doc_a").cast("bigint").alias("k1"),
+        F.col("doc_b").cast("bigint").alias("k2"),
+        _ns().alias("s1"),
+        F.col("hamming").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(fo, an, aa, cm, tp, iv, ct, e2e, fu, ph)
 
 
 # --------------------------------------------------------------------------

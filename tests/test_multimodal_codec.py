@@ -395,3 +395,60 @@ def test_real_audio_with_soundfile(spark):
     # first channel only: duration must NOT double, crossings match mono
     assert row2["duration_ms"] == 1000
     assert abs(row2["zero_crossings"] - row["zero_crossings"]) <= 2
+
+
+def test_phash_pairs_match_pure_python(spark, sf_dir):
+    """multimodal_phash_pairs vs a pure-Python reimplementation of the
+    signature + banding + cap + Hamming pipeline (no Spark, no SQL):
+    identical pair set and distances."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from streamlit_flink_demo_spark.operators.multimodal import (
+        _PHASH_BANDS,
+        _PHASH_BANDW,
+        _PHASH_BITS,
+        _PHASH_BUCKET_CAP,
+        _PHASH_T,
+    )
+    from streamlit_flink_demo_spark.plans import load_all
+
+    reg = load_all(exposed_only=False)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in reg["multimodal_phash_pairs"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs.text.notna()]
+    sigs = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        bs = list(text.encode("utf-8"))[:_PHASH_BITS]
+        bs += [0] * (_PHASH_BITS - len(bs))
+        tot = sum(bs)
+        sig = sum(
+            1 << i for i, b in enumerate(bs) if _PHASH_BITS * b > tot
+        )
+        sigs[doc_id] = sig
+    buckets = defaultdict(list)
+    for doc_id in sorted(sigs):
+        for band in range(_PHASH_BANDS):
+            bv = (sigs[doc_id] >> (band * _PHASH_BANDW)) & (
+                (1 << _PHASH_BANDW) - 1
+            )
+            buckets[(band, bv)].append(doc_id)
+    want = {}
+    for members in buckets.values():
+        members = members[:_PHASH_BUCKET_CAP]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                lo, hi = min(a, b), max(a, b)
+                d = bin(sigs[lo] ^ sigs[hi]).count("1")
+                if d <= _PHASH_T:
+                    want[(lo, hi)] = d
+    assert got == want
+    assert len(got) > 0

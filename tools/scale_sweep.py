@@ -50,6 +50,7 @@ OPS = (
     "docs_nb_classify",
     "text_topngram",
     "docs_pagerank",
+    "multimodal_phash_pairs",
 )
 
 
