@@ -235,12 +235,26 @@ def _plan_has_aggregate(df: Any) -> bool:
     The cost is Spark emitting the full result per batch, bounded by
     result (not input) cardinality — the price of an upsert stream
     with no key."""
+    return _plan_has_node(df, ("Aggregate",))
+
+
+def _plan_has_sort(df: Any) -> bool:
+    """True when the analyzed streaming plan carries a Sort (the
+    continuous Top-N shape: ``GROUP BY … ORDER BY agg LIMIT k``).
+    Spark only allows sorting a streaming aggregate in COMPLETE mode,
+    and semantically that is also what Flink's Top-N operator emits —
+    the full current ranking with retractions as rows enter/leave it —
+    which is exactly the emitter's complete-mode snapshot diff."""
+    return _plan_has_node(df, ("Sort",))
+
+
+def _plan_has_node(df: Any, names: tuple[str, ...]) -> bool:
     try:
         node = df._jdf.queryExecution().analyzed()
         stack = [node]
         while stack:
             n = stack.pop()
-            if n.getClass().getSimpleName() == "Aggregate":
+            if n.getClass().getSimpleName() in names:
                 return True
             children = n.children()
             for i in range(children.length()):
@@ -486,6 +500,13 @@ class StatementsService:
                 # group key not projected): update-mode has nothing to
                 # retract on — promote to complete-mode full-result
                 # diffing (see _plan_has_aggregate).
+                output_mode = "complete"
+            if output_mode == "update" and _plan_has_sort(df):
+                # Continuous Top-N (GROUP BY … ORDER BY agg LIMIT k):
+                # Spark rejects streaming sorts outside complete mode,
+                # and Flink's Top-N semantics ARE the complete-mode
+                # snapshot diff — rows entering the ranking emit +I,
+                # rows falling out emit -D (see _plan_has_sort).
                 output_mode = "complete"
             keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")

@@ -500,3 +500,47 @@ def test_global_aggregate_promoted_to_single_row_retracts(spark, tmp_path):
 
     assert [tuple(r) for r in cl.collapse().rows] == [(5,)]
     svc.stop(env["name"])
+
+
+TOPN_SQL = """
+SELECT eyeColor, count(*) AS n FROM user
+GROUP BY eyeColor ORDER BY n DESC, eyeColor LIMIT 2
+"""
+
+
+def test_continuous_topn_emits_ranking_retracts(spark, tmp_path):
+    """Flink's continuous Top-N (GROUP BY … ORDER BY agg LIMIT k) as a
+    facade statement: Spark only allows the streaming sort in complete
+    mode, which the facade promotes to via plan introspection
+    (_plan_has_sort); the emitter's snapshot diff then gives exactly
+    Top-N retract semantics — +I when a key enters the ranking, -D
+    when it falls out, -U/+U when its row changes in place."""
+    svc, env, spool = _mk(spark, tmp_path, TOPN_SQL)
+    cols = [c["name"] for c in env["status"]["traits"]["schema"]["columns"]]
+    assert cols == ["eyeColor", "n"]
+    cl = Changelog(cols, svc.results(env["name"], continuous_query=True))
+
+    def u(i, color):
+        return {"guid": f"g{i}", "eyeColor": color, "age": 30,
+                "balance": "$10.00", "name": "u", "registered": None}
+
+    rows = [u(i, "brown") for i in range(3)]
+    rows += [u(10 + i, "blue") for i in range(2)]
+    rows += [u(20, "green")]
+    write_user_batch(spark, spool, 0, rows)
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert sorted(ops) == [(0, ("blue", 2)), (0, ("brown", 3))]
+
+    # green 1+3=4 overtakes: blue leaves the top-2 (-D), green enters
+    # (+I), brown row unchanged (silent)
+    write_user_batch(
+        spark, spool, 1, [u(30 + i, "green") for i in range(3)]
+    )
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    assert (0, ("green", 4)) in ops
+    assert (3, ("blue", 2)) in ops
+    assert not any(row[0] == "brown" for _, row in ops)
+
+    table = cl.collapse()
+    assert sorted(map(tuple, table.rows)) == [("brown", 3), ("green", 4)]
+    svc.stop(env["name"])
