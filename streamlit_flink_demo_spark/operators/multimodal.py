@@ -803,8 +803,8 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= {_PHASH_T}
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate binary-content pairs via a pHash-style 60-bit
     mean-threshold signature: banded Hamming buckets (4×15 bits,
-    bucket-capped) generate candidates, exact bit_count(xor) <=
-    {T} re-ranks them. Entirely JVM-side (hex-string byte extraction,
+    bucket-capped) generate candidates, exact bit_count(xor) <= 6
+    (_PHASH_T) re-ranks them. Entirely JVM-side (hex-string byte extraction,
     higher-order-function folds, bit ops) — byte-exact against the
     SQL replay; driver-surfaced through the 'phash' branch of
     join_breadth_suite."""

@@ -501,12 +501,20 @@ class StatementsService:
                 # retract on — promote to complete-mode full-result
                 # diffing (see _plan_has_aggregate).
                 output_mode = "complete"
-            if output_mode == "update" and _plan_has_sort(df):
+            if (
+                output_mode == "update"
+                and _plan_has_sort(df)
+                and _plan_has_aggregate(df)
+            ):
                 # Continuous Top-N (GROUP BY … ORDER BY agg LIMIT k):
                 # Spark rejects streaming sorts outside complete mode,
                 # and Flink's Top-N semantics ARE the complete-mode
                 # snapshot diff — rows entering the ranking emit +I,
-                # rows falling out emit -D (see _plan_has_sort).
+                # rows falling out emit -D (see _plan_has_sort). The
+                # aggregate gate keeps batch-side ORDER BY subtrees
+                # (e.g. a sorted-LIMIT dim subquery in a stream-static
+                # join) from promoting a non-aggregate statement into
+                # a complete mode Spark would reject.
                 output_mode = "complete"
             keyed_cap = os.environ.get("SPARK_GRAFT_KEYED_BATCH_CAP")
             keyless_cap = os.environ.get("SPARK_GRAFT_KEYLESS_BATCH_CAP")

@@ -544,3 +544,37 @@ def test_continuous_topn_emits_ranking_retracts(spark, tmp_path):
     table = cl.collapse()
     assert sorted(map(tuple, table.rows)) == [("brown", 3), ("green", 4)]
     svc.stop(env["name"])
+
+
+def test_batch_side_sort_does_not_promote_to_complete(spark, tmp_path):
+    """A Sort in a BATCH subtree (sorted-LIMIT dim subquery joined to
+    the stream) must NOT trigger the Top-N complete-mode promotion —
+    Spark allows batch-side sorts in update mode and REJECTS complete
+    mode without a streaming aggregation (review finding)."""
+    spool = str(tmp_path / "spool")
+    user_stream(spark, spool).createOrReplaceTempView("user")
+    spark.createDataFrame(
+        [("brown", 1), ("blue", 2), ("green", 3)], "color string, pri int"
+    ).createOrReplaceTempView("dim_colors")
+    sql = """
+SELECT u.guid, d.pri FROM user u
+JOIN (SELECT color, pri FROM dim_colors ORDER BY pri LIMIT 2) d
+  ON u.eyeColor = d.color
+"""
+    svc = StatementsService(spark)
+    env = svc.create(sql, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert env["status"]["phase"] == "running", env["status"]["detail"]
+    cl = Changelog(
+        [c["name"] for c in env["status"]["traits"]["schema"]["columns"]],
+        svc.results(env["name"], continuous_query=True),
+    )
+    write_user_batch(spark, spool, 0, [
+        {"guid": "g1", "eyeColor": "brown", "age": 30, "balance": "$1.00",
+         "name": "u", "registered": None},
+        {"guid": "g2", "eyeColor": "green", "age": 30, "balance": "$1.00",
+         "name": "u", "registered": None},
+    ])
+    ops = [(r["op"], tuple(r["row"])) for r in _drain(svc, env, cl)]
+    # only the top-2-priority colors join; appends only
+    assert ops == [(0, ("g1", 1))]
+    svc.stop(env["name"])
