@@ -184,22 +184,44 @@ WHERE ({_eq_sum_sql}) / {float(_K)!r} >= 0.5
 """
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) MinHash signatures for ANY (doc_id, text)
+    frame — batch tables and streaming micro-batches alike (the
+    streaming ingest-dedup path, streaming/dedup_ingest.py, signs each
+    arriving batch with exactly this pipeline, so its flags are
+    bit-comparable to the batch operators'). No persist here: the
+    caller owns caching."""
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias(
+                "toks"
+            ),
+        )
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+        .select("doc_id", u60(F.col("s")).alias("h"))
+    )
+    base = F.col("h") % F.lit(_P)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)
+            ).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    )
+
+
 def _minhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{K-1}): the persisted MinHash signature frame —
     ONE definition shared by dedup_minhash_lsh and dedup_incremental
     (which probes the same index layout); a banding/hash change edits
-    exactly one place."""
-    sh = _doc_shingle_hashes(spark, sf_dir)
-    base = F.col("h") % F.lit(_P)
+    exactly one place. Delegates the signature math to
+    minhash_signatures (shared with the streaming ingest path); keeps
+    the spread + persist policy of the batch operators."""
     return track_persist(
-        sh.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    (F.lit(_A[i]) * base + F.lit(_B[i])) % F.lit(_P)
-                ).alias(f"h{i}")
-                for i in range(_K)
-            ]
-        )
+        minhash_signatures(load_spread(spark, sf_dir, "documents"))
     )
 
 

@@ -1,0 +1,123 @@
+"""Ingest-time near-duplicate detection over a document stream.
+
+The streaming twin of ``operators/dedup.dedup_incremental``: every
+arriving micro-batch of documents is MinHash-signed with the SAME
+pipeline as the batch operators (``dedup.minhash_signatures``) and its
+band keys are probed against a STATIC corpus signature frame — each
+new document is flagged ``dup_of``/``est_jaccard`` against its best
+corpus match, or passes through unflagged. This is how a 100 TB
+pipeline drops near-duplicates at the door instead of re-running
+corpus-wide dedup per crawl.
+
+Scale shape (per batch): the batch is small by construction, so its
+band frame broadcasts into the join against the corpus band keys —
+per-ingest cost scales with the BATCH, not the corpus (the
+dedup_incremental argument); the corpus side is persisted once at
+attach time (in production: the ``build_dup_sig_index`` parquet
+artifact, bucket-partitioned so each band probe prunes partitions).
+No streaming state store is involved at all — the operator is
+stateless per batch, so there is no watermark, no snapshot growth,
+and restart safety reduces to the sink's batch-id dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.operators.dedup import (
+    _K,
+    _band_keys_col,
+    _minhash_eq_sum,
+    minhash_signatures,
+)
+
+
+def near_dup_flags_batch(
+    batch_docs: DataFrame, corpus_sigs: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Flag one (micro-)batch of (doc_id, text) docs against the
+    corpus: returns (doc_id, dup_of, est_jaccard) with NULLs for
+    clean docs. Pure composition — usable from foreachBatch AND from
+    batch tests (the equivalence the pytest pins)."""
+    sigs = minhash_signatures(batch_docs).persist()
+    try:
+        new_b = sigs.select(
+            F.col("doc_id").alias("new_doc"),
+            F.explode(_band_keys_col()).alias("band_key"),
+        )
+        cand = (
+            F.broadcast(new_b)
+            .join(corpus_bands, "band_key")
+            .select("new_doc", "old_doc")
+            .distinct()
+        )
+        ma = sigs.alias("ma")
+        mb = corpus_sigs.alias("mb")
+        verified = (
+            cand.join(ma, F.col("new_doc") == F.col("ma.doc_id"))
+            .join(mb, F.col("old_doc") == F.col("mb.doc_id"))
+            .select(
+                "new_doc",
+                "old_doc",
+                (_minhash_eq_sum() / F.lit(float(_K))).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= 0.5)
+        )
+        from pyspark.sql import Window as W
+
+        best = (
+            verified.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("new_doc").orderBy(
+                        F.col("est_jaccard").desc(), F.col("old_doc")
+                    )
+                ),
+            )
+            .filter("rk = 1")
+            .select(
+                F.col("new_doc").alias("doc_id"),
+                F.col("old_doc").alias("dup_of"),
+                "est_jaccard",
+            )
+        )
+        return (
+            batch_docs.select("doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id", "dup_of", "est_jaccard")
+        )
+    finally:
+        sigs.unpersist()
+
+
+def attach_near_dup_stream(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    on_flags: Callable[[list, int], None],
+    checkpoint_dir: str | None = None,
+):
+    """Wire a (doc_id, text) document stream through per-batch near-dup
+    flagging. ``corpus_docs`` is signed ONCE and persisted (the
+    artifact role); ``on_flags(rows, batch_id)`` receives each batch's
+    flag rows (list of Row) — the caller's sink, which owns batch-id
+    dedup for exactly-once. Returns the started StreamingQuery."""
+    corpus_sigs = minhash_signatures(corpus_docs).persist()
+    corpus_bands = corpus_sigs.select(
+        F.col("doc_id").alias("old_doc"),
+        F.explode(_band_keys_col()).alias("band_key"),
+    ).persist()
+    corpus_bands.count()  # materialize both before the stream starts
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = near_dup_flags_batch(batch_df, corpus_sigs, corpus_bands)
+        on_flags(flags.collect(), batch_id)
+
+    writer = doc_stream.writeStream.outputMode("append").foreachBatch(
+        on_batch
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
