@@ -645,3 +645,137 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             -((F.sum("q").cast("double") / _LM_SCALE) / F.count("*")), 6
         ).alias("avg_nll"),
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining (PMI phrase detection)
+# --------------------------------------------------------------------------
+
+_COLLOC_MIN = 3
+_COLLOC_TOPK = 50
+_COLLOC_SCALE = 1_000_000
+
+_COLLOC_ORACLE = rf"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), cu AS (
+  SELECT word, COUNT(*) AS c_w
+  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+), cb AS (
+  SELECT bigram, COUNT(*) AS c_bg
+  FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+          AS bigram
+        FROM toks WHERE len(w) >= 2) GROUP BY bigram
+), tot AS (
+  SELECT (SELECT SUM(c_w) FROM cu) AS n1, (SELECT SUM(c_bg) FROM cb) AS n2
+), scored AS (
+  SELECT cb.bigram, cb.c_bg, u1.c_w AS c_w1, u2.c_w AS c_w2,
+         CAST(round(ln((cb.c_bg / CAST(t.n2 AS DOUBLE))
+                       / ((u1.c_w / CAST(t.n1 AS DOUBLE))
+                          * (u2.c_w / CAST(t.n1 AS DOUBLE))))
+                    * {_COLLOC_SCALE}) AS BIGINT) AS pmi_q
+  FROM cb
+  CROSS JOIN tot t
+  JOIN cu u1 ON split_part(cb.bigram, ' ', 1) = u1.word
+  JOIN cu u2 ON split_part(cb.bigram, ' ', 2) = u2.word
+  WHERE cb.c_bg >= {_COLLOC_MIN}
+), topk AS (
+  SELECT * FROM scored ORDER BY pmi_q DESC, bigram LIMIT {_COLLOC_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_q DESC, bigram) AS BIGINT) AS rank,
+       bigram, CAST(c_bg AS BIGINT) AS c_bg, CAST(c_w1 AS BIGINT) AS c_w1,
+       CAST(c_w2 AS BIGINT) AS c_w2,
+       ROUND(pmi_q / {_COLLOC_SCALE}.0, 6) AS pmi_r
+FROM topk
+"""
+
+
+@register(
+    "docs_collocations",
+    oracle=_COLLOC_ORACLE,
+    tags=("text", "collocations", "pmi"),
+    expose=False,
+)
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: top-k word bigrams by pointwise
+    mutual information, PMI = ln(p(w1 w2) / (p(w1) p(w2))), with a
+    min-count support filter (word2phrase / NLTK-collocations shape --
+    the phrase-detection pass a pretraining pipeline runs before
+    tokenizer training). Single heavy scan: unigrams and bigrams are
+    tagged structs in ONE explode (the bigram array comes straight from
+    the split array, functions/ngrams -- no lead window), so one
+    exchange on (kind, gram) produces the unified count table; that
+    table is vocabulary-bounded and persisted (track_persist), so the
+    cu/cb/totals branches never rescan the corpus. Unigram joins stay
+    un-forced (AQE broadcasts the tiny side here; billions of gram
+    types degrade to a shuffle join instead of OOMing the driver).
+    PMI is ranked on its 1e-6 scaled integer with bigram tie-break;
+    top-k via orderBy+limit (TakeOrderedAndProject heaps, no global
+    sort) before the k-row row_number window."""
+    from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
+    from streamlit_flink_demo_spark.plans import track_persist
+
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"))
+    tagged = (
+        "concat(transform(w, x -> struct('u' AS kind, x AS gram)), "
+        f"transform({ngram_array_expr(2)}, g -> struct('b' AS kind, g AS gram)))"
+    )
+    counts = track_persist(
+        toks.select(F.explode(F.expr(tagged)).alias("t"))
+        .select(F.col("t.kind").alias("kind"), F.col("t.gram").alias("gram"))
+        .groupBy("kind", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum(F.when(F.col("kind") == "u", F.col("cnt"))).alias("n1"),
+            F.sum(F.when(F.col("kind") == "b", F.col("cnt"))).alias("n2"),
+        )
+    )
+    cb = (
+        counts.filter((F.col("kind") == "b") & (F.col("cnt") >= _COLLOC_MIN))
+        .select(F.col("gram").alias("bigram"), F.col("cnt").alias("c_bg"))
+    )
+    u1 = counts.filter(F.col("kind") == "u").select(
+        F.col("gram").alias("w1_"), F.col("cnt").alias("c_w1")
+    )
+    u2 = counts.filter(F.col("kind") == "u").select(
+        F.col("gram").alias("w2_"), F.col("cnt").alias("c_w2")
+    )
+    scored = (
+        cb.crossJoin(tot)
+        .join(u1, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1_"))
+        .join(u2, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("w2_"))
+        .select(
+            "bigram",
+            "c_bg",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.ln(
+                    (F.col("c_bg") / F.col("n2").cast("double"))
+                    / (
+                        (F.col("c_w1") / F.col("n1").cast("double"))
+                        * (F.col("c_w2") / F.col("n1").cast("double"))
+                    )
+                )
+                * _COLLOC_SCALE
+            )
+            .cast("bigint")
+            .alias("pmi_q"),
+        )
+    )
+    topk = scored.orderBy(F.col("pmi_q").desc(), "bigram").limit(_COLLOC_TOPK)
+    rank_w = W.orderBy(F.col("pmi_q").desc(), "bigram")
+    return topk.select(
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+        "bigram",
+        F.col("c_bg").cast("bigint").alias("c_bg"),
+        F.col("c_w1").cast("bigint").alias("c_w1"),
+        F.col("c_w2").cast("bigint").alias("c_w2"),
+        F.round(F.col("pmi_q") / float(_COLLOC_SCALE), 6).alias("pmi_r"),
+    )

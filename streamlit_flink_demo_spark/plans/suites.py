@@ -1186,6 +1186,11 @@ SELECT 'topngram', CAST(doc_id AS BIGINT), top_gram, {_NULL_S},
        CAST(n AS BIGINT), CAST(top_cnt AS BIGINT), {_NULL_B}, {_NULL_B},
        CAST(top_frac_r AS DOUBLE), {_NULL_D}
 FROM ({_o("text_topngram")})
+UNION ALL
+SELECT 'colloc', CAST(rank AS BIGINT), bigram, {_NULL_S},
+       CAST(c_bg AS BIGINT), CAST(c_w1 AS BIGINT), CAST(c_w2 AS BIGINT),
+       {_NULL_B}, CAST(pmi_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_collocations")})
 """,
     tags=("text", "suite"),
 )
@@ -1311,7 +1316,19 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_frac_r").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp, bm, lm, ds, nb, tn)
+    co = _fn("docs_collocations")(spark, sf_dir).select(
+        F.lit("colloc").alias("family"),
+        F.col("rank").cast("bigint").alias("doc_id"),
+        F.col("bigram").alias("s1"),
+        _ns().alias("s2"),
+        F.col("c_bg").cast("bigint").alias("i1"),
+        F.col("c_w1").cast("bigint").alias("i2"),
+        F.col("c_w2").cast("bigint").alias("i3"),
+        _nb().alias("i4"),
+        F.col("pmi_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm, lm, ds, nb, tn, co)
 
 
 # --------------------------------------------------------------------------
