@@ -857,3 +857,114 @@ def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ok"),
         F.round("score", 6).alias("score_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters over the corpus token stream
+# --------------------------------------------------------------------------
+
+_CMS_D = 4  # sketch rows (independent hash salts)
+_CMS_W = 16  # buckets per row (narrow enough that collisions are real at test vocab)
+_CMS_PHI = 100  # report words with estimated frequency >= N/100
+
+
+def _cms_bucket_sql(r_expr: str, key_expr: str) -> str:
+    """DuckDB bucket id for sketch row ``r_expr`` and key ``key_expr``
+    (u60 of the salted key, mod W — u60 < 2^60 is non-negative, so
+    plain % agrees between engines)."""
+    salted = f"('cms' || CAST({r_expr} AS VARCHAR) || ':' || {key_expr})"
+    return f"{u60_sql(salted)} % {_CMS_W}"
+
+
+_CMS_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS wd
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT wd, COUNT(*) AS exact_c FROM toks GROUP BY wd
+), n AS (
+  SELECT SUM(exact_c) AS n_tok FROM words
+), rows_ AS (
+  SELECT unnest(range({_CMS_D})) AS r
+), sk AS (
+  SELECT r, {_cms_bucket_sql("r", "wd")} AS b, SUM(exact_c) AS c
+  FROM words CROSS JOIN rows_ GROUP BY r, b
+), probe AS (
+  SELECT w.wd, w.exact_c, MIN(sk.c) AS est_c
+  FROM words w CROSS JOIN rows_ rr
+  JOIN sk ON sk.r = rr.r AND sk.b = {_cms_bucket_sql("rr.r", "w.wd")}
+  GROUP BY w.wd, w.exact_c
+)
+SELECT wd, CAST(est_c AS BIGINT) AS est_cnt,
+       CAST(exact_c AS BIGINT) AS exact_cnt,
+       CAST(est_c - exact_c AS BIGINT) AS overcount
+FROM probe, n
+WHERE est_c * {_CMS_PHI} >= n.n_tok
+"""
+
+
+@register(
+    "docs_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    tags=("pipeline", "approx", "sketch"),
+    expose=False,
+)
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream: the
+    frequency-sketch counterpart of the deterministic HLL in
+    events_approx_distinct (boilerplate/stopword detection — the pass
+    that finds tokens worth special-casing before tokenizer training).
+    Sketch: d={_CMS_D} rows x w={_CMS_W} buckets (kept narrow so bucket collisions — the CMS error term — actually occur at test scale), bucket = u60(salted
+    md5) % w, estimate = min over rows, report = every word whose
+    ESTIMATE reaches N/{_CMS_PHI} tokens (CMS guarantees est >= exact,
+    so true heavy hitters are never missed; overcount is surfaced per
+    row). Plan: one corpus scan -> token explode -> vocabulary-bounded
+    (wd, count) table; the bucket sums fold THAT table (sum of exact
+    counts per bucket == streaming CMS by commutativity of +, and the
+    map-side partial aggregation of (r, b) pairs is exactly the CMS
+    merge property — a pure-streaming deployment sketches raw pairs
+    with the identical d*w-bounded state). The d*w-row sketch is
+    broadcast to the probe join; totals ride a broadcast 1-row
+    crossJoin; integer-only threshold arithmetic (est*phi >= N), no
+    float comparison."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = track_persist(
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("wd")
+        )
+        .groupBy("wd")
+        .agg(F.count("*").alias("exact_c"))
+    )
+    n_tok = F.broadcast(words.agg(F.sum("exact_c").alias("n_tok")))
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_D)])
+    ).alias("r")
+    salted = F.concat(
+        F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("wd")
+    )
+    pairs = words.select("wd", "exact_c", rows).select(
+        "wd",
+        "exact_c",
+        "r",
+        (u60(salted) % _CMS_W).alias("b"),
+    )
+    sk = F.broadcast(
+        pairs.groupBy("r", "b").agg(F.sum("exact_c").alias("c"))
+    )
+    probe = (
+        pairs.join(sk, ["r", "b"])
+        .groupBy("wd", "exact_c")
+        .agg(F.min("c").alias("est_c"))
+    )
+    return (
+        probe.crossJoin(n_tok)
+        .filter(F.col("est_c") * _CMS_PHI >= F.col("n_tok"))
+        .select(
+            "wd",
+            F.col("est_c").cast("bigint").alias("est_cnt"),
+            F.col("exact_c").cast("bigint").alias("exact_cnt"),
+            (F.col("est_c") - F.col("exact_c")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -335,6 +335,11 @@ SELECT 'pagerank', CAST(doc_id AS VARCHAR), {_NULL_S},
        CAST(pr_q AS BIGINT), {_NULL_B}, CAST(deg AS BIGINT),
        CAST(pr_r AS DOUBLE), {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_pagerank")})
+UNION ALL
+SELECT 'cms_heavy', wd, {_NULL_S},
+       CAST(est_cnt AS BIGINT), CAST(overcount AS BIGINT),
+       CAST(exact_cnt AS BIGINT), {_NULL_D}, {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_heavy_hitters")})
 """,
     tags=("agg", "suite"),
 )
@@ -483,7 +488,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr)
+    hh = _fn("docs_heavy_hitters")(spark, sf_dir).select(
+        F.lit("cms_heavy").alias("family"),
+        F.col("wd").alias("k1"),
+        _ns().alias("k2"),
+        F.col("est_cnt").cast("bigint").alias("i1"),
+        F.col("overcount").cast("bigint").alias("i2"),
+        F.col("exact_cnt").cast("bigint").alias("n"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr, hh)
 
 
 # --------------------------------------------------------------------------
