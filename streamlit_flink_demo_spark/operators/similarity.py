@@ -1345,3 +1345,296 @@ def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster bigint, n_members bigint, n_dropped bigint, "
         "dropped_checksum bigint, kept_checksum bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN: subspace codebooks -> ADC scan -> re-rank
+# --------------------------------------------------------------------------
+# The memory-bound scale path next to IVF's compute-pruning path: each
+# vector is compressed to _PQ_M one-byte codes (64 float dims -> 8
+# bytes), the asymmetric-distance (ADC) scan touches only those codes
+# plus a per-query lookup table, and exact cosine re-ranks the small
+# candidate set. Deterministic end to end (first-k seeds, one Lloyd
+# step per subspace, 1e-9-rounded codebooks, integer-quantized LUT), so
+# the full train -> encode -> ADC -> re-rank pipeline replays in SQL.
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (_DIM / _PQ_M)
+_PQ_KSUB = 16  # codewords per subspace
+_PQ_TRAIN_SAMPLE = 64  # train on at most _PQ_KSUB * 64 vectors (like IVF)
+_PQ_REFINE = 4  # ADC keeps refine*topk candidates for exact re-rank
+_PQ_LUT_SCALE = 1_000_000_000  # LUT distances -> integers (exact sums)
+
+
+def _pq_codebooks_np(e: DataFrame) -> "np.ndarray":
+    """Train the _PQ_M codebooks on the bounded sample, deterministic:
+    per subspace, seeds = the first _PQ_KSUB sample subvectors, one
+    Lloyd step under L2 (argmin ties -> lowest codeword), codeword =
+    per-dim member mean (empty cluster keeps its seed), rounded to
+    1e-9 so the numpy means and the oracle's sequential AVG agree
+    exactly after rounding. Returns (m, ksub, dsub) float64. The
+    collect is bounded (<= ksub*64 rows) regardless of corpus size —
+    the offline-artifact shape a production PQ index trains once.
+
+    The L2 accumulation loops over DIMENSIONS (acc += diff*diff), the
+    same left-to-right fold the SQL oracle's list_aggregate performs,
+    so assignments are bit-identical, not merely close."""
+    rows = (
+        e.filter(F.col("vec_id") < _PQ_KSUB * _PQ_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        raise ValueError("no embeddings to train the PQ codebooks on")
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    books = np.empty((_PQ_M, min(_PQ_KSUB, len(M)), _PQ_DSUB))
+    for s in range(_PQ_M):
+        X = M[:, s * _PQ_DSUB : (s + 1) * _PQ_DSUB]
+        seeds = X[:_PQ_KSUB]
+        d2 = np.zeros((len(X), len(seeds)))
+        for d in range(_PQ_DSUB):
+            diff = X[:, d : d + 1] - seeds[:, d][None, :]
+            d2 = d2 + diff * diff
+        assign = np.argmin(d2, axis=1)
+        cents = np.empty_like(seeds)
+        for j in range(len(seeds)):
+            members = X[assign == j]
+            cents[j] = members.mean(axis=0) if len(members) else seeds[j]
+        books[s] = np.round(cents, 9)
+    return books
+
+
+def _pq_encode_arrow(e: DataFrame, books: "np.ndarray") -> DataFrame:
+    """(vec_id, code array<int>): per-subspace argmin-L2 codeword via
+    one Arrow batch per partition — the codebooks ride the UDF closure
+    (m*ksub*dsub doubles, broadcast-sized). Dimension-loop fold keeps
+    the distances bit-identical to the oracle's sequential sum."""
+
+    @F.pandas_udf("array<int>")
+    def enc(e_: pd.Series) -> pd.Series:
+        if not len(e_):
+            return pd.Series([], dtype="object")
+        M = np.vstack(e_.to_numpy()).astype(np.float64)
+        codes = np.empty((len(M), _PQ_M), dtype=np.int32)
+        for s in range(_PQ_M):
+            X = M[:, s * _PQ_DSUB : (s + 1) * _PQ_DSUB]
+            B = books[s]
+            d2 = np.zeros((len(X), len(B)))
+            for d in range(_PQ_DSUB):
+                diff = X[:, d : d + 1] - B[:, d][None, :]
+                d2 = d2 + diff * diff
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return e.select("vec_id", enc(F.col("embedding")).alias("code"))
+
+
+def _pq_books_df(spark: SparkSession, books: "np.ndarray") -> DataFrame:
+    """(s, j, c_sub array<double>) view of the trained codebooks —
+    m*ksub rows, the broadcast state the LUT build joins against."""
+    return spark.createDataFrame(
+        [
+            (s, j, [float(v) for v in books[s, j]])
+            for s in range(books.shape[0])
+            for j in range(books.shape[1])
+        ],
+        "s int, j int, c_sub array<double>",
+    )
+
+
+def _pq_sq_sql(a: str, b: str) -> str:
+    """DuckDB fragment: sequential-fold squared L2 distance between the
+    dsub-dim expressions (each term written as diff*diff, not pow —
+    pow(x, 2) is not guaranteed to be the bare product)."""
+    terms = ", ".join(
+        f"(({a}[{i+1}])::DOUBLE - ({b}[{i+1}])::DOUBLE) * "
+        f"(({a}[{i+1}])::DOUBLE - ({b}[{i+1}])::DOUBLE)"
+        for i in range(_PQ_DSUB)
+    )
+    return f"list_aggregate([{terms}], 'sum')"
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline: per-subspace training
+    (first-ksub seeds, one L2 Lloyd step, 1e-9-rounded means),
+    corpus encoding, integer LUT, exact-integer ADC sums, candidate
+    cut, exact cosine re-rank. Every fold is sequential and every
+    selection compares either bit-identical floats or exact integers."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)
+    train_n = _PQ_KSUB * _PQ_TRAIN_SAMPLE
+    sub = "[" + ", ".join(
+        f"e.embedding[ss.s * {_PQ_DSUB} + {i+1}]" for i in range(_PQ_DSUB)
+    ) + "]"
+    qsub = "[" + ", ".join(
+        f"q.q_emb[ss.s * {_PQ_DSUB} + {i+1}]" for i in range(_PQ_DSUB)
+    ) + "]"
+    return f"""
+WITH ss AS (
+  SELECT unnest(range({_PQ_M})) AS s
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {train_n}
+),
+tsub AS (
+  SELECT e.vec_id, ss.s, {sub} AS x
+  FROM train e CROSS JOIN ss
+),
+seeds AS (
+  SELECT s, vec_id AS j, x AS s_sub FROM tsub WHERE vec_id < {_PQ_KSUB}
+),
+tassign AS (
+  SELECT s, j, x FROM (
+    SELECT t.s, sd.j, t.x,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {_pq_sq_sql('t.x', 'sd.s_sub')} ASC,
+                                       sd.j) AS rk
+    FROM tsub t JOIN seeds sd ON sd.s = t.s
+  ) WHERE rk = 1
+),
+books AS (
+  SELECT sd.s, sd.j,
+         coalesce(m.c_sub, list_transform(sd.s_sub, x -> round(x::DOUBLE, 9)))
+           AS c_sub
+  FROM seeds sd LEFT JOIN (
+    SELECT s, j, list(c ORDER BY dim) AS c_sub
+    FROM (
+      SELECT a.s, a.j, d.dim, round(AVG(a.x[d.dim+1]::DOUBLE), 9) AS c
+      FROM tassign a CROSS JOIN range({_PQ_DSUB}) d(dim)
+      GROUP BY a.s, a.j, d.dim
+    )
+    GROUP BY s, j
+  ) m ON m.s = sd.s AND m.j = sd.j
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, ss.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, ss.s
+                              ORDER BY {_pq_sq_sql(sub, 'b.c_sub')} ASC,
+                                       b.j) AS rk
+    FROM embeddings e CROSS JOIN ss JOIN books b ON b.s = ss.s
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+lut AS (
+  SELECT q.q_id, ss.s, b.j,
+         CAST(round({_pq_sq_sql(qsub, 'b.c_sub')} * {_PQ_LUT_SCALE})
+              AS BIGINT) AS d2_q
+  FROM q CROSS JOIN ss JOIN books b ON b.s = ss.s
+),
+adc AS (
+  SELECT l.q_id, c.vec_id, SUM(l.d2_q) AS adc_q
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.j
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id
+),
+cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc_q ASC, vec_id) AS ark
+    FROM adc
+  ) WHERE ark <= {_PQ_REFINE * _TOPK}
+),
+rer AS (
+  SELECT c.q_id, c.vec_id, {cos('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM cand c
+  JOIN q ON q.q_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM rer
+) WHERE rk <= {_TOPK}
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle_sql(),
+    tags=("similarity", "ann", "pq"),
+    expose=False,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011 shape): 64-dim
+    vectors compress to {_PQ_M} one-byte codes; per query an ADC
+    lookup table (subspace x codeword squared-L2, integer-quantized)
+    is built JVM-side from the broadcast codebooks; the ADC scan sums
+    {_PQ_M} exact integers per (query, vector) over the CODES ONLY —
+    at 100 TB the scan reads 8 bytes per vector instead of 256, and
+    the embedding column is touched again only for the
+    {_PQ_REFINE}x{_TOPK}-row exact re-rank. Training is sample-bounded
+    driver numpy (deterministic seeds + one Lloyd step, 1e-9-rounded
+    codebooks); encoding is one Arrow batch kernel with the codebooks
+    in its closure; every step replays in the SQL oracle with exact
+    integer ADC ordering (no float-sum tie hazard in the scan)."""
+    from pyspark.sql import Window as W
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    books = _pq_codebooks_np(e)
+    codes = _pq_encode_arrow(e, books)
+    books_df = F.broadcast(_pq_books_df(spark, books))
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _N_QUERIES
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    # per-query LUT: m*ksub rows per query, squared L2 via the same
+    # sequential fold as the oracle, then integer-quantized
+    diff = lambda i: (
+        F.element_at(F.col("q_emb"), F.col("s") * _PQ_DSUB + i + 1).cast("double")
+        - F.element_at(F.col("c_sub"), i + 1)
+    )
+    d2 = None
+    for i in range(_PQ_DSUB):
+        term = diff(i) * diff(i)
+        d2 = term if d2 is None else d2 + term
+    lut = F.broadcast(
+        q.crossJoin(books_df).select(
+            "q_id",
+            "s",
+            "j",
+            F.round(d2 * _PQ_LUT_SCALE).cast("bigint").alias("d2_q"),
+        )
+    )
+    # ADC scan: explode the 8 codes per vector, join the broadcast LUT,
+    # sum exact integers — the only pass that touches every vector.
+    # posexplode_OUTER on purpose: plain posexplode makes Catalyst
+    # infer a size(code)>0 filter that is pushed below the spread
+    # exchange and evaluates the Arrow encode UDF a second time; the
+    # outer variant skips the inferred filter (enc always returns
+    # exactly _PQ_M codes, so the two are semantically identical here).
+    adc = (
+        codes.select("vec_id", F.posexplode_outer("code").alias("s", "j"))
+        .join(lut, ["s", "j"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2_q").alias("adc_q"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("vec_id"))
+    cand = (
+        adc.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= _PQ_REFINE * _TOPK)
+        .select("q_id", "vec_id")
+    )
+    # exact re-rank over the candidate rows only
+    rer = (
+        cand.join(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("bigint").alias("rk"))
+    )

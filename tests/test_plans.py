@@ -512,3 +512,20 @@ def test_dsir_nb_model_joins_broadcast_no_python(spark, sf_dir):
         assert "BroadcastHashJoin" in p, name
         assert "EvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_pq_adc_scan_contract(spark, sf_dir):
+    """ann_pq_adc_topk's scale contract: ONE Arrow encode pass over the
+    corpus (posexplode_outer avoids the inferred size()-filter that
+    would re-evaluate the UDF below the spread exchange), the ADC scan
+    joins the broadcast LUT (no cartesian, no shuffle join), the
+    per-(q,vec) integer sum does map-side partial aggregation, and the
+    exact re-rank touches the embedding column only through broadcast
+    joins on the candidate rows."""
+    p = plan_str(fresh("ann_pq_adc_topk")(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "partial_sum" in p
+    assert "WindowGroupLimit" in p

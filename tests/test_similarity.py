@@ -613,3 +613,56 @@ def test_kmeans_and_ivf_training_degrade_on_tiny_corpus(spark):
     a = sim._ivf_assign_arrow(e, cents).collect()
     assert len(a) == 6
     assert all(0 <= r["cluster"] < len(cents) for r in a)
+
+
+def test_pq_adc_shape_recall_and_honesty(spark, sf_dir):
+    """PQ-ADC contract: k results per query with ranks 1..k, no
+    self-matches, every returned score is a TRUE cosine (any (q, vec)
+    pair brute-force also ranked must carry the identical score — the
+    re-rank stage recomputes exact cosine, so approximation can only
+    change WHICH vectors surface, never their scores), and the
+    8-byte-code candidate generation recovers a reasonable fraction
+    of the true top-10."""
+    pq = REG["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    per_q = {}
+    for r in pq:
+        assert r["vec_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 10
+        assert sorted(r["rk"] for r in rows) == list(range(1, 11))
+    exact = REG["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    exact_scores = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in pq:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-12
+    truth = _topk_sets(spark.createDataFrame(exact))
+    got = _topk_sets(spark.createDataFrame(pq))
+    total = sum(len(v) for v in truth.values())
+    hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    assert hit / total >= 0.5, f"PQ recall {hit / total:.2f} below floor"
+
+
+def test_pq_encode_deterministic_and_in_range(spark, sf_dir):
+    """Codes are stable across runs (the bench/oracle replay contract)
+    and every code addresses a real codeword (0 <= j < ksub, exactly
+    m codes per vector)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _PQ_KSUB,
+        _PQ_M,
+        _pq_codebooks_np,
+        _pq_encode_arrow,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_spread
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    books = _pq_codebooks_np(e)
+    a = {r["vec_id"]: tuple(r["code"]) for r in _pq_encode_arrow(e, books).collect()}
+    b = {r["vec_id"]: tuple(r["code"]) for r in _pq_encode_arrow(e, books).collect()}
+    assert a == b
+    n = load_spread(spark, sf_dir, "embeddings").count()
+    assert len(a) == n
+    for code in a.values():
+        assert len(code) == _PQ_M
+        assert all(0 <= j < _PQ_KSUB for j in code)
