@@ -151,6 +151,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         windows,
     )
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
+        bpe,
         dedup,
         multimodal,
         pipeline,

@@ -51,6 +51,8 @@ OPS = (
     "text_topngram",
     "docs_pagerank",
     "multimodal_phash_pairs",
+    "ann_pq_adc_topk",
+    "docs_bpe_merges",
 )
 
 
