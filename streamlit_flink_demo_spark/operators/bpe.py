@@ -129,17 +129,9 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
-@register(
-    "docs_bpe_merges",
-    oracle=_bpe_oracle_sql(),
-    tags=("text", "bpe", "tokenizer"),
-    expose=False,
-)
-def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {N_MERGES} BPE merges learned from the corpus: one row per
-    round — (merge_rank, sym_a, sym_b, merged, pair_cnt). The trained
-    merge list IS the tokenizer artifact a downstream token-count /
-    packing stage would apply."""
+def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the training loop; returns
+    [(rank, a, b, merged, count), ...] — the tokenizer artifact."""
     words = track_persist(bpe_words(spark, sf_dir))
     merges = []
     for r in range(1, N_MERGES + 1):
@@ -164,8 +156,102 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"|{a}{b}|"),
             ),
         )
+    return merges
+
+
+@register(
+    "docs_bpe_merges",
+    oracle=_bpe_oracle_sql(),
+    tags=("text", "bpe", "tokenizer"),
+    expose=False,
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {N_MERGES} BPE merges learned from the corpus: one row per
+    round — (merge_rank, sym_a, sym_b, merged, pair_cnt). The trained
+    merge list IS the tokenizer artifact a downstream token-count /
+    packing stage would apply."""
     return spark.createDataFrame(
-        merges,
+        train_merges(spark, sf_dir),
         "merge_rank int, sym_a string, sym_b string, "
         "merged string, pair_cnt bigint",
+    )
+
+
+def _tokenize_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Training CTEs + the per-doc apply pass, all list-comprehension
+    style (no unnest+regroup) so empty documents keep their zero row
+    exactly like the Spark aggregate() does."""
+    train = _bpe_oracle_sql(n_merges)
+    with_block = train[: train.rindex("\nSELECT CAST(1 AS INT)")]
+    # strip the final UNION SELECT; keep every CTE, add merge-literal
+    # CTEs m1..mN and the apply projection
+    for r in range(1, n_merges + 1):
+        with_block += f""",
+m{r} AS (
+  SELECT '|' || a || '||' || b || '|' AS pat{r},
+         '|' || a || b || '|' AS rep{r}
+  FROM b{r}
+)"""
+    # DuckDB lambdas forbid subqueries but capture enclosing columns,
+    # so the 1-row m{r} tables are cross-joined into scope instead
+    chain = r"regexp_replace(w, '(.)', '|\1|', 'g')"
+    for r in range(1, n_merges + 1):
+        chain = f"replace({chain}, pat{r}, rep{r})"
+    crosses = " ".join(f"CROSS JOIN m{r}" for r in range(1, n_merges + 1))
+    return f"""{with_block}
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(coalesce(list_aggregate(
+              list_transform(ws, w -> length(w)), 'sum'), 0) AS BIGINT)
+         AS n_chars_az,
+       CAST(coalesce(list_aggregate(
+              list_transform(ws, w ->
+                (length({chain}) -
+                 length(replace({chain}, '|', ''))) // 2), 'sum'), 0)
+            AS BIGINT) AS n_bpe_tokens
+FROM (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> w != '') AS ws
+  FROM documents
+) {crosses}"""
+
+
+@register(
+    "docs_bpe_tokenize",
+    oracle=_tokenize_oracle_sql(),
+    tags=("text", "bpe", "tokenizer"),
+    expose=False,
+)
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained merges back over the corpus: per doc,
+    (n_words, n_chars_az, n_bpe_tokens). The apply stage is ONE
+    higher-order-function projection (split -> per-word encode ->
+    {N_MERGES} chained replaces -> symbol count summed via
+    aggregate()) — zero shuffles beyond training, no explode +
+    re-group round trip, so at 100 TB tokenization is embarrassingly
+    parallel over the scan. This is the engine's token-count stage
+    running on its OWN trained tokenizer rather than the whitespace
+    heuristic of ``text_token_count``."""
+    merges = train_merges(spark, sf_dir)
+    chain = "regexp_replace(w, '(.)', '|$1|')"
+    for _, a, b, _, _ in merges:
+        chain = f"replace({chain}, '|{a}||{b}|', '|{a}{b}|')"
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    return d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')").alias(
+            "ws"
+        ),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"
+        ).alias("n_chars_az"),
+        F.expr(
+            f"aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> "
+            f"acc + ((length({chain}) - length(replace({chain}, '|', '')))"
+            f" div 2))"
+        ).alias("n_bpe_tokens"),
     )

@@ -98,3 +98,60 @@ def test_bpe_pair_count_plan_is_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_sum" in p and "partial_count" in p
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_bpe_tokenize_matches_pure_python(spark, sf_dir):
+    """Per-doc BPE token counts against an independent greedy-apply
+    reimplementation using the same learned merges."""
+    texts = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+        ).fetchall()
+    }
+    merges = _reference_bpe(texts.values(), N_MERGES)
+
+    def apply_all(w):
+        syms = list(w)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for doc_id, t in texts.items():
+        ws = [w for w in re.split("[^a-z]+", (t or "").lower()) if w]
+        want[doc_id] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(apply_all(w) for w in ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars_az"], r["n_bpe_tokens"])
+        for r in REG["docs_bpe_tokenize"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bpe_tokenize_apply_plan_is_shuffle_free(spark, sf_dir):
+    """The apply pass is one HOF projection off the scan: no Python
+    eval, no joins, and the only exchange allowed is the byte-gated
+    spread repartition (absent at sf0.001)."""
+    df = REG["docs_bpe_tokenize"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = p.split("\n\n")[0]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "hashpartitioning" not in p
+    assert tree.count("Scan parquet") == 1

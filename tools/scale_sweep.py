@@ -53,6 +53,7 @@ OPS = (
     "multimodal_phash_pairs",
     "ann_pq_adc_topk",
     "docs_bpe_merges",
+    "docs_bpe_tokenize",
 )
 
 
