@@ -1556,6 +1556,49 @@ FROM (
 """
 
 
+def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """PQ code artifact: the corpus encoded once (8 int codes per
+    vector, written as parquet) with the trained codebooks riding
+    meta.json (1024 float64s — JSON round-trips binary64 exactly, so
+    LUTs built from the stored books are bit-identical to
+    build-time). After the build, probes never run the Arrow encode
+    kernel again — the ADC scan is 100% JVM off an 8-byte-per-vector
+    column. Same freshness contract as the LSH/IVF artifacts."""
+    out = _index_dir("pq", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "m": _PQ_M,
+        "ksub": _PQ_KSUB,
+        "dsub": _PQ_DSUB,
+        "train_sample": _PQ_TRAIN_SAMPLE,
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    books = _pq_codebooks_np(e)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        _pq_encode_arrow(e, books)
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(
+        tmp, {"fingerprint": fp, **params, "codebooks": books.tolist()}
+    )
+    _publish_artifact(tmp, out)
+    return out
+
+
+def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, "np.ndarray"]:
+    """(codes DataFrame, codebooks) from the artifact, building it
+    first if absent or stale."""
+    art = build_pq_index(spark, sf_dir)
+    with open(os.path.join(art, "meta.json")) as fh:
+        books = np.array(json.load(fh)["codebooks"], dtype=np.float64)
+    return spark.read.parquet(os.path.join(art, "data")), books
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=_pq_oracle_sql(),
@@ -1570,16 +1613,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_M} exact integers per (query, vector) over the CODES ONLY —
     at 100 TB the scan reads 8 bytes per vector instead of 256, and
     the embedding column is touched again only for the
-    {_PQ_REFINE}x{_TOPK}-row exact re-rank. Training is sample-bounded
-    driver numpy (deterministic seeds + one Lloyd step, 1e-9-rounded
-    codebooks); encoding is one Arrow batch kernel with the codebooks
-    in its closure; every step replays in the SQL oracle with exact
-    integer ADC ordering (no float-sum tie hazard in the scan)."""
+    {_PQ_REFINE}x{_TOPK}-row exact re-rank. Training + encoding run
+    once into the PQ artifact (build_pq_index; training is
+    sample-bounded driver numpy — deterministic seeds + one Lloyd
+    step, 1e-9-rounded codebooks); probes are pure JVM over the code
+    column. Every step replays in the SQL oracle with exact integer
+    ADC ordering (no float-sum tie hazard in the scan)."""
     from pyspark.sql import Window as W
 
-    e = load_spread(spark, sf_dir, "embeddings")
-    books = _pq_codebooks_np(e)
-    codes = _pq_encode_arrow(e, books)
+    codes, books = pq_index(spark, sf_dir)
     books_df = F.broadcast(_pq_books_df(spark, books))
     q = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _N_QUERIES

@@ -515,16 +515,24 @@ def test_dsir_nb_model_joins_broadcast_no_python(spark, sf_dir):
 
 
 def test_pq_adc_scan_contract(spark, sf_dir):
-    """ann_pq_adc_topk's scale contract: ONE Arrow encode pass over the
-    corpus (posexplode_outer avoids the inferred size()-filter that
-    would re-evaluate the UDF below the spread exchange), the ADC scan
-    joins the broadcast LUT (no cartesian, no shuffle join), the
-    per-(q,vec) integer sum does map-side partial aggregation, and the
-    exact re-rank touches the embedding column only through broadcast
-    joins on the candidate rows."""
+    """ann_pq_adc_topk's scale contract: the probe plan runs ZERO
+    Python (the Arrow encode pass happened once, offline, into the PQ
+    artifact this plan scans), the ADC scan joins the broadcast LUT
+    (no cartesian, no shuffle join), the per-(q,vec) integer sum does
+    map-side partial aggregation, and the exact re-rank touches the
+    embedding column only through broadcast joins on the candidate
+    rows. (posexplode_outer keeps Catalyst from inferring a
+    size()-filter; with an inline encode that duplicated the UDF —
+    kept for the artifact-build path too.)"""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        build_pq_index,
+    )
+
+    build_pq_index(spark, sf_dir)
     p = plan_str(fresh("ann_pq_adc_topk")(spark, sf_dir))
     tree = p.split("\n\n")[0]
-    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    assert ".artifacts" in p  # scans the prebuilt code artifact
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "partial_sum" in p

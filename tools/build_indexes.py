@@ -4,11 +4,12 @@ build/probe split in operators/similarity.py).
 
     python tools/build_indexes.py [sf_dir] [--force]
 
-Builds the three probe artifacts for the given scale-factor directory
+Builds the probe artifacts for the given scale-factor directory
 (default $SPARK_GRAFT_SF_DIR → /root/testdata/sf0.1):
   - lsh_topk  : banded signatures, parquet partitioned by (band, bsig)
   - lsh_dup   : selective-banding signatures, partitioned by band
   - ivf       : inverted list partitioned by cluster id + centroid meta
+  - pq        : 8-byte PQ codes + codebooks (meta.json) for the ADC scan
 and prints one JSON line of build timings. Safe to re-run: builds are
 skipped when the artifact's source fingerprint matches (--force
 rebuilds unconditionally).
@@ -40,6 +41,7 @@ def main() -> int:
         ("lsh_topk", S.build_lsh_index),
         ("lsh_dup", S.build_dup_sig_index),
         ("ivf", S.build_ivf_index),
+        ("pq", S.build_pq_index),
     ):
         t0 = time.perf_counter()
         path = builder(spark, sf_dir, force=force)
