@@ -664,18 +664,16 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign_arrow(
-    vecs: DataFrame, cents_np, with_embedding: bool = False
-) -> DataFrame:
-    """(vec_id, cluster) via one Arrow batch matmul: argmax of
-    row-normalized embeddings against the normalized centroid matrix
-    (equivalent to argmax cosine). The centroid matrix is a k×dim
-    numpy constant shipped in the UDF closure — the same offline-
-    artifact shape a production IVF index broadcasts. Same
-    rationale as _banded_sigs_arrow: k interpreted cosines per row is
-    a per-row constant the matmul removes. Ties (exactly equal
-    cosines, measure-zero for float data) resolve to the lowest
-    cluster id."""
+def _ivf_assign_udf(cents_np):
+    """The Arrow assignment kernel as a reusable pandas UDF (shared by
+    the IVF and IVF-PQ artifact builds): argmax of row-normalized
+    embeddings against the normalized centroid matrix (equivalent to
+    argmax cosine). The centroid matrix is a k×dim numpy constant
+    shipped in the UDF closure — the same offline-artifact shape a
+    production IVF index broadcasts. Same rationale as
+    _banded_sigs_arrow: k interpreted cosines per row is a per-row
+    constant the matmul removes. Ties (exactly equal cosines,
+    measure-zero for float data) resolve to the lowest cluster id."""
     Cn = cents_np / _safe_norms(cents_np)
 
     zero_c = np.linalg.norm(cents_np, axis=1) == 0
@@ -692,6 +690,14 @@ def _ivf_assign_arrow(
             scores[:, zero_c] = -np.inf  # see _safe_norms
         return pd.Series(np.argmax(scores, axis=1).astype("int32"))
 
+    return assign
+
+
+def _ivf_assign_arrow(
+    vecs: DataFrame, cents_np, with_embedding: bool = False
+) -> DataFrame:
+    """(vec_id[, embedding], cluster) via one Arrow batch matmul."""
+    assign = _ivf_assign_udf(cents_np)
     cols = ["vec_id", "embedding"] if with_embedding else ["vec_id"]
     return vecs.select(*cols, assign(F.col("embedding")).alias("cluster"))
 
@@ -1405,11 +1411,12 @@ def _pq_codebooks_np(e: DataFrame) -> "np.ndarray":
     return books
 
 
-def _pq_encode_arrow(e: DataFrame, books: "np.ndarray") -> DataFrame:
-    """(vec_id, code array<int>): per-subspace argmin-L2 codeword via
-    one Arrow batch per partition — the codebooks ride the UDF closure
-    (m*ksub*dsub doubles, broadcast-sized). Dimension-loop fold keeps
-    the distances bit-identical to the oracle's sequential sum."""
+def _pq_encode_udf(books: "np.ndarray"):
+    """The Arrow encode kernel as a reusable pandas UDF (shared by the
+    plain-PQ and IVF-PQ artifact builds): per-subspace argmin-L2
+    codeword; the codebooks ride the closure (m*ksub*dsub doubles,
+    broadcast-sized). Dimension-loop fold keeps the distances
+    bit-identical to the oracle's sequential sum."""
 
     @F.pandas_udf("array<int>")
     def enc(e_: pd.Series) -> pd.Series:
@@ -1427,6 +1434,12 @@ def _pq_encode_arrow(e: DataFrame, books: "np.ndarray") -> DataFrame:
             codes[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
+    return enc
+
+
+def _pq_encode_arrow(e: DataFrame, books: "np.ndarray") -> DataFrame:
+    """(vec_id, code array<int>): one Arrow batch per partition."""
+    enc = _pq_encode_udf(books)
     return e.select("vec_id", enc(F.col("embedding")).alias("code"))
 
 
@@ -1622,28 +1635,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     codes, books = pq_index(spark, sf_dir)
-    books_df = F.broadcast(_pq_books_df(spark, books))
-    q = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _N_QUERIES
-    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    # per-query LUT: m*ksub rows per query, squared L2 via the same
-    # sequential fold as the oracle, then integer-quantized
-    diff = lambda i: (
-        F.element_at(F.col("q_emb"), F.col("s") * _PQ_DSUB + i + 1).cast("double")
-        - F.element_at(F.col("c_sub"), i + 1)
-    )
-    d2 = None
-    for i in range(_PQ_DSUB):
-        term = diff(i) * diff(i)
-        d2 = term if d2 is None else d2 + term
-    lut = F.broadcast(
-        q.crossJoin(books_df).select(
-            "q_id",
-            "s",
-            "j",
-            F.round(d2 * _PQ_LUT_SCALE).cast("bigint").alias("d2_q"),
-        )
-    )
+    q = _pq_queries(spark, sf_dir)
+    lut = _pq_lut(q, F.broadcast(_pq_books_df(spark, books)))
     # ADC scan: explode the 8 codes per vector, join the broadcast LUT,
     # sum exact integers — the only pass that touches every vector.
     # posexplode_OUTER on purpose: plain posexplode makes Catalyst
@@ -1658,13 +1651,57 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d2_q").alias("adc_q"))
     )
+    return _pq_refine_rank(spark, sf_dir, adc, q)
+
+
+def _pq_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+
+
+def _pq_lut(q: DataFrame, books_df: DataFrame) -> DataFrame:
+    """Broadcast per-query ADC lookup table (q_id, s, j, d2_q):
+    m*ksub rows per query, squared L2 via the same sequential fold as
+    the oracle, then integer-quantized so the scan's sums have no
+    float-order hazard."""
+    diff = lambda i: (
+        F.element_at(F.col("q_emb"), F.col("s") * _PQ_DSUB + i + 1).cast(
+            "double"
+        )
+        - F.element_at(F.col("c_sub"), i + 1)
+    )
+    d2 = None
+    for i in range(_PQ_DSUB):
+        term = diff(i) * diff(i)
+        d2 = term if d2 is None else d2 + term
+    return F.broadcast(
+        q.crossJoin(books_df).select(
+            "q_id",
+            "s",
+            "j",
+            F.round(d2 * _PQ_LUT_SCALE).cast("bigint").alias("d2_q"),
+        )
+    )
+
+
+def _pq_refine_rank(
+    spark: SparkSession, sf_dir: str, adc: DataFrame, q: DataFrame
+) -> DataFrame:
+    """Shared ADC tail: candidate cut at refine*k by exact-integer ADC
+    order, then exact-cosine re-rank over the candidate rows only."""
+    from pyspark.sql import Window as W
+
     wa = W.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("vec_id"))
     cand = (
         adc.withColumn("ark", F.row_number().over(wa))
         .filter(F.col("ark") <= _PQ_REFINE * _TOPK)
         .select("q_id", "vec_id")
     )
-    # exact re-rank over the candidate rows only
     rer = (
         cand.join(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .join(F.broadcast(q), "q_id")
@@ -1678,5 +1715,276 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rer.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= _TOPK)
-        .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("bigint").alias("rk"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cos_sim",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse cluster pruning + ADC over codes + exact re-rank
+# --------------------------------------------------------------------------
+# The two scale paths composed the way a production vector index
+# (FAISS IVFx,PQy with by_residual=false) stacks them: the coarse
+# quantizer prunes COMPUTE (only nprobe clusters are scanned) while
+# the PQ codes prune MEMORY (the scanned partitions read 8 bytes per
+# vector, not the embedding column). Codes quantize the raw vectors
+# against the global codebooks (the non-residual variant), so the
+# artifact reuses both trained models unchanged and the whole
+# pipeline — both trainings, assignment, encoding, probe, ADC,
+# re-rank — stays SQL-replayable end to end.
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """(vec_id, code, cluster) parquet partitioned by cluster, with
+    centroids AND codebooks in meta.json. ONE corpus pass computes
+    both columns (two Arrow kernels in a single projection — the scan
+    is not repeated per model)."""
+    out = _index_dir("ivfpq", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "n_clusters": _IVF_CLUSTERS,
+        "train_sample": _IVF_TRAIN_SAMPLE,
+        "m": _PQ_M,
+        "ksub": _PQ_KSUB,
+        "dsub": _PQ_DSUB,
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents_np = _ivf_centroids_np(e, _IVF_CLUSTERS)
+    books = _pq_codebooks_np(e)
+    assign = _ivf_assign_udf(cents_np)
+    enc = _pq_encode_udf(books)
+    df = e.select(
+        "vec_id",
+        enc(F.col("embedding")).alias("code"),
+        assign(F.col("embedding")).alias("cluster"),
+    )
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        df.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(
+        tmp,
+        {
+            "fingerprint": fp,
+            **params,
+            "centroids": [[float(v) for v in row] for row in cents_np],
+            "codebooks": books.tolist(),
+        },
+    )
+    _publish_artifact(tmp, out)
+    return out
+
+
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB replay of the composed pipeline: IVF quantizer training
+    + corpus cluster assignment (ctrain/cseeds/ctassign/cmeans/assign,
+    the ann_ivf_topk oracle's CTEs renamed) and PQ codebook training +
+    encoding (the ann_pq_adc_topk oracle's CTEs), then the composite
+    probe: nprobe centroid cut -> integer ADC restricted to vectors
+    whose cluster is probed -> refine*k candidate cut -> exact
+    re-rank."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)
+    ctrain_n = _IVF_CLUSTERS * _IVF_TRAIN_SAMPLE
+    ptrain_n = _PQ_KSUB * _PQ_TRAIN_SAMPLE
+    sub = "[" + ", ".join(
+        f"e.embedding[ss.s * {_PQ_DSUB} + {i+1}]" for i in range(_PQ_DSUB)
+    ) + "]"
+    qsub = "[" + ", ".join(
+        f"q.q_emb[ss.s * {_PQ_DSUB} + {i+1}]" for i in range(_PQ_DSUB)
+    ) + "]"
+    return f"""
+WITH ctrain AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ctrain_n}
+),
+cseeds AS (
+  SELECT vec_id AS c_id, embedding AS s_emb FROM ctrain WHERE vec_id < {_IVF_CLUSTERS}
+),
+ctassign AS (
+  SELECT vec_id, c_id, embedding FROM (
+    SELECT t.vec_id, s.c_id, t.embedding,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos('t.embedding', 's.s_emb')} DESC,
+                                       s.c_id) AS rk
+    FROM ctrain t CROSS JOIN cseeds s
+  ) WHERE rk = 1
+),
+cmeans AS (
+  SELECT s.c_id,
+         coalesce(m.c_emb, list_transform(s.s_emb, x -> x::DOUBLE))
+           AS c_emb
+  FROM cseeds s LEFT JOIN (
+    SELECT c_id, list(avg_v ORDER BY dim) AS c_emb
+    FROM (
+      SELECT a.c_id, d.dim, AVG(a.embedding[d.dim+1]::DOUBLE) AS avg_v
+      FROM ctassign a CROSS JOIN range({_DIM}) d(dim)
+      GROUP BY a.c_id, d.dim
+    )
+    GROUP BY c_id
+  ) m USING (c_id)
+),
+assign AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS rk
+    FROM embeddings e CROSS JOIN cmeans c
+  ) WHERE rk = 1
+),
+ss AS (
+  SELECT unnest(range({_PQ_M})) AS s
+),
+ptrain AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ptrain_n}
+),
+tsub AS (
+  SELECT e.vec_id, ss.s, {sub} AS x
+  FROM ptrain e CROSS JOIN ss
+),
+pseeds AS (
+  SELECT s, vec_id AS j, x AS s_sub FROM tsub WHERE vec_id < {_PQ_KSUB}
+),
+ptassign AS (
+  SELECT s, j, x FROM (
+    SELECT t.s, sd.j, t.x,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {_pq_sq_sql('t.x', 'sd.s_sub')} ASC,
+                                       sd.j) AS rk
+    FROM tsub t JOIN pseeds sd ON sd.s = t.s
+  ) WHERE rk = 1
+),
+books AS (
+  SELECT sd.s, sd.j,
+         coalesce(m.c_sub, list_transform(sd.s_sub, x -> round(x::DOUBLE, 9)))
+           AS c_sub
+  FROM pseeds sd LEFT JOIN (
+    SELECT s, j, list(c ORDER BY dim) AS c_sub
+    FROM (
+      SELECT a.s, a.j, d.dim, round(AVG(a.x[d.dim+1]::DOUBLE), 9) AS c
+      FROM ptassign a CROSS JOIN range({_PQ_DSUB}) d(dim)
+      GROUP BY a.s, a.j, d.dim
+    )
+    GROUP BY s, j
+  ) m ON m.s = sd.s AND m.j = sd.j
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, ss.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, ss.s
+                              ORDER BY {_pq_sq_sql(sub, 'b.c_sub')} ASC,
+                                       b.j) AS rk
+    FROM embeddings e CROSS JOIN ss JOIN books b ON b.s = ss.s
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos('q.q_emb', 'c.c_emb')} DESC,
+                                       c.c_id) AS prk
+    FROM q CROSS JOIN cmeans c
+  ) WHERE prk <= {_IVF_NPROBE}
+),
+lut AS (
+  SELECT q.q_id, ss.s, b.j,
+         CAST(round({_pq_sq_sql(qsub, 'b.c_sub')} * {_PQ_LUT_SCALE})
+              AS BIGINT) AS d2_q
+  FROM q CROSS JOIN ss JOIN books b ON b.s = ss.s
+),
+adc AS (
+  SELECT l.q_id, c.vec_id, SUM(l.d2_q) AS adc_q
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.c_id = a.cluster
+  JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.j = c.j
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id
+),
+cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc_q ASC, vec_id) AS ark
+    FROM adc
+  ) WHERE ark <= {_PQ_REFINE * _TOPK}
+),
+rer AS (
+  SELECT c.q_id, c.vec_id, {cos('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM cand c
+  JOIN q ON q.q_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM rer
+) WHERE rk <= {_TOPK}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq"),
+    expose=False,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ probe against the prebuilt artifact: the
+    broadcast centroid cut selects nprobe clusters per query, the
+    cluster-partitioned code artifact is scanned ONLY in those
+    partitions (dynamic partition pruning from the broadcast probe
+    join), the ADC sums {_PQ_M} exact integers per surviving vector,
+    and refine*k candidates get the exact-cosine re-rank. At 100 TB
+    the per-query cost is (nprobe/k of the corpus) x 8 bytes — both
+    pruning axes compound, which is why this is the default shape for
+    billion-vector deployments."""
+    from pyspark.sql import Window as W
+
+    path = build_ivfpq_index(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    codes = spark.read.parquet(os.path.join(path, "data"))
+    q = _pq_queries(spark, sf_dir)
+    wp = W.partitionBy("q_id").orderBy(F.col("c_cs").desc(), F.col("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(_cents_df(spark, cents_np)))
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cs"),
+        )
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .select("q_id", "c_id")
+    )
+    lut = _pq_lut(q, F.broadcast(_pq_books_df(spark, books)))
+    adc = (
+        codes.join(F.broadcast(probes), codes["cluster"] == probes["c_id"])
+        .select("q_id", "vec_id", F.posexplode_outer("code").alias("s", "j"))
+        .join(lut, ["q_id", "s", "j"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2_q").alias("adc_q"))
+    )
+    return _pq_refine_rank(spark, sf_dir, adc, q)

@@ -537,3 +537,23 @@ def test_pq_adc_scan_contract(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "partial_sum" in p
     assert "WindowGroupLimit" in p
+
+
+def test_ivfpq_probe_prunes_partitions_zero_python(spark, sf_dir):
+    """ann_ivfpq_topk's probe contract: zero Python eval (both Arrow
+    kernels ran offline into the artifact), the code scan is cut to
+    the probed clusters by DYNAMIC PARTITION PRUNING from the
+    broadcast probe join, and the ADC aggregation keeps map-side
+    partial sums."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    build_ivfpq_index(spark, sf_dir)
+    p = plan_str(fresh("ann_ivfpq_topk")(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p

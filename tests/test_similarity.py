@@ -666,3 +666,28 @@ def test_pq_encode_deterministic_and_in_range(spark, sf_dir):
     for code in a.values():
         assert len(code) == _PQ_M
         assert all(0 <= j < _PQ_KSUB for j in code)
+
+
+def test_ivfpq_shape_recall_and_honesty(spark, sf_dir):
+    """Composite IVF-PQ: k per query with ranks 1..k, no self-matches,
+    scores exact wherever brute-force ranked the same pair, and the
+    doubly-pruned candidate generation still clears a recall floor."""
+    res = REG["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    per_q = {}
+    for r in res:
+        assert r["vec_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 10
+        assert sorted(r["rk"] for r in rows) == list(range(1, 11))
+    exact = REG["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    exact_scores = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in res:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-12
+    truth = _topk_sets(spark.createDataFrame(exact))
+    got = _topk_sets(spark.createDataFrame(res))
+    total = sum(len(v) for v in truth.values())
+    hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    assert hit / total >= 0.4, f"IVF-PQ recall {hit / total:.2f} below floor"

@@ -10,6 +10,7 @@ Builds the probe artifacts for the given scale-factor directory
   - lsh_dup   : selective-banding signatures, partitioned by band
   - ivf       : inverted list partitioned by cluster id + centroid meta
   - pq        : 8-byte PQ codes + codebooks (meta.json) for the ADC scan
+  - ivfpq     : cluster-partitioned codes + centroids + codebooks (composite)
 and prints one JSON line of build timings. Safe to re-run: builds are
 skipped when the artifact's source fingerprint matches (--force
 rebuilds unconditionally).
@@ -42,6 +43,7 @@ def main() -> int:
         ("lsh_dup", S.build_dup_sig_index),
         ("ivf", S.build_ivf_index),
         ("pq", S.build_pq_index),
+        ("ivfpq", S.build_ivfpq_index),
     ):
         t0 = time.perf_counter()
         path = builder(spark, sf_dir, force=force)

@@ -54,6 +54,7 @@ OPS = (
     "ann_pq_adc_topk",
     "docs_bpe_merges",
     "docs_bpe_tokenize",
+    "ann_ivfpq_topk",
 )
 
 
