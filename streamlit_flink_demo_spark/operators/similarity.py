@@ -146,7 +146,9 @@ def _plane_weights(n_planes: int, salt: str = "") -> list[list[float]]:
 _PLANES_PER_BAND = _N_PLANES // _N_BANDS
 
 
-def _sigs_sql(n_bands: int, planes_per_band: int, salt: str = "") -> str:
+def _sigs_sql(
+    n_bands: int, planes_per_band: int, salt: str = "", extra: str = ""
+) -> str:
     """DuckDB CTE body producing (vec_id, embedding, band, bsig) —
     the exact banded signatures of ``_banded_sigs_arrow``. The ±1
     hyperplane weights are baked in as literal DOUBLE arrays; each
@@ -167,8 +169,8 @@ def _sigs_sql(n_bands: int, planes_per_band: int, salt: str = "") -> str:
             terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << r} ELSE 0 END)")
         bsig = " + ".join(terms)
         branches.append(
-            f"SELECT vec_id, embedding, {band} AS band, ({bsig}) AS bsig "
-            f"FROM embeddings"
+            f"SELECT vec_id, embedding{extra}, {band} AS band, "
+            f"({bsig}) AS bsig FROM embeddings"
         )
     return "\nUNION ALL\n".join(branches)
 
@@ -237,7 +239,11 @@ def _banded_sigs(
 
 
 def _banded_sigs_arrow(
-    emb: DataFrame, n_bands: int, planes_per_band: int, salt: str = ""
+    emb: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    salt: str = "",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Arrow-batched twin of ``_banded_sigs``: all band signatures in
     ONE numpy matmul per batch (B×dim @ dim×planes), bits packed per
@@ -269,6 +275,7 @@ def _banded_sigs_arrow(
     return emb.select(
         "vec_id",
         "embedding",
+        *extra_cols,
         F.posexplode(band_sigs(F.col("embedding"))).alias("band", "bsig"),
     )
 
@@ -1988,3 +1995,108 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d2_q").alias("adc_q"))
     )
     return _pq_refine_rank(spark, sf_dir, adc, q)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+# Contrastive embedding training (SimCLR/DPR/CLIP-style) needs, per
+# anchor, the most-similar examples that are NOT the anchor's class —
+# "hard" negatives. That is exactly an ANN top-k with a label-mismatch
+# predicate pushed into candidate generation, so the operator reuses
+# the deterministic LSH banding: bucket-collision candidates, label
+# filter BEFORE scoring (the predicate rides the bucket join — wrong-
+# class vectors never reach the cosine kernel), exact re-rank.
+
+_HN_K = 5
+
+
+_HN_ORACLE = f"""
+WITH sigs AS (
+{_sigs_sql(_N_BANDS, _PLANES_PER_BAND, extra=", label")}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, band, bsig
+  FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, q.q_label, s.vec_id, s.label AS neg_label,
+         MAX({cosine_sql('q.q_emb', 's.embedding', _DIM)}) AS cos_sim
+  FROM q JOIN sigs s
+    ON s.band = q.band AND s.bsig = q.bsig
+   AND s.vec_id <> q.q_id AND s.label <> q.q_label
+  GROUP BY q.q_id, q.q_label, s.vec_id, s.label
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, neg_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT q_id, q_label, vec_id, neg_label, cos_sim, rk
+FROM ranked WHERE rk <= {_HN_K}
+"""
+
+
+@register(
+    "embeddings_hard_negatives",
+    oracle=_HN_ORACLE,
+    tags=("similarity", "training", "contrastive"),
+    expose=False,
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HN_K} hard negatives per anchor: highest-cosine vectors
+    with a DIFFERENT label, candidates from the deterministic LSH
+    buckets. The label predicate is part of the bucket-join condition,
+    so same-class vectors are dropped before any scoring; the corpus
+    side carries (label) through the signature kernel rather than
+    joining labels back post-hoc (at 100 TB a production index bakes
+    the filter payload into its partitions for exactly this reason —
+    an id-join against the corpus to recover labels would cost more
+    than the probe itself)."""
+    from pyspark.sql import Window as W
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    sigs = _banded_sigs_arrow(
+        e, _N_BANDS, _PLANES_PER_BAND, extra_cols=("label",)
+    )
+    q = F.broadcast(
+        _banded_sigs_arrow(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _N_QUERIES
+            ),
+            _N_BANDS,
+            _PLANES_PER_BAND,
+            extra_cols=("label",),
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+            F.col("band").alias("q_band"),
+            F.col("bsig").alias("q_bsig"),
+        )
+    )
+    cand = q.join(
+        sigs,
+        (F.col("band") == F.col("q_band"))
+        & (F.col("bsig") == F.col("q_bsig"))
+        & (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label")),
+    )
+    scored = (
+        cand.select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+        .groupBy("q_id", "q_label", "vec_id", "neg_label")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_K)
+        .select("q_id", "q_label", "vec_id", "neg_label", "cos_sim", "rk")
+    )

