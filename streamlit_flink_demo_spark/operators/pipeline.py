@@ -968,3 +968,137 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_c") - F.col("exact_c")).cast("bigint").alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (data-mixture design)
+# --------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source,
+           lower(t[i+1]) || ' ' || lower(t[i+2]) || ' ' || lower(t[i+3]) AS s
+    FROM (
+      SELECT source, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+      FROM documents
+    ), unnest(range(len(t) - 2)) u(i)
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM sh GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+  FROM sizes a JOIN sizes b ON a.source < b.source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+       COALESCE(i.n_common, 0)::BIGINT AS n_common,
+       COALESCE(i.n_common, 0) / (p.n_a + p.n_b - COALESCE(i.n_common, 0))::DOUBLE
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+"""
+
+
+@register(
+    "docs_source_overlap",
+    oracle=_SRC_OVERLAP_ORACLE,
+    tags=("pipeline", "mixture", "overlap"),
+    expose=False,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-overlap matrix BETWEEN corpus sources — the
+    measurement behind data-mixture design (which sources duplicate
+    each other / how much novel text each contributes): for every
+    source pair, distinct-3-word-shingle set sizes, intersection, and
+    Jaccard. Same shingle rule as ``docs_eval_contamination``.
+
+    Scale shape: one explode + one distinct exchange builds the
+    (source, shingle) set; the intersection avoids the shingle
+    SELF-JOIN entirely — shingles groupBy into their (few) sources'
+    sorted set, pairs expand per shingle (<= S^2 with S = source
+    count, a constant), and one small aggregation yields the matrix.
+    The complete matrix (zero-overlap pairs included) comes from the
+    k-row sizes cross join — driver-free, S^2 rows total."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)").alias("t"),
+    ).filter(F.size("t") >= 3)
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.slice(F.col("t"), 1, F.size("t") - 2),
+                        lambda _, i: F.concat_ws(
+                            " ",
+                            F.lower(F.element_at(F.col("t"), i + 1)),
+                            F.lower(F.element_at(F.col("t"), i + 2)),
+                            F.lower(F.element_at(F.col("t"), i + 3)),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sh = track_persist(sh)
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    # per-shingle source sets -> ordered pair expansion (no self-join)
+    srcs = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    inter = (
+        srcs.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("srcs"),
+                                i + 2,
+                                F.size(F.col("srcs")) - i - 1,
+                            ),
+                            lambda b: F.struct(
+                                a.alias("src_a"), b.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    a = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    b = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    pairs = F.broadcast(a).join(
+        F.broadcast(b), F.col("src_a") < F.col("src_b")
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return pairs.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        nc.cast("bigint").alias("n_common"),
+        (nc / (F.col("n_a") + F.col("n_b") - nc).cast("double")).alias(
+            "jaccard"
+        ),
+    )

@@ -732,3 +732,33 @@ def test_hard_negatives_are_cross_label_and_hard(spark, sf_dir):
             and r["cos_sim"] > floor[q]
         ):
             assert (q, r["vec_id"]) in mined
+
+
+def test_source_overlap_matrix_complete_and_correct(spark, sf_dir):
+    """docs_source_overlap: full C(S,2) matrix (zero-overlap pairs
+    included), values match an independent pure-Python set
+    reimplementation."""
+    import re as _re
+
+    import duckdb as _duck
+
+    rows = REG["docs_source_overlap"].fn(spark, sf_dir).collect()
+    docs = _duck.sql(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    sets = {}
+    for src, text in docs:
+        t = _re.findall("[A-Za-z0-9]+", text or "")
+        for i in range(len(t) - 2):
+            sets.setdefault(src, set()).add(
+                " ".join(w.lower() for w in t[i : i + 3])
+            )
+    srcs = sorted(sets)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        a, b = sets[r["src_a"]], sets[r["src_b"]]
+        assert r["src_a"] < r["src_b"]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        assert r["n_common"] == len(a & b)
+        want_j = len(a & b) / (len(a) + len(b) - len(a & b))
+        assert abs(r["jaccard"] - want_j) < 1e-15
