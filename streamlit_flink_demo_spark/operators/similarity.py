@@ -2100,3 +2100,159 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HN_K)
         .select("q_id", "q_label", "vec_id", "neg_label", "cos_sim", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space class separability (label margins)
+# --------------------------------------------------------------------------
+# The embedding-quality report a training pipeline runs before trusting
+# labels: per-label centroids, then each vector's cosine margin between
+# its own-label centroid and the best foreign centroid. Confused
+# vectors (margin <= 0) and the dominant confusion target per label
+# localize label noise / collapsed classes before training spends on
+# them. Determinism: centroid sums use the k-means scaled-integer
+# trick (order-independent exact BIGINTs); margins aggregate as
+# 1e9-scaled integers for the same reason.
+
+_LM_SCALE = float(1 << 30)
+_LM_MARGIN_SCALE = 1_000_000_000
+
+
+def _label_margins_oracle_sql() -> str:
+    cos = lambda a, b: cosine_sql(a, b, _DIM)
+    s_terms = ", ".join(
+        f"SUM(CAST(round(embedding[{d + 1}]::DOUBLE * {_LM_SCALE}) AS BIGINT)) AS s{d}"
+        for d in range(_DIM)
+    )
+    c_terms = ", ".join(
+        f"(s{d}::DOUBLE / n) / {_LM_SCALE}" for d in range(_DIM)
+    )
+    return f"""
+WITH sums AS (
+  SELECT label, COUNT(*)::BIGINT AS n, {s_terms}
+  FROM embeddings GROUP BY label
+),
+cents AS (
+  SELECT label AS c_label, [{c_terms}] AS c_emb FROM sums
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label, {cos('e.embedding', 'c.c_emb')} AS cs
+  FROM embeddings e CROSS JOIN cents c
+),
+own AS (
+  SELECT vec_id, label, cs AS own_cs FROM scored WHERE c_label = label
+),
+other AS (
+  SELECT vec_id, cs AS other_cs, c_label AS other_label FROM (
+    SELECT vec_id, cs, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, c_label DESC) AS rk
+    FROM scored WHERE c_label <> label
+  ) WHERE rk = 1
+),
+pv AS (
+  SELECT o.vec_id, o.label, o.own_cs, t.other_cs, t.other_label
+  FROM own o JOIN other t USING (vec_id)
+),
+agg AS (
+  SELECT label,
+         COUNT(*)::BIGINT AS n_vecs,
+         SUM(CAST(round((own_cs - other_cs) * {_LM_MARGIN_SCALE})
+                  AS BIGINT))::BIGINT AS margin_sum_q,
+         SUM(CASE WHEN own_cs <= other_cs THEN 1 ELSE 0 END)::BIGINT
+           AS n_confused
+  FROM pv GROUP BY label
+),
+conf AS (
+  SELECT label, other_label AS top_confusion FROM (
+    SELECT label, other_label,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY COUNT(*) DESC, other_label) AS rk
+    FROM pv WHERE own_cs <= other_cs GROUP BY label, other_label
+  ) WHERE rk = 1
+)
+SELECT a.label, a.n_vecs, a.margin_sum_q, a.n_confused, c.top_confusion
+FROM agg a LEFT JOIN conf c USING (label)
+"""
+
+
+@register(
+    "embeddings_label_margins",
+    oracle=_label_margins_oracle_sql(),
+    tags=("similarity", "labels", "quality"),
+    expose=False,
+)
+def embeddings_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label separability report: (label, n_vecs, margin_sum_q,
+    n_confused, top_confusion). One corpus aggregation builds the
+    centroids (65 combinable aggregates per label — the k-means
+    shuffle shape, no 64-way explode), the centroid set broadcasts
+    back over one narrow scoring pass (labels x dim doubles), and the
+    per-vector own-vs-best-other margin reduces with exact integer
+    sums. No driver collect anywhere — the centroid frame stays a
+    DataFrame."""
+    from pyspark.sql import Window as W
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    sums = e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.round(
+                    F.col("embedding")[d].cast("double") * _LM_SCALE
+                ).cast("bigint")
+            ).alias(f"s{d}")
+            for d in range(_DIM)
+        ],
+    )
+    cents = sums.select(
+        F.col("label").alias("c_label"),
+        F.array(
+            *[
+                (F.col(f"s{d}").cast("double") / F.col("n")) / _LM_SCALE
+                for d in range(_DIM)
+            ]
+        ).alias("c_emb"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cs"),
+    )
+    pv = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("cs"))).alias(
+            "own_cs"
+        ),
+        F.max(
+            F.when(
+                F.col("c_label") != F.col("label"),
+                F.struct(
+                    F.col("cs").alias("cs"), F.col("c_label").alias("cl")
+                ),
+            )
+        ).alias("other"),
+    )
+    margin_q = F.round(
+        (F.col("own_cs") - F.col("other.cs")) * _LM_MARGIN_SCALE
+    ).cast("bigint")
+    confused = F.col("own_cs") <= F.col("other.cs")
+    agg = pv.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(margin_q).alias("margin_sum_q"),
+        F.sum(confused.cast("int")).cast("bigint").alias("n_confused"),
+    )
+    wc = W.partitionBy("label").orderBy(
+        F.col("cnt").desc(), F.col("top_confusion")
+    )
+    conf = (
+        pv.filter(confused)
+        .groupBy("label", F.col("other.cl").alias("top_confusion"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("label", "top_confusion")
+    )
+    return agg.join(conf, "label", "left").select(
+        "label", "n_vecs", "margin_sum_q", "n_confused", "top_confusion"
+    )

@@ -3,6 +3,8 @@ and multimodal mapInPandas plumbing."""
 
 from __future__ import annotations
 
+import math
+
 from streamlit_flink_demo_spark.plans import load_all
 
 REG = load_all(exposed_only=False)
@@ -762,3 +764,75 @@ def test_source_overlap_matrix_complete_and_correct(spark, sf_dir):
         assert r["n_common"] == len(a & b)
         want_j = len(a & b) / (len(a) + len(b) - len(a & b))
         assert abs(r["jaccard"] - want_j) < 1e-15
+
+
+def test_label_margins_match_numpy_reimplementation(spark, sf_dir):
+    """Independent numpy replay of the separability report: centroids
+    from the same scaled-integer sums, cosine margins, confusion
+    counts and dominant confusion target."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    S = float(1 << 30)
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    def half_up(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    cents = {}
+    for lbl, vs in by_label.items():
+        q = np.array(
+            [[half_up(float(x) * S) for x in v] for v in vs], dtype=np.int64
+        )
+        cents[lbl] = (q.sum(axis=0).astype(np.float64) / len(vs)) / S
+
+    def cos(a, b):
+        # left-to-right folds matching the engine's cosine contract
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / ((na**0.5) * (nb**0.5))
+
+    want = {}
+    for r in rows:
+        own = cos(r["embedding"], cents[r["label"]])
+        best_cs, best_l = max(
+            (cos(r["embedding"], c), l)
+            for l, c in cents.items()
+            if l != r["label"]
+        )
+        st = want.setdefault(r["label"], [0, 0, 0, {}])
+        st[0] += 1
+        # Spark rounds HALF_UP (away from zero); Python round() is
+        # half-even — match Spark explicitly
+        m = (own - best_cs) * 1_000_000_000
+        st[1] += int(math.floor(abs(m) + 0.5)) * (1 if m >= 0 else -1)
+        if own <= best_cs:
+            st[2] += 1
+            st[3][best_l] = st[3].get(best_l, 0) + 1
+    got = {
+        r["label"]: (
+            r["n_vecs"],
+            r["margin_sum_q"],
+            r["n_confused"],
+            r["top_confusion"],
+        )
+        for r in REG["embeddings_label_margins"].fn(spark, sf_dir).collect()
+    }
+    for lbl, (n, mq, nc, conf) in want.items():
+        top = (
+            min(conf, key=lambda k: (-conf[k], k)) if conf else None
+        )
+        assert got[lbl] == (n, mq, nc, top), lbl
+    assert set(got) == set(want)
