@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.operators.sampling import _rate_bps_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 # --------------------------------------------------------------------------
 # Deterministic train/eval split
@@ -1027,7 +1027,7 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, a constant), and one small aggregation yields the matrix.
     The complete matrix (zero-overlap pairs included) comes from the
     k-row sizes cross join — driver-free, S^2 rows total."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     toks = d.select(
         "source",
         F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)").alias("t"),

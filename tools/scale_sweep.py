@@ -55,6 +55,9 @@ OPS = (
     "docs_bpe_merges",
     "docs_bpe_tokenize",
     "ann_ivfpq_topk",
+    "embeddings_hard_negatives",
+    "docs_source_overlap",
+    "embeddings_label_margins",
 )
 
 
