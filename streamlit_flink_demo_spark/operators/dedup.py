@@ -1231,3 +1231,99 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("pr_q"),
         F.round(F.col("q").cast("double") / _PR_S, 6).alias("pr_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (subset/quote detection)
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHH_CTE},
+df AS (
+  SELECT h, COUNT(*) AS doc_freq FROM shh GROUP BY h
+),
+sh_kept AS (
+  SELECT shh.doc_id, shh.h FROM shh JOIN df USING (h) WHERE df.doc_freq <= 50
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh_kept GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh_kept a JOIN sh_kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(i AS BIGINT) AS n_common,
+       i / LEAST(na.n, nb.n)::DOUBLE AS containment,
+       i / (na.n + nb.n - i)::DOUBLE AS jaccard_sim
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i / LEAST(na.n, nb.n)::DOUBLE >= {_CONTAIN_T}
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("dedup", "containment"),
+    expose=False,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment = |A∩B| / min(|A|,
+    |B|) over the same capped shingle inverted index as
+    ``dedup_ngram_jaccard``. Jaccard misses the classic corpus
+    pathology of a SHORT document wholly quoted inside a LONG one
+    (small ∩ over a big union → low Jaccard, containment ≈ 1); this
+    operator flags exactly those pairs, emitting both scores so the
+    asymmetric cases are visible as a containment-vs-jaccard gap.
+    Same scale contract as the Jaccard operator: df-cap bounds the
+    inverted-index self-join, one extra LEAST() costs nothing."""
+    from pyspark.sql.window import Window as W
+
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    sh_kept = track_persist(
+        sh.withColumn("doc_freq", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("doc_freq") <= 50)
+        .select("doc_id", "h")
+    )
+    sizes = sh_kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    cont = F.col("i") / F.least(F.col("na.n"), F.col("nb.n")).cast("double")
+    jac = (
+        F.col("i")
+        / (F.col("na.n") + F.col("nb.n") - F.col("i")).cast("double")
+    )
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na.n").cast("bigint").alias("n_a"),
+            F.col("nb.n").cast("bigint").alias("n_b"),
+            F.col("i").cast("bigint").alias("n_common"),
+            cont.alias("containment"),
+            jac.alias("jaccard_sim"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )
