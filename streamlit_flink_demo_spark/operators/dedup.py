@@ -1327,3 +1327,123 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _CONTAIN_T)
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle count + local clustering coefficient over the near-dup graph
+# --------------------------------------------------------------------------
+# The third graph-analytics member (next to connected components and
+# PageRank): per-vertex triangle counts and the local clustering
+# coefficient 2T/(deg*(deg-1)) over the symmetric MinHash-LSH pair
+# graph. In a dedup pipeline this separates tight clique-like
+# duplicate clusters (coefficient ~1: every pair near-identical —
+# safe to keep one representative) from star/chain clusters
+# (coefficient ~0: a hub document partially overlapping many unrelated
+# ones — transitive "duplicates" that need per-edge review before
+# dropping).
+#
+# Scale shape: the node-iterator formulation on canonically ordered
+# edges (a<b) — ONE wedge join (e1.dst = e2.src gives a<b<c, so each
+# triangle is generated exactly once) + one closing edge join + one
+# explode/groupBy for per-vertex counts. No driver state at all. At
+# 100 TB the standard refinement is degree-ordered orientation
+# (least-degree vertex first) so wedge fan-out is bounded by the
+# SMALLER endpoint's degree; on an LSH pair graph the id-order
+# orientation is already safe because the >=0.5-Jaccard threshold
+# bounds component (and hence degree) size, and AQE skew-join splits
+# any residual hub. Reference scope: the reference engine has no graph
+# operators at all (lib/flink.py:21-131 is a REST client); this is
+# extension scope for the training-data pipeline.
+
+_TRIANGLE_ORACLE = f"""
+WITH mh AS MATERIALIZED (
+{_MINHASH_ORACLE}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS deg FROM (
+    SELECT src AS doc_id FROM e UNION ALL SELECT dst AS doc_id FROM e
+  ) GROUP BY doc_id
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pt AS (
+  SELECT doc_id, COUNT(*) AS n_tri FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b AS doc_id FROM tri
+    UNION ALL SELECT c AS doc_id FROM tri
+  ) GROUP BY doc_id
+)
+SELECT deg.doc_id,
+       CAST(deg.deg AS BIGINT) AS deg,
+       CAST(COALESCE(pt.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN ROUND(2.0 * COALESCE(pt.n_tri, 0)
+                       / (deg.deg * (deg.deg - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pt ON deg.doc_id = pt.doc_id
+"""
+
+
+@register(
+    "docs_triangle_stats",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangle", "join"),
+    expose=False,
+)
+def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count and local clustering coefficient
+    (2T/(deg*(deg-1))) over the MinHash-LSH near-dup pair graph.
+    Canonical edge order (doc_a < doc_b) makes the wedge join
+    (e1.dst = e2.src) enumerate each triangle exactly once; integer
+    counts are exact, the coefficient is one double division of exact
+    integers (deterministic vs the oracle). Rows: every vertex with
+    degree >= 1."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    e = track_persist(
+        REGISTRY["dedup_minhash_lsh"]
+        .fn(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    deg = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionAll(e.select(F.col("dst").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    ).select("a", "b", "c")
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    ntri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.lit(2.0) * ntri / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(per_vertex, "doc_id", "left").select(
+        "doc_id",
+        F.col("deg").cast("bigint").alias("deg"),
+        ntri.alias("n_tri"),
+        coeff.alias("clustering"),
+    )
