@@ -185,11 +185,15 @@ def _tokenize_oracle_sql(n_merges: int = N_MERGES) -> str:
     with_block = train[: train.rindex("\nSELECT CAST(1 AS INT)")]
     # strip the final UNION SELECT; keep every CTE, add merge-literal
     # CTEs m1..mN and the apply projection
+    # MAX over an empty b{r} yields one NULL row, so a missing merge
+    # degrades to the identity replace('~','~') — matching the Spark
+    # loop's `break` (it simply applies fewer merges) instead of the
+    # empty-CROSS-JOIN collapse that would zero out every document row
     for r in range(1, n_merges + 1):
         with_block += f""",
 m{r} AS (
-  SELECT '|' || a || '||' || b || '|' AS pat{r},
-         '|' || a || b || '|' AS rep{r}
+  SELECT coalesce(MAX('|' || a || '||' || b || '|'), '~') AS pat{r},
+         coalesce(MAX('|' || a || b || '|'), '~') AS rep{r}
   FROM b{r}
 )"""
     # DuckDB lambdas forbid subqueries but capture enclosing columns,

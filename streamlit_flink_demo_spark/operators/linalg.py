@@ -146,7 +146,7 @@ def _oracle_sql() -> str:
   SELECT i,
          CAST(round(CAST(y AS DOUBLE) * {_VS!r} / CAST(m.m AS DOUBLE))
               AS BIGINT) AS v
-  FROM y{t} CROSS JOIN m{t}
+  FROM y{t} CROSS JOIN m{t} AS m
 )"""
         )
     return (

@@ -2233,6 +2233,10 @@ def embeddings_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("other"),
     )
+    # mirror the oracle's inner own⋈other join: a single-label corpus
+    # has no foreign centroid, and the label must drop from the report
+    # rather than surface with null-skipped sums (ADVICE r6)
+    pv = pv.filter(F.col("other").isNotNull())
     margin_q = F.round(
         (F.col("own_cs") - F.col("other.cs")) * _LM_MARGIN_SCALE
     ).cast("bigint")
