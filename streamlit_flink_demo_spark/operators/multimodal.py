@@ -42,7 +42,12 @@ FROM documents
 """
 
 
-@register("multimodal_binary_meta", oracle=_META_ORACLE, tags=("multimodal",))
+@register(
+    "multimodal_binary_meta",
+    oracle=_META_ORACLE,
+    tags=("multimodal",),
+    expose=False,  # r9: driver-surfaced via multimodal_suite
+)
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction: documents.text re-encoded as
     an opaque blob (standing in for image bytes), then byte length,
@@ -384,7 +389,12 @@ def sample_frames_batch(
     return df.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
-@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("multimodal", "pandas-udf"))
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAME_SAMPLE_ORACLE,
+    tags=("multimodal", "pandas-udf"),
+    expose=False,  # r9: driver-surfaced via multimodal_suite
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling over the documents blob as a fake
     video. The byte-window sampler is deterministic, so the oracle
@@ -552,6 +562,7 @@ def video_keyframes_batch(
     "multimodal_video_keyframes",
     oracle=_KEYFRAME_ORACLE,
     tags=("multimodal", "pandas-udf", "video"),
+    expose=False,  # r9: driver-surfaced via multimodal_suite
 )
 def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe metadata over the documents blob as a fake video

@@ -153,6 +153,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
     from streamlit_flink_demo_spark.operators import (  # noqa: F401
         bpe,
         dedup,
+        embed,
         linalg,
         multimodal,
         pipeline,

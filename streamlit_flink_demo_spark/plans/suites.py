@@ -41,6 +41,7 @@ from streamlit_flink_demo_spark.plans import (  # noqa: F401
     windows,
 )
 from streamlit_flink_demo_spark.operators import (  # noqa: F401
+    embed,
     multimodal,
     pipeline,
     sampling,
@@ -1188,41 +1189,26 @@ SELECT 'lm', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
        CAST(avg_nll AS DOUBLE), {_NULL_D}
 FROM ({_o("docs_lm_score")})
 UNION ALL
-SELECT 'dsir', CAST(doc_id AS BIGINT), {_NULL_S}, {_NULL_S},
-       CAST(n_feats AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
-       CAST(logw_r AS DOUBLE), {_NULL_D}
-FROM ({_o("docs_dsir_weights")})
-UNION ALL
-SELECT 'nb', CAST(doc_id AS BIGINT), lang_actual, lang_pred,
-       CAST(ok AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
-       CAST(score_r AS DOUBLE), {_NULL_D}
-FROM ({_o("docs_nb_classify")})
-UNION ALL
 SELECT 'topngram', CAST(doc_id AS BIGINT), top_gram, {_NULL_S},
        CAST(n AS BIGINT), CAST(top_cnt AS BIGINT), {_NULL_B}, {_NULL_B},
        CAST(top_frac_r AS DOUBLE), {_NULL_D}
 FROM ({_o("text_topngram")})
-UNION ALL
-SELECT 'colloc', CAST(rank AS BIGINT), bigram, {_NULL_S},
-       CAST(c_bg AS BIGINT), CAST(c_w1 AS BIGINT), CAST(c_w2 AS BIGINT),
-       {_NULL_B}, CAST(pmi_r AS DOUBLE), {_NULL_D}
-FROM ({_o("docs_collocations")})
 """,
     tags=("text", "suite"),
 )
 def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The text-analysis surface in one suite (members text_quality_stats,
-    text_lang_id, text_normalize_tokens, text_fingerprint, round 5's
-    docs_bm25_topk retrieval and docs_lm_score bigram-LM quality
-    scoring, and round 6's docs_dsir_weights importance weights,
-    docs_nb_classify Naive-Bayes classifier, and text_topngram Gopher
-    top-n-gram char fractions; each still individually oracle-checked
-    in tests/test_oracle_parity.py).
-    Consolidated in round 5: the driver records correctness rows for at
-    most the first 50 sorted exposed names, and the three round-5
-    queries pushed the surface to 53, silently dropping the three
-    alphabetically-last suites from external checking. Each branch
-    keeps its member's own pinned plan (UNION ALL plans branches
+    """The cheap per-document text-scorer surface in one suite (members
+    text_quality_stats, text_lang_id, text_normalize_tokens,
+    text_fingerprint, docs_bm25_topk, docs_lm_score, text_topngram;
+    each still individually oracle-checked in
+    tests/test_oracle_parity.py).
+    Consolidated in round 5 (driver checks at most the first 50 sorted
+    exposed names); SPLIT in round 9: the two corpus-model-training
+    branches (dsir, nb) and the corpus-statistics branch (colloc) moved
+    to text_model_suite so a model-training regression can't mask the
+    seven cheap scorers — and no single driver suite carries >3 s of
+    branches at sf0.1 (VERDICT r8 item 7). Each branch keeps its
+    member's own pinned plan (UNION ALL plans branches
     independently)."""
     q = _fn("text_quality_stats")(spark, sf_dir).select(
         F.lit("quality").alias("family"),
@@ -1296,6 +1282,59 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_nll").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
+    tn = _fn("text_topngram")(spark, sf_dir).select(
+        F.lit("topngram").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("top_gram").alias("s1"),
+        _ns().alias("s2"),
+        F.col("n").cast("bigint").alias("i1"),
+        F.col("top_cnt").cast("bigint").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("top_frac_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(q, l, n, fp, bm, lm, tn)
+
+
+# --------------------------------------------------------------------------
+# Text model family: corpus-trained scorers (split from text_suite, r9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_model_suite",
+    oracle=f"""
+SELECT 'dsir' AS family, CAST(doc_id AS BIGINT) AS doc_id,
+       {_NULL_S} AS s1, {_NULL_S} AS s2,
+       CAST(n_feats AS BIGINT) AS i1, {_NULL_B} AS i2, {_NULL_B} AS i3,
+       {_NULL_B} AS i4,
+       CAST(logw_r AS DOUBLE) AS v1, {_NULL_D} AS v2
+FROM ({_o("docs_dsir_weights")})
+UNION ALL
+SELECT 'nb', CAST(doc_id AS BIGINT), lang_actual, lang_pred,
+       CAST(ok AS BIGINT), {_NULL_B}, {_NULL_B}, {_NULL_B},
+       CAST(score_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_nb_classify")})
+UNION ALL
+SELECT 'colloc', CAST(rank AS BIGINT), bigram, {_NULL_S},
+       CAST(c_bg AS BIGINT), CAST(c_w1 AS BIGINT), CAST(c_w2 AS BIGINT),
+       {_NULL_B}, CAST(pmi_r AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_collocations")})
+""",
+    tags=("text", "model", "suite"),
+)
+def text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-model branches split out of text_suite in round 9
+    (VERDICT r8 item 7): DSIR importance weights and the Naive-Bayes
+    classifier both TRAIN a count model over the corpus before scoring
+    (two aggregation passes each), and collocations is a corpus-level
+    PMI ranking — an order of magnitude heavier than text_suite's
+    per-document scorers. Isolating them means a training-branch
+    regression shows up in THIS suite's timing/correctness row instead
+    of masking seven cheap scorers, and neither suite carries >3 s of
+    branches at sf0.1. Members remain individually oracle-checked in
+    tests/test_oracle_parity.py."""
     ds = _fn("docs_dsir_weights")(spark, sf_dir).select(
         F.lit("dsir").alias("family"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -1320,18 +1359,6 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_r").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    tn = _fn("text_topngram")(spark, sf_dir).select(
-        F.lit("topngram").alias("family"),
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("top_gram").alias("s1"),
-        _ns().alias("s2"),
-        F.col("n").cast("bigint").alias("i1"),
-        F.col("top_cnt").cast("bigint").alias("i2"),
-        _nb().alias("i3"),
-        _nb().alias("i4"),
-        F.col("top_frac_r").cast("double").alias("v1"),
-        _nd().alias("v2"),
-    )
     co = _fn("docs_collocations")(spark, sf_dir).select(
         F.lit("colloc").alias("family"),
         F.col("rank").cast("bigint").alias("doc_id"),
@@ -1344,7 +1371,7 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pmi_r").cast("double").alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(q, l, n, fp, bm, lm, ds, nb, tn, co)
+    return _u(ds, nb, co)
 
 
 # --------------------------------------------------------------------------
@@ -1372,3 +1399,144 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "content"
     )
     return multimodal.decode_binary_batch(resized, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Multimodal metadata family (consolidated r9): meta + frames + keyframes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_suite",
+    oracle=f"""
+SELECT 'meta' AS family, CAST(doc_id AS BIGINT) AS doc_id,
+       content_md5 AS s1, {_NULL_S} AS s2,
+       CAST(n_bytes AS BIGINT) AS i1, CAST(fake_width AS BIGINT) AS i2,
+       CAST(fake_height AS BIGINT) AS i3
+FROM ({_o("multimodal_binary_meta")})
+UNION ALL
+SELECT 'frames', CAST(doc_id AS BIGINT), frame_md5, frame_hex,
+       CAST(frame_idx AS BIGINT), CAST(n_frames AS BIGINT), {_NULL_B}
+FROM ({_o("multimodal_frame_sample")})
+UNION ALL
+SELECT 'keyframes', CAST(doc_id AS BIGINT), frame_md5, {_NULL_S},
+       CAST(kf_idx AS BIGINT), CAST(n_keyframes AS BIGINT),
+       CAST(pts_ms AS BIGINT)
+FROM ({_o("multimodal_video_keyframes")})
+""",
+    tags=("multimodal", "pandas-udf", "suite"),
+)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three standalone multimodal metadata queries consolidated
+    into one driver surface name (round 9 — frees exposed slots for
+    embed_pipeline_suite / text_model_suite while keeping every
+    member's values hash-checked). Members multimodal_binary_meta
+    (JVM-only blob metadata), multimodal_frame_sample (mapInPandas
+    even-stride frame sampler), multimodal_video_keyframes
+    (mapInPandas keyframe extractor) stay individually oracle-checked
+    in tests/test_oracle_parity.py; multimodal_decode_resize remains
+    its own surface (it is already a two-stage composition, not a
+    breadth member). UNION ALL plans the branches independently, so
+    each keeps its pinned physical plan."""
+    m = _fn("multimodal_binary_meta")(spark, sf_dir).select(
+        F.lit("meta").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("content_md5").alias("s1"),
+        _ns().alias("s2"),
+        F.col("n_bytes").cast("bigint").alias("i1"),
+        F.col("fake_width").cast("bigint").alias("i2"),
+        F.col("fake_height").cast("bigint").alias("i3"),
+    )
+    fr = _fn("multimodal_frame_sample")(spark, sf_dir).select(
+        F.lit("frames").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("frame_md5").alias("s1"),
+        F.col("frame_hex").alias("s2"),
+        F.col("frame_idx").cast("bigint").alias("i1"),
+        F.col("n_frames").cast("bigint").alias("i2"),
+        _nb().alias("i3"),
+    )
+    kf = _fn("multimodal_video_keyframes")(spark, sf_dir).select(
+        F.lit("keyframes").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("frame_md5").alias("s1"),
+        _ns().alias("s2"),
+        F.col("kf_idx").cast("bigint").alias("i1"),
+        F.col("n_keyframes").cast("bigint").alias("i2"),
+        F.col("pts_ms").cast("bigint").alias("i3"),
+    )
+    return _u(m, fr, kf)
+
+
+# --------------------------------------------------------------------------
+# Embedding pipeline family (r9): encoder + composed semantic dedup
+# --------------------------------------------------------------------------
+
+# The embed branch pins every vector component through two sequential-
+# fold digests (l2_norm + the position-weighted component sum): a
+# change to any dimension of any document's embedding moves one of
+# them. The full array<double> surface stays member-level
+# (docs_embed's own oracle, tests/test_oracle_parity.py) because the
+# suite's shared column schema is scalar.
+_EMB_WSUM_SQL = (
+    "list_aggregate([embedding[d+1] * (d+1) "
+    f"for d in range({embed._EMB_DIM})], 'sum')"
+)
+
+
+@register(
+    "embed_pipeline_suite",
+    oracle=f"""
+SELECT 'embed' AS family, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS i1, {_NULL_B} AS i2, {_NULL_B} AS i3,
+       {_NULL_B} AS i4,
+       CAST(l2_norm AS DOUBLE) AS v1,
+       CAST({_EMB_WSUM_SQL} AS DOUBLE) AS v2
+FROM ({_o("docs_embed")})
+UNION ALL
+SELECT 'semdedup', CAST(bucket AS BIGINT), CAST(n_docs AS BIGINT),
+       CAST(n_dropped AS BIGINT), CAST(dropped_checksum AS BIGINT),
+       CAST(kept_checksum AS BIGINT), {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_embed_semdedup")})
+""",
+    tags=("embed", "pipeline", "suite"),
+)
+def embed_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text -> embedding pipeline surface (round 9, VERDICT r8 item
+    1): the batch hash-projection encoder (docs_embed) and the
+    end-to-end encode -> sign-LSH bucket -> windowed semantic prune
+    composition (docs_embed_semdedup). The encoder branch digests each
+    vector into (l2_norm, position-weighted component sum) — both
+    sequential double folds, replayed exactly in SQL — so the driver
+    hash covers every embedding value without shipping arrays through
+    the suite's scalar schema."""
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.lit(embed._EMB_DIM)),
+            lambda x, w: x * w.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    em = _fn("docs_embed")(spark, sf_dir).select(
+        F.lit("embed").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("i1"),
+        _nb().alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("l2_norm").cast("double").alias("v1"),
+        wsum.cast("double").alias("v2"),
+    )
+    sd = _fn("docs_embed_semdedup")(spark, sf_dir).select(
+        F.lit("semdedup").alias("family"),
+        F.col("bucket").cast("bigint").alias("doc_id"),
+        F.col("n_docs").cast("bigint").alias("i1"),
+        F.col("n_dropped").cast("bigint").alias("i2"),
+        F.col("dropped_checksum").cast("bigint").alias("i3"),
+        F.col("kept_checksum").cast("bigint").alias("i4"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(em, sd)
