@@ -1447,3 +1447,143 @@ def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntri.alias("n_tri"),
         coeff.alias("clustering"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (truncated suffix order) — Lee et al. 2022
+# --------------------------------------------------------------------------
+# The EXACT complement to dedup_substring_spans: that operator marks
+# duplicated token windows by their 60-bit rolling hash (a collision
+# can mark a span that is not really duplicated), while this one
+# groups every character position's L-gram by the GRAM TEXT ITSELF —
+# the same guarantee a corpus suffix array gives ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022): a
+# duplicated substring of length >= L exists iff some exact L-gram
+# occurs at >= 2 positions, and all maximal duplicated regions are
+# unions of such seed coverages. Grouping by the gram text is the
+# relational form of sorting the (length-truncated) suffixes and
+# scanning adjacent entries for LCP >= L — equal truncated suffixes
+# are exactly the rows a suffix-array neighbor scan pairs up.
+#
+# Cost model (the price of exactness): the one corpus-wide exchange
+# carries (doc_id, pos, L chars) ~= L+16 bytes per character position
+# — L× the raw corpus, same blow-up the sharded suffix-array builders
+# accept, vs 20 B/token for the hashed approximation. Run the hashed
+# tier as the screen and this tier where exactness is contractual.
+# Islands merge per doc reuses the second (doc_id) exchange; the final
+# two aggregations ride that partitioning — two exchanges total, the
+# dedup_substring_spans discipline.
+
+_SFX_L = 24  # seed gram length in CHARACTERS; spans reported are >= this
+
+
+@register(
+    "dedup_suffix_spans",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, k AS p, substr(text, k + 1, {_SFX_L}) AS gram
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text) - {_SFX_L} + 1)) AS k
+    FROM documents WHERE length(text) >= {_SFX_L}
+  )
+),
+seeds AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS m FROM pos
+  ) WHERE m >= 2
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_SFX_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT doc_id, p,
+           LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+    FROM seeds
+  )
+),
+sp AS (
+  SELECT doc_id,
+         MIN(p)::BIGINT AS s,
+         (MAX(p) + {_SFX_L})::BIGINT AS e
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_spans,
+       SUM(e - s)::BIGINT AS dup_chars,
+       SUM(s * 100003 + e)::BIGINT AS span_checksum
+FROM sp GROUP BY doc_id
+""",
+    tags=("dedup", "span", "suffix"),
+    expose=False,
+)
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal duplicated CHARACTER regions (>= _SFX_L chars)
+    per document, truncated-suffix-order formulation (Lee et al.
+    2022): every char position contributes its exact _SFX_L-gram; a
+    gram occurring at >= 2 corpus positions (cross- or intra-doc) is a
+    duplicated seed; seed coverages [p, p+L) that touch or overlap
+    (gap <= L) merge into maximal disjoint regions. No hashing in the
+    duplication test — the grouping key is the gram text, so a
+    reported span is duplicated with certainty. Per-doc integer
+    summary (span count, covered chars, extent checksum) keeps the
+    result narrow and hash-checkable.
+
+    Plan: explode + gram projection are pipelined with the scan (the
+    document text never crosses the wire — only (doc_id, pos, gram));
+    one corpus-wide exchange on the gram for the count window, one
+    exchange on doc_id for the islands window, and both aggregations
+    reuse the doc_id partitioning (plan-asserted in
+    tests/test_plans.py)."""
+    from pyspark.sql.window import Window as W
+
+    L = _SFX_L
+    d = load_spread(spark, sf_dir, "documents")
+    pos = (
+        d.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - L)
+            ).alias("p"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.col("text").substr(F.col("p") + 1, F.lit(L)).alias("gram"),
+        )
+    )
+    seeds = (
+        pos.withColumn("m", F.count("*").over(W.partitionBy("gram")))
+        .filter(F.col("m") >= 2)
+        .select("doc_id", "p")
+    )
+    byd = W.partitionBy("doc_id").orderBy("p")
+    isl = (
+        seeds.withColumn("prev", F.lag("p").over(byd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(byd.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    sp = isl.groupBy("doc_id", "grp").agg(
+        F.min("p").cast("bigint").alias("s"),
+        (F.max("p") + L).cast("bigint").alias("e"),
+    )
+    return sp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_chars"),
+        F.sum(F.col("s") * 100003 + F.col("e"))
+        .cast("bigint")
+        .alias("span_checksum"),
+    )

@@ -1076,6 +1076,50 @@ def _kmeans_centroids_np(e: DataFrame) -> "np.ndarray":
     return cents
 
 
+def build_kmeans_model(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Materialize the trained k-means centroids as a fingerprinted
+    build-once artifact (VERDICT r8 item 3 — the LSH/IVF/PQ pattern):
+    the _KM_ITERS full-corpus Lloyd iterations are an offline TRAINING
+    job, so they belong in the bench's ``artifacts`` ledger, not inside
+    (or silently outside) a query's timed window. The artifact is
+    metadata-only (k×(dim+1) doubles in meta.json — exact JSON float
+    round-trip, the IVF precedent); probe-side queries load it and run
+    zero training jobs. Invalidation: source-data fingerprint + every
+    training constant (k, iters, quantization scale)."""
+    out = _index_dir("kmeans", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {"k": _KM_K, "iters": _KM_ITERS, "scale": _KM_SCALE}
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids_np(e)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    _write_meta(
+        tmp,
+        {
+            "fingerprint": fp,
+            **params,
+            "centroids": [[float(v) for v in row] for row in cents],
+        },
+    )
+    _publish_artifact(tmp, out)
+    return out
+
+
+def _kmeans_centroids_cached(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Trained centroids via the build-once artifact (building on
+    miss/staleness). The JSON floats round-trip exactly, so a cached
+    load is bit-identical to a fresh _kmeans_centroids_np run — pinned
+    by tests/test_semdedup.py."""
+    path = build_kmeans_model(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return np.array(meta["centroids"], dtype=np.float64)
+
+
 def _kmeans_ctes() -> tuple[list[str], str]:
     """Shared CTE chain replaying the distributed k-means pipeline:
     seeds → (assign → decimal-exact per-dim mean) × _KM_ITERS, plus a
@@ -1179,9 +1223,15 @@ def docs_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_fingerprint argument). The summary row set is integer-only
     (members, vec_id checksum, exemplar) so the oracle comparison is
     exact; driver-surfaced through the 'kmeans' branch of
-    group_agg_suite."""
+    group_agg_suite.
+
+    Training runs through the build-once kmeans artifact
+    (build_kmeans_model): the query itself is pure probe work —
+    assignment + one 3-agg shuffle — so its timed window and the
+    bench's artifacts ledger account training the same way DuckDB's
+    timed CTE replay does (VERDICT r8 item 3)."""
     e = load_spread(spark, sf_dir, "embeddings")
-    cents = _kmeans_centroids_np(e)
+    cents = _kmeans_centroids_cached(spark, sf_dir)
     a = _ivf_assign_arrow(e, cents)
     return a.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_members"),
@@ -1297,9 +1347,11 @@ def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer summary (members / dropped / id checksums) so the full
     train→assign→rank→prune pipeline is value-exact against the SQL
     replay. Driver-surfaced through the 'semdedup' branch of
-    group_agg_suite."""
+    group_agg_suite. Shares the build-once kmeans artifact with
+    docs_cluster_kmeans (build_kmeans_model), so no training job runs
+    inside the query."""
     e = load_spread(spark, sf_dir, "embeddings")
-    cents_np = _kmeans_centroids_np(e)
+    cents_np = _kmeans_centroids_cached(spark, sf_dir)
     a = _ivf_assign_arrow(e, cents_np, with_embedding=True)
 
     # One applyInPandas per cluster — the published SemDeDup execution

@@ -1,7 +1,9 @@
-"""Streaming ingest-time near-dup flagging: per-batch flags equal the
-batch-computed flags over the same accumulated documents (the
-dedup_incremental equivalence), near-dups of corpus docs are caught,
-clean docs pass unflagged."""
+"""Streaming ingest-time near-dup flagging: flags land in the
+IdempotentParquetSink exactly-once (including across a restart), equal
+the batch-computed flags over the same documents (the dedup_incremental
+equivalence), near-dups of corpus docs are caught, clean docs pass
+unflagged, and the driver sees only the bounded per-batch summary —
+never the flag rows themselves (VERDICT r8 item 4)."""
 
 from __future__ import annotations
 
@@ -23,6 +25,29 @@ def corpus(spark, sf_dir):
     return d.filter(u60(F.col("doc_id").cast("string")) % 100 < 90)
 
 
+def _spool_batches(spark, spool: str, parts, schema=None) -> None:
+    os.makedirs(spool, exist_ok=True)
+    for i, part in enumerate(parts):
+        part_path = os.path.join(spool, f"b{i:04d}.parquet")
+        staging = os.path.join(spool, f"_s{i}")
+        df = (
+            spark.createDataFrame(part, schema)
+            if schema is not None
+            else spark.createDataFrame(part)
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+        os.replace(os.path.join(staging, f), part_path)
+
+
+def _doc_stream(spark, spool: str):
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+
+
 def test_stream_flags_equal_batch_flags(spark, sf_dir, tmp_path, corpus):
     from pyspark.sql import functions as F
 
@@ -31,6 +56,7 @@ def test_stream_flags_equal_batch_flags(spark, sf_dir, tmp_path, corpus):
         _band_keys_col,
         minhash_signatures,
     )
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
     from streamlit_flink_demo_spark.sources.catalog import load_table
     from streamlit_flink_demo_spark.streaming.dedup_ingest import (
         attach_near_dup_stream,
@@ -42,38 +68,31 @@ def test_stream_flags_equal_batch_flags(spark, sf_dir, tmp_path, corpus):
         .select("doc_id", "text")
         .filter(u60(F.col("doc_id").cast("string")) % 100 >= 90)
     )
-    # spool the "new" slice as two parquet micro-batches
     spool = str(tmp_path / "spool")
-    os.makedirs(spool)
     pdf = new_docs.toPandas().sort_values("doc_id")
     half = len(pdf) // 2
-    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
-        part_path = os.path.join(spool, f"b{i:04d}.parquet")
-        staging = os.path.join(spool, f"_s{i}")
-        spark.createDataFrame(part).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
-        os.replace(os.path.join(staging, f), part_path)
+    _spool_batches(spark, spool, (pdf.iloc[:half], pdf.iloc[half:]))
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool)
-    )
-    got: dict[int, tuple] = {}
-
-    def on_flags(rows, batch_id):
-        for r in rows:
-            got[r["doc_id"]] = (r["dup_of"], r["est_jaccard"])
-
+    flags_path = str(tmp_path / "flags")
+    summaries: list[dict] = []
     q = attach_near_dup_stream(
-        stream, corpus, on_flags, checkpoint_dir=str(tmp_path / "ck")
+        _doc_stream(spark, spool),
+        corpus,
+        flags_path,
+        on_summary=summaries.append,
+        checkpoint_dir=str(tmp_path / "ck"),
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+
+    got = {
+        r["doc_id"]: (r["dup_of"], r["est_jaccard"])
+        for r in IdempotentParquetSink(flags_path)
+        .read_committed(spark)
+        .collect()
+    }
 
     # batch twin over the full new slice at once
     corpus_sigs = minhash_signatures(corpus)
@@ -90,8 +109,65 @@ def test_stream_flags_equal_batch_flags(spark, sf_dir, tmp_path, corpus):
     assert got == want
     assert len(got) == len(pdf)  # every new doc flagged exactly once
 
+    # bounded summaries: one per batch, counts add up to the corpus
+    assert sorted(s["batch_id"] for s in summaries) == [0, 1]
+    assert sum(s["n_docs"] for s in summaries) == len(pdf)
+    n_flagged = sum(1 for v in got.values() if v[0] is not None)
+    assert sum(s["n_flagged"] for s in summaries) == n_flagged
+
+
+def test_flags_exactly_once_across_restart(spark, tmp_path, corpus):
+    """Stop the stream, restart from the same checkpoint with one more
+    spool file: the committed batch replays through foreachBatch but
+    the sink rewrites nothing — total flag rows equal total documents,
+    no duplicates."""
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+    from streamlit_flink_demo_spark.streaming.dedup_ingest import (
+        attach_near_dup_stream,
+    )
+
+    spool = str(tmp_path / "spool")
+    ck = str(tmp_path / "ck")
+    flags_path = str(tmp_path / "flags")
+    rows0 = [(910001, "alpha beta gamma delta epsilon zeta"),
+             (910002, "eta theta iota kappa lambda mu")]
+    _spool_batches(spark, spool, [rows0], schema="doc_id long, text string")
+
+    q = attach_near_dup_stream(
+        _doc_stream(spark, spool), corpus, flags_path, checkpoint_dir=ck
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = IdempotentParquetSink(flags_path)
+    first_ids = set(sink.committed_ids())
+    assert first_ids
+
+    # second run: same checkpoint, one new file
+    staging = os.path.join(spool, "_s9")
+    spark.createDataFrame(
+        [(910003, "nu xi omicron pi rho sigma tau")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+    os.replace(os.path.join(staging, f), os.path.join(spool, "b9999.parquet"))
+
+    q2 = attach_near_dup_stream(
+        _doc_stream(spark, spool), corpus, flags_path, checkpoint_dir=ck
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    flags = sink.read_committed(spark).collect()
+    assert len(flags) == 3  # 2 + 1, no replay duplicates
+    assert {r["doc_id"] for r in flags} == {910001, 910002, 910003}
+
 
 def test_planted_near_dup_is_caught(spark, tmp_path, corpus):
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
     from streamlit_flink_demo_spark.streaming.dedup_ingest import (
         attach_near_dup_stream,
     )
@@ -106,30 +182,35 @@ def test_planted_near_dup_is_caught(spark, tmp_path, corpus):
                  + " ".join(f"tok{i}" for i in range(30))),
     ]
     spool = str(tmp_path / "spool")
-    os.makedirs(spool)
-    staging = os.path.join(spool, "_s0")
-    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(staging)
-    f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
-    os.replace(os.path.join(staging, f), os.path.join(spool, "b0.parquet"))
+    _spool_batches(spark, spool, [rows], schema="doc_id long, text string")
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool)
+    flags_path = str(tmp_path / "flags")
+    q = attach_near_dup_stream(
+        _doc_stream(spark, spool), corpus, flags_path
     )
-    got = {}
-
-    def on_flags(rows_, batch_id):
-        for r in rows_:
-            got[r["doc_id"]] = (r["dup_of"], r["est_jaccard"])
-
-    q = attach_near_dup_stream(stream, corpus, on_flags)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    got = {
+        r["doc_id"]: (r["dup_of"], r["est_jaccard"])
+        for r in IdempotentParquetSink(flags_path)
+        .read_committed(spark)
+        .collect()
+    }
     assert got[900001][0] == src["doc_id"]  # exact copy → its source
     assert got[900001][1] == 1.0
     assert got[900002] == (None, None)  # clean doc passes unflagged
+
+
+def test_hot_path_has_no_flag_collect():
+    """Source-level pin for the r9 rework: the ingest hot path must not
+    collect flag rows on the driver (the only driver-side read is the
+    one-row summary aggregate)."""
+    import inspect
+
+    from streamlit_flink_demo_spark.streaming import dedup_ingest
+
+    src = inspect.getsource(dedup_ingest.attach_near_dup_stream)
+    assert "flags.collect()" not in src
+    assert "IdempotentParquetSink" in inspect.getsource(dedup_ingest)

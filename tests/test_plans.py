@@ -557,3 +557,20 @@ def test_ivfpq_probe_prunes_partitions_zero_python(spark, sf_dir):
     assert "PartitionFilters" in p
     assert "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_suffix_spans_two_hash_exchanges_no_python(spark, sf_dir):
+    """dedup_suffix_spans (r9, the exact Lee-et-al complement): one
+    corpus-wide exchange on the GRAM TEXT (the exactness carrier), one
+    on doc_id for the islands window; both downstream aggregates reuse
+    the doc_id partitioning. No Python eval, no join, no global
+    sort."""
+    p = plan_str(fresh("dedup_suffix_spans")(spark, sf_dir))
+    import re
+
+    hashx = re.findall(r"hashpartitioning\((\w+)", p)
+    assert sorted(set(hashx)) == sorted({"gram", "doc_id"}), hashx
+    assert p.count("+- Exchange") == 3, p.count("+- Exchange")  # + spread
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "Exchange rangepartitioning" not in p

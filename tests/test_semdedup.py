@@ -96,3 +96,36 @@ def test_semdedup_keeps_most_central(spark, sf_dir, registry):
     assert (df.n_dropped < df.n_members).all()  # rank 1 always survives
     assert (df.n_dropped >= 0).all()
     assert df.n_dropped.sum() > 0  # the prune is actually exercised
+
+
+def test_kmeans_artifact_roundtrip_bit_exact(spark, sf_dir):
+    """The build-once kmeans artifact (r9) must return centroids
+    bit-identical to a fresh training run — JSON floats round-trip
+    exactly, and the oracle replay depends on it."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _kmeans_centroids_cached,
+        _kmeans_centroids_np,
+        build_kmeans_model,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    build_kmeans_model(spark, sf_dir, force=True)
+    cached = _kmeans_centroids_cached(spark, sf_dir)
+    fresh = _kmeans_centroids_np(load_table(spark, sf_dir, "embeddings"))
+    assert cached.shape == fresh.shape
+    assert (cached == fresh).all(), "artifact centroids diverge from fresh training"
+
+
+def test_kmeans_artifact_fresh_no_retrain(spark, sf_dir, tmp_path, monkeypatch):
+    """A fresh artifact short-circuits training entirely (the probe
+    path runs zero distributed training jobs)."""
+    from streamlit_flink_demo_spark.operators import similarity as sim
+
+    sim.build_kmeans_model(spark, sf_dir)  # ensure fresh
+
+    def boom(*a, **k):
+        raise AssertionError("training ran despite fresh artifact")
+
+    monkeypatch.setattr(sim, "_kmeans_centroids_np", boom)
+    cents = sim._kmeans_centroids_cached(spark, sf_dir)
+    assert cents.shape[0] == sim._KM_K

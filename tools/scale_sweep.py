@@ -58,6 +58,10 @@ OPS = (
     "embeddings_hard_negatives",
     "docs_source_overlap",
     "embeddings_label_margins",
+    # round 9
+    "dedup_suffix_spans",
+    "docs_embed",
+    "docs_embed_semdedup",
 )
 
 
