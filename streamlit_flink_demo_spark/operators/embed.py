@@ -281,22 +281,48 @@ def docs_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("bucket").orderBy(F.col("n_tokens").desc(), "doc_id")
     ranked = track_persist(base.withColumn("rk", F.row_number().over(w)))
 
-    a = ranked.alias("a")
-    b = ranked.alias("b")
+    # Rank-BLOCK banding for the W-neighbor pairing: a plain
+    # equi-join on bucket with a post-join rank-range filter buffers
+    # the WHOLE equal-key group in the sort-merge join — on a skewed
+    # sign-bucket (this synthetic corpus concentrates most docs into a
+    # few buckets) that is an n²-per-bucket scan (measured 58× at 10×
+    # data). Instead: block = floor((rk-1)/W); a pair with
+    # b.rk in (a.rk, a.rk+W] always has b.blk in {a.blk, a.blk+1}, so
+    # the a-side explodes into its two probe blocks and the join key
+    # becomes (bucket, blk) — every join group is <= W rows and total
+    # pair work is O(n·W) regardless of bucket skew. Semantics are
+    # identical (the rank-range filter still applies); the oracle
+    # keeps the direct range-join formulation.
+    blk = F.floor((F.col("rk") - 1) / _EMB_W).cast("bigint")
+    a = (
+        ranked.withColumn(
+            "probe_blk", F.explode(F.array(blk, blk + 1))
+        )
+        .select(
+            F.col("bucket").alias("a_bucket"),
+            F.col("doc_id").alias("a_id"),
+            F.col("rk").alias("a_rk"),
+            F.col("embedding").alias("a_emb"),
+            "probe_blk",
+        )
+    )
+    b = ranked.select(
+        "bucket",
+        F.col("doc_id").alias("b_id"),
+        F.col("rk").alias("b_rk"),
+        F.col("embedding").alias("b_emb"),
+        blk.alias("blk"),
+    )
     drops = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("b.rk") > F.col("a.rk"))
-            & (F.col("b.rk") <= F.col("a.rk") + _EMB_W),
+            (F.col("a_bucket") == F.col("bucket"))
+            & (F.col("probe_blk") == F.col("blk"))
+            & (F.col("b_rk") > F.col("a_rk"))
+            & (F.col("b_rk") <= F.col("a_rk") + _EMB_W),
         )
-        .filter(
-            dot(F.col("a.embedding"), F.col("b.embedding")) >= _EMB_TAU
-        )
-        .groupBy(
-            F.col("a.bucket").alias("bucket"),
-            F.col("b.doc_id").alias("b_id"),
-        )
+        .filter(dot(F.col("a_emb"), F.col("b_emb")) >= _EMB_TAU)
+        .groupBy(F.col("bucket"), F.col("b_id"))
         .agg(F.lit(1))
     )
     mem = ranked.groupBy("bucket").agg(
