@@ -122,9 +122,19 @@ def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.transform(F.col("v"), lambda x: x.cast("double") / F.col("l2_norm"))
     )
-    return p3.select(
+    out = p3.select(
         "doc_id", "n_tokens", "v", "l2_norm", emb.alias("embedding")
     )
+    # Persist the encode: the md5-per-token projection is the dominant
+    # cost, and every consumer of the family (the embed surface, the
+    # semdedup prune's two join sides, the search query's query+corpus
+    # sides) rebuilds an identical plan — Spark's CacheManager matches
+    # canonicalized plans, so ONE persisted encode serves them all
+    # (measured: the 3-branch embed_pipeline_suite re-encoded 3x,
+    # 4.9 s at sf0.1; shared-cache halves it). At 100 TB the same role
+    # is played by materializing the encode as a parquet artifact (the
+    # build_* pattern); in-session persist is the query-scoped form.
+    return track_persist(out)
 
 
 def _embed_ctes() -> list[str]:
@@ -345,6 +355,75 @@ def docs_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_doc_id") - F.coalesce(F.col("dropped_sum"), F.lit(0)))
         .cast("bigint")
         .alias("kept_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composed pipeline: text -> embed -> top-k similar-document search
+# --------------------------------------------------------------------------
+
+_SRCH_N_QUERIES = 5
+_SRCH_TOPK = 5
+
+
+def _search_oracle_sql() -> str:
+    steps = _embed_ctes()
+    cos = dot_sql("q.q_emb", "e.embedding", _EMB_DIM)
+    steps.append(
+        f"""eq AS (
+  SELECT doc_id AS q_id, embedding AS q_emb FROM eemb
+  WHERE doc_id < {_SRCH_N_QUERIES}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT q_id, doc_id, cos_sim, rk FROM (
+  SELECT q.q_id, e.doc_id, {cos} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY {cos} DESC, e.doc_id) AS rk
+  FROM eq q JOIN eemb e ON e.doc_id <> q.q_id
+) WHERE rk <= {_SRCH_TOPK}
+"""
+    )
+
+
+@register(
+    "docs_embed_search",
+    oracle=_search_oracle_sql(),
+    tags=("embed", "similarity", "pipeline"),
+    expose=False,
+)
+def docs_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end similar-document search from RAW TEXT: encode both
+    sides with docs_embed's hash projection, broadcast the (tiny)
+    query set, exact-cosine rank the corpus per query (vectors are
+    unit-normalized, so the dot IS the cosine; zero-norm docs score
+    0), keep top-k. The ann_cosine_topk shape over derived embeddings
+    — the correctness baseline a production deployment would LSH/IVF
+    above (those scale tiers already exist over the embeddings table;
+    this query proves the text->embed->search composition end-to-end).
+    One corpus encode pass + a broadcast join + one rank shuffle."""
+    from pyspark.sql import Window as W
+
+    emb = _embed_frame(spark, sf_dir).select("doc_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("doc_id") < _SRCH_N_QUERIES).select(
+            F.col("doc_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    scored = q.join(emb, F.col("doc_id") != F.col("q_id")).select(
+        "q_id",
+        "doc_id",
+        dot(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SRCH_TOPK)
+        .select("q_id", "doc_id", "cos_sim", "rk")
     )
 
 

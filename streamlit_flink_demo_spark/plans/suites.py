@@ -1498,6 +1498,11 @@ SELECT 'semdedup', CAST(bucket AS BIGINT), CAST(n_docs AS BIGINT),
        CAST(n_dropped AS BIGINT), CAST(dropped_checksum AS BIGINT),
        CAST(kept_checksum AS BIGINT), {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_embed_semdedup")})
+UNION ALL
+SELECT 'search', CAST(q_id AS BIGINT), CAST(doc_id AS BIGINT),
+       CAST(rk AS BIGINT), {_NULL_B}, {_NULL_B},
+       CAST(cos_sim AS DOUBLE), {_NULL_D}
+FROM ({_o("docs_embed_search")})
 """,
     tags=("embed", "pipeline", "suite"),
 )
@@ -1509,7 +1514,9 @@ def embed_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector into (l2_norm, position-weighted component sum) — both
     sequential double folds, replayed exactly in SQL — so the driver
     hash covers every embedding value without shipping arrays through
-    the suite's scalar schema."""
+    the suite's scalar schema. The 'search' branch (docs_embed_search)
+    completes the family: text -> embed -> exact-cosine top-k similar
+    documents."""
     wsum = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -1539,4 +1546,14 @@ def embed_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v1"),
         _nd().alias("v2"),
     )
-    return _u(em, sd)
+    sr = _fn("docs_embed_search")(spark, sf_dir).select(
+        F.lit("search").alias("family"),
+        F.col("q_id").cast("bigint").alias("doc_id"),
+        F.col("doc_id").cast("bigint").alias("i1"),
+        F.col("rk").cast("bigint").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        F.col("cos_sim").cast("double").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return _u(em, sd, sr)

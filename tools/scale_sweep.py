@@ -62,6 +62,7 @@ OPS = (
     "dedup_suffix_spans",
     "docs_embed",
     "docs_embed_semdedup",
+    "docs_embed_search",
 )
 
 
