@@ -1,0 +1,219 @@
+"""Distributed suffix-array construction (prefix doubling).
+
+The real machinery behind exact substring dedup at corpus scale
+("Deduplicating Training Data Makes Language Models Better", Lee et
+al. 2022 build a suffix array over the whole training corpus):
+``corpus_suffix_array`` ranks EVERY character position of every
+document in global lexicographic suffix order, using the
+Manber-Myers prefix-doubling scheme a distributed engine can actually
+run — O(log maxlen) rounds of (sort → global index → key-group rank →
+shift join), each round a fixed set of exchanges over (doc_id, pos,
+rank) triples, never materializing any suffix longer than the initial
+seed key.
+
+This complements the two span operators in operators/dedup.py:
+``dedup_substring_spans`` (hashed screen) and ``dedup_suffix_spans``
+(exact L-gram grouping) answer "which regions are duplicated";
+the suffix array is the index structure that answers the harder
+questions (longest repeated substring, arbitrary-length match lookup,
+cross-corpus containment) — and its construction is the showcase of a
+genuinely iterative distributed algorithm expressed Spark-first.
+
+Algorithm (per document; cross-document order = plain string order of
+the suffixes, ties broken by (doc_id, pos) — documents are separate
+strings, no concatenation, so no artificial separators are needed):
+
+1. seed: rank⁰(p) = group-rank of the first _SA_SEED chars of the
+   suffix at p (one global sort of 8-char keys).
+2. round k: key(p) = (rankᵏ(p), rankᵏ(p + 2ᵏ·seed) or -1); a suffix
+   past its document's end contributes -1 (a proper prefix sorts
+   before every extension — exactly string order). Re-rank by one
+   global sort of the integer pair.
+3. stop when the offset exceeds the corpus's longest document; final
+   sa_rank = global index in (rank, doc_id, pos) order.
+
+Global ranking (the distributed-sort primitive, used once per round):
+repartitionByRange + per-partition row_number + partition-count
+offsets. The only driver state is one count per partition (bounded by
+the shuffle-partition setting, never by data) and the corpus max
+length (one row) — the same bounded-collect discipline as the ANN
+trainers. Equal keys may straddle a range boundary; group rank =
+MIN(global index) over the key group (one hash exchange), which is
+boundary-placement-independent, so the result is deterministic even
+though range sampling is not.
+
+Cost model: ~log₂(maxlen/seed)+1 rounds; each round exchanges
+(doc_id, pos, 2 ranks) ≈ 28 B/char — the distributed analogue of the
+external-memory SA sorts, and the reason Lee et al. shard their
+corpus. The verification story is the point: the scalable iterative
+algorithm is checked bit-for-bit against a brute-force oracle that
+simply sorts the materialized suffix strings (DuckDB can afford that
+at test SF; Spark never builds them at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_spread
+
+_SA_SEED = 8  # initial key: first 8 chars of each suffix
+_SA_MOD = 1_000_000_007  # per-term checksum modulus (no BIGINT overflow)
+
+
+def _global_group_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Add ``rank`` = number of rows strictly smaller in ``key_cols``
+    order (dense group-start rank): range-sort globally, index rows as
+    (partition offset + within-partition row_number), then take the
+    key group's MIN index. The per-partition count collect is bounded
+    by the partition count; correctness does not depend on where the
+    range sampler places boundaries (see module docstring)."""
+    from pyspark.sql import Window as W
+
+    rp = df.repartitionByRange(*key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # persist BEFORE the count collect: the range sampler is not
+    # deterministic across evaluations, so the counts job and the
+    # window job must read the SAME materialized partitioning —
+    # unpersisted, each would re-sample its own boundaries and the
+    # partition offsets would index a partitioning that no longer
+    # exists (measured: silently wrong ranks).
+    rp.persist()
+    try:
+        cnts = {
+            r["_pid"]: r["n"]
+            for r in rp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        offs: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(cnts):
+            offs[pid] = acc
+            acc += cnts[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offs.items() for x in kv]
+        )
+        widx = W.partitionBy("_pid").orderBy(*key_cols)
+        idx = (
+            F.row_number().over(widx).cast("bigint")
+            - 1
+            + F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("bigint")
+        )
+        indexed = rp.withColumn("_idx", idx)
+        wkey = W.partitionBy(*key_cols)
+        out = (
+            indexed.withColumn("rank", F.min("_idx").over(wkey))
+            .drop("_pid", "_idx")
+        )
+        # materialize + truncate lineage (the pagerank discipline,
+        # operators/dedup.py): each prefix-doubling round otherwise
+        # re-executes every earlier round's sorts, turning O(log n)
+        # rounds into O(log² n) work — and the caller's loop feeds
+        # this result straight into the next round's joins.
+        return out.localCheckpoint(eager=True)
+    finally:
+        rp.unpersist()
+
+
+def suffix_ranks(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_id, p, sa_rank) for every char position of every doc:
+    sa_rank is the 0-based global index in (suffix string, doc_id, p)
+    order. Prefix doubling as described in the module docstring."""
+    d = docs.select("doc_id", "text").filter(F.length("text") > 0)
+    max_len = d.agg(F.max(F.length("text"))).first()[0] or 0
+
+    pos = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        F.col("text").substr(F.col("p") + 1, F.lit(_SA_SEED)).alias("k0"),
+    )
+    cur = _global_group_rank(pos, ["k0"]).select("doc_id", "p", "rank")
+
+    off = _SA_SEED
+    while off < max_len:
+        a = cur.alias("a")
+        b = cur.select(
+            F.col("doc_id").alias("b_doc"),
+            (F.col("p") - off).alias("b_p"),
+            F.col("rank").alias("r2"),
+        )
+        paired = a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b_doc"))
+            & (F.col("a.p") == F.col("b_p")),
+            "left",
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.p").alias("p"),
+            F.col("a.rank").alias("r1"),
+            F.coalesce(F.col("r2"), F.lit(-1)).cast("bigint").alias("r2"),
+        )
+        cur = _global_group_rank(paired, ["r1", "r2"]).select(
+            "doc_id", "p", "rank"
+        )
+        off *= 2
+
+    # final total order: identical suffixes (duplicate documents /
+    # repeated tails) share a rank — break by (doc_id, p), index once
+    from pyspark.sql import Window as W  # noqa: F401  (doc link)
+
+    final = _global_group_rank(
+        cur.select("doc_id", "p", F.col("rank").alias("r1"))
+        .withColumn("r2", F.col("doc_id"))
+        .withColumn("r3", F.col("p")),
+        ["r1", "r2", "r3"],
+    )
+    # with the full tie-break the key is unique, so rank == row index
+    return final.select("doc_id", "p", F.col("rank").alias("sa_rank"))
+
+
+_SA_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (ORDER BY sfx, doc_id, p) - 1 AS sa_rank
+  FROM pos
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_suffixes,
+       CAST(MIN(sa_rank) AS BIGINT) AS min_rank,
+       SUM((sa_rank * (p + 1)) % {_SA_MOD})::BIGINT AS rank_checksum
+FROM sa GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_suffix_array",
+    oracle=_SA_ORACLE,
+    tags=("dedup", "suffix", "index"),
+    expose=False,
+)
+def corpus_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global corpus suffix array via distributed prefix doubling,
+    summarized per document (suffix count, minimum global rank, and a
+    position-weighted rank checksum that pins EVERY suffix's exact
+    global rank). The oracle is the brute-force definition — sort the
+    materialized suffix strings — so a green row proves the iterative
+    distributed construction reproduces true lexicographic suffix
+    order bit-for-bit."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = suffix_ranks(docs, spark)
+    return sa.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_suffixes"),
+        F.min("sa_rank").cast("bigint").alias("min_rank"),
+        F.sum((F.col("sa_rank") * (F.col("p") + 1)) % _SA_MOD)
+        .cast("bigint")
+        .alias("rank_checksum"),
+    )

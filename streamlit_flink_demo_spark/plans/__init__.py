@@ -160,6 +160,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         sampling,
         similarity,
         skew,
+        suffix,
         text,
     )
 

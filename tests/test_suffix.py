@@ -1,0 +1,72 @@
+"""Distributed prefix-doubling suffix array (operators/suffix.py).
+
+Full-corpus parity vs the brute-force sort-the-suffixes oracle is in
+tests/test_oracle_parity.py (corpus_suffix_array); these tests pin the
+construction on adversarial shapes parity's synthetic corpus may not
+hit: duplicate documents (tied suffixes at every position), documents
+shorter than the seed key, single-char docs, and the permutation
+property of the final ranks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.operators.suffix import (
+    _SA_SEED,
+    suffix_ranks,
+)
+
+
+def _brute(rows: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
+    sfx = [
+        (text[p:], doc_id, p)
+        for doc_id, text in rows
+        for p in range(len(text))
+    ]
+    sfx.sort()
+    return {(d, p): i for i, (_, d, p) in enumerate(sfx)}
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        # duplicate docs: every suffix tied across doc ids
+        [(1, "abcabc"), (2, "abcabc"), (3, "abcab")],
+        # shorter than the seed key + single char + shared prefixes
+        [(1, "a"), (2, "ab"), (3, "abc"), (4, "b"), (5, "aab")],
+        # periodic text (classic suffix-array stress: long tied runs)
+        [(7, "aaaaaaaaaaaaaaaaaaaa"), (8, "aaaaaaaaab")],
+        # mixed lengths around the seed boundary
+        [(1, "xyzw"), (2, "xyzwxyzwxyzw"), (3, "xyzwxyzv")],
+    ],
+)
+def test_suffix_ranks_match_brute_force(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.p): r.sa_rank
+        for r in suffix_ranks(docs, spark).collect()
+    }
+    assert got == _brute(rows)
+
+
+def test_suffix_ranks_are_a_permutation(spark, sf_dir):
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    sa = suffix_ranks(docs, spark)
+    n = docs.select(F.sum(F.length("text"))).first()[0]
+    stats = sa.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("sa_rank").alias("nd"),
+        F.min("sa_rank").alias("lo"),
+        F.max("sa_rank").alias("hi"),
+    ).first()
+    assert stats["n"] == n
+    assert stats["nd"] == n  # total order: every suffix its own rank
+    assert stats["lo"] == 0 and stats["hi"] == n - 1
+
+
+def test_seed_constant_sane():
+    assert _SA_SEED >= 2  # doubling must start past single chars

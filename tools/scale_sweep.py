@@ -63,6 +63,7 @@ OPS = (
     "docs_embed",
     "docs_embed_semdedup",
     "docs_embed_search",
+    "corpus_suffix_array",
 )
 
 
