@@ -217,3 +217,134 @@ def corpus_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Longest repeated substring per document — the suffix array's payoff
+# --------------------------------------------------------------------------
+# The query Lee et al. 2022 build the suffix array FOR: for every
+# position, the longest substring starting there that also occurs
+# elsewhere in the corpus equals the LCP with one of its ADJACENT
+# suffixes in suffix order (the classic SA property: lexicographic
+# neighbors maximize common prefixes). So: pair rank r with r+1, LCP
+# each pair, credit both endpoints, max per document. LCP is CAPPED at
+# _LCP_CAP chars — the production choice (the dedup policy only needs
+# "is the repeat >= threshold", and the cap bounds the adjacent-pair
+# exchange at cap+16 bytes per suffix instead of shipping whole
+# suffixes); the oracle applies the same cap, so the comparison stays
+# exact.
+
+_LCP_CAP = 64
+
+
+def _lcp_expr(a, b):  # Column, Column: capped suffix strings
+    """First-mismatch LCP of two capped suffixes, via one char-array
+    zip (eqNullSafe handles the shorter suffix's null padding: a
+    proper prefix mismatches at its end, so lcp = its length). Both
+    engines share the convention position=0 => no mismatch => lcp =
+    min(len) (identical truncated suffixes)."""
+    neq = F.zip_with(
+        F.split(a, ""), F.split(b, ""), lambda x, y: ~x.eqNullSafe(y)
+    )
+    pos = F.array_position(neq, F.lit(True))
+    return F.when(
+        pos == 0, F.least(F.length(a), F.length(b))
+    ).otherwise(pos - 1).cast("bigint")
+
+
+_LR_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
+         ROW_NUMBER() OVER (ORDER BY sfx, doc_id, p) - 1 AS r
+  FROM pos
+),
+adj AS (
+  SELECT a.doc_id AS a_doc, a.p AS a_p, a.s64 AS a_s,
+         b.doc_id AS b_doc, b.p AS b_p, b.s64 AS b_s
+  FROM sa a JOIN sa b ON b.r = a.r + 1
+),
+pairs AS (
+  SELECT a_doc, a_p, b_doc, b_p,
+         (CASE WHEN mp = 0 THEN least(length(a_s), length(b_s))
+               ELSE mp - 1 END)::BIGINT AS lcp
+  FROM (
+    SELECT *, list_position(
+      [ (CASE WHEN d < length(a_s) THEN a_s[d+1] END)
+          IS DISTINCT FROM
+        (CASE WHEN d < length(b_s) THEN b_s[d+1] END)
+        for d in range({_LCP_CAP}) ], true) AS mp
+    FROM adj
+  )
+),
+credited AS (
+  SELECT a_doc AS doc_id, a_p AS p, lcp FROM pairs
+  UNION ALL
+  SELECT b_doc, b_p, lcp FROM pairs
+)
+SELECT doc_id,
+       CAST(MAX(lcp) AS BIGINT) AS max_repeat,
+       CAST(SUM(CASE WHEN lcp >= 24 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_positions
+FROM credited GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_longest_repeat",
+    oracle=_LR_ORACLE,
+    tags=("dedup", "suffix", "index"),
+    expose=False,
+)
+def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated substring per document (capped at _LCP_CAP
+    chars) + count of positions whose repeat reaches 24 chars — the
+    statistic Lee-et-al-style span removal thresholds on, computed
+    from the distributed suffix array: adjacent ranks joined (one
+    exchange on rank), capped suffix text attached from the documents
+    scan, LCP via one char-array zip, both endpoints credited, max
+    per doc. The brute-force oracle replays the whole chain, so every
+    LCP value is hash-checked."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = suffix_ranks(docs, spark)
+    with_txt = sa.join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "p",
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    a = with_txt.alias("a")
+    b = with_txt.select(
+        (F.col("sa_rank") - 1).alias("prev_rank"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("p").alias("b_p"),
+        F.col("s64").alias("b_s64"),
+    )
+    pairs = a.join(b, F.col("a.sa_rank") == F.col("prev_rank")).select(
+        F.col("a.doc_id").alias("a_doc"),
+        F.col("a.p").alias("a_p"),
+        "b_doc",
+        "b_p",
+        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+    )
+    credited = pairs.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
+    ).unionAll(
+        pairs.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
+        )
+    )
+    return credited.groupBy("doc_id").agg(
+        F.max("lcp").cast("bigint").alias("max_repeat"),
+        F.sum(F.when(F.col("lcp") >= 24, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_long_positions"),
+    )

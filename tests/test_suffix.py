@@ -70,3 +70,35 @@ def test_suffix_ranks_are_a_permutation(spark, sf_dir):
 
 def test_seed_constant_sane():
     assert _SA_SEED >= 2  # doubling must start past single chars
+
+
+def test_longest_repeat_on_planted_duplicates(spark, tmp_path):
+    """Duplicate documents: every position's suffix recurs verbatim,
+    so max_repeat = min(doc_len, cap); a unique-text doc's repeats
+    stay short."""
+    import os
+
+    from streamlit_flink_demo_spark.operators.suffix import _LCP_CAP
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "zq xv jk wp mn bf unique gibberish entirely elsewhere absent"),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: (r.max_repeat, r.n_long_positions)
+        for r in REGISTRY["corpus_longest_repeat"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    }
+    cap = min(len(rows[0][1]), _LCP_CAP)
+    assert out[1][0] == cap and out[2][0] == cap
+    assert out[1][1] > 0  # long duplicated positions detected
+    assert out[3][0] < 24  # unique doc: no long repeat
+    assert out[3][1] == 0
