@@ -1587,3 +1587,185 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("span_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter dedup — the cross-snapshot screen at 100 TB
+# --------------------------------------------------------------------------
+# The structure web-scale pipelines (RedPajama-class) actually use to
+# drop re-crawled content at the door: build a Bloom filter over the
+# stable corpus's content digests ONCE, then probe each new batch
+# against it — O(corpus bits) state instead of an O(corpus) join side,
+# and the filter ships as a broadcast table. The deterministic
+# construction (md5-derived hash positions, functions/hashing.u60) and
+# integer bit arithmetic make build AND probe SQL-replayable exactly,
+# false positives included — the oracle reproduces the identical
+# filter, so the FP accounting is value-checked, not approximated.
+#
+# Words are 63 BITS wide, not 64: both engines' BIGINT is signed and
+# DuckDB raises on a left shift into the sign bit (1::BIGINT << 63),
+# so masks stay in bits 0..62 and every word value is non-negative in
+# both engines.
+#
+# Scale shape: build = one narrow pass over the corpus digests +
+# ONE bit_or aggregation into <= _BLOOM_WORDS rows (map-side partial
+# OR makes the exchange k rows per partition); probe = explode k
+# positions per new doc + a broadcast join against the word table —
+# per-batch cost scales with the batch, the dedup_incremental
+# argument, but with O(1)-row lookups instead of signature
+# comparisons. Sizing: m = 64512 bits for the test corpus; production
+# scales _BLOOM_WORDS with corpus cardinality (bits ≈ 10 x n for ~1%
+# FP) — a constant, not a shape change.
+
+_BLOOM_WORDS = 1024
+_BLOOM_BITS_PER_WORD = 63
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD
+_BLOOM_K = 3
+
+
+def _bloom_positions_sql(expr: str) -> list[str]:
+    out = []
+    for j in range(_BLOOM_K):
+        salted = f"'bloom{j}:' || {expr}"
+        out.append(f"({u60_sql(salted)} % {_BLOOM_M})")
+    return out
+
+
+_BLOOM_ORACLE = f"""
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents
+  WHERE {u60_sql("doc_id::VARCHAR")} % 100 < 90
+),
+newbies AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE {u60_sql("doc_id::VARCHAR")} % 100 >= 90
+),
+cpos AS (
+  {" UNION ALL ".join(f"SELECT {p} AS pos FROM corpus" for p in _bloom_positions_sql("h"))}
+),
+bloom AS (
+  SELECT pos // {_BLOOM_BITS_PER_WORD} AS word_idx,
+         bit_or(1::BIGINT << (pos % {_BLOOM_BITS_PER_WORD})) AS word
+  FROM cpos GROUP BY 1
+),
+npos AS (
+  {" UNION ALL ".join(f"SELECT doc_id, h, {p} AS pos FROM newbies" for p in _bloom_positions_sql("h"))}
+),
+probed AS (
+  SELECT n.doc_id, n.h,
+         CASE WHEN b.word IS NOT NULL
+               AND (b.word & (1::BIGINT << (n.pos % {_BLOOM_BITS_PER_WORD}))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM npos n
+  LEFT JOIN bloom b ON b.word_idx = n.pos // {_BLOOM_BITS_PER_WORD}
+),
+flags AS (
+  SELECT doc_id, h,
+         CASE WHEN SUM(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit
+  FROM probed GROUP BY doc_id, h
+)
+SELECT f.doc_id,
+       CAST(f.bloom_hit AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_dup,
+       CAST(CASE WHEN f.bloom_hit = 1 AND c.h IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS false_positive
+FROM flags f LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON f.h = c.h
+"""
+
+
+@register(
+    "docs_bloom_dedup",
+    oracle=_BLOOM_ORACLE,
+    tags=("dedup", "bloom", "incremental"),
+    expose=False,
+)
+def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-snapshot dedup: the stable 90% corpus slice
+    (dedup_incremental's hash split) builds a deterministic
+    {_BLOOM_K}-hash Bloom filter over content digests; the new 10%
+    slice probes it. Output per new doc: bloom verdict, exact-join
+    ground truth, and the false-positive flag — all value-checked
+    against the oracle's replay of the identical filter. The synthetic
+    corpus has no cross-slice duplicates and a near-empty filter, so
+    the hit/FP branches are additionally exercised on planted corpora
+    with a shrunk filter in tests/test_bloom.py."""
+    d = load_spread(spark, sf_dir, "documents")
+    return bloom_dedup_frame(d)
+
+
+def bloom_dedup_frame(d: DataFrame, n_words: int = _BLOOM_WORDS) -> DataFrame:
+    """The bloom build+probe pipeline over any (doc_id, text) frame;
+    ``n_words`` sizes the filter (tests shrink it to force saturation
+    and observable false positives)."""
+    m_bits = n_words * _BLOOM_BITS_PER_WORD
+    split = u60(F.col("doc_id").cast("string")) % 100
+    corpus = d.filter(split < 90).select(F.md5("text").alias("h"))
+    newbies = d.filter(split >= 90).select("doc_id", F.md5("text").alias("h"))
+
+    def positions(df: DataFrame, extra: list[str]) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    u60(F.concat(F.lit(f"bloom{j}:"), F.col("h")))
+                    % m_bits
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+        return df.select(*extra, "h", pos)
+
+    # the SHIFT is a column, which the Python shiftleft wrapper
+    # rejects (literal-only) — the SQL function form accepts any
+    # expression for both operands
+    mask = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(pos % {_BLOOM_BITS_PER_WORD} as int))"
+    )
+    bloom = (
+        positions(corpus, [])
+        .select(
+            F.floor(F.col("pos") / _BLOOM_BITS_PER_WORD)
+            .cast("bigint")
+            .alias("word_idx"),
+            mask.alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probed = (
+        positions(newbies, ["doc_id"])
+        .withColumn(
+            "word_idx",
+            F.floor(F.col("pos") / _BLOOM_BITS_PER_WORD).cast("bigint"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            "h",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(mask) != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    flags = probed.groupBy("doc_id", "h").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
+    )
+    exact = corpus.distinct().withColumn("in_corpus", F.lit(1))
+    return flags.join(F.broadcast(exact), "h", "left").select(
+        "doc_id",
+        F.col("bloom_hit").cast("bigint").alias("bloom_hit"),
+        F.coalesce(F.col("in_corpus"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_dup"),
+        F.when(
+            (F.col("bloom_hit") == 1) & F.col("in_corpus").isNull(), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("false_positive"),
+    )
