@@ -64,6 +64,7 @@ OPS = (
     "docs_embed_semdedup",
     "docs_embed_search",
     "corpus_suffix_array",
+    "docs_bloom_dedup",
 )
 
 
