@@ -102,6 +102,7 @@ def main() -> int:
     # probe queries then hit the artifact like every later query
     # would.
     artifacts: dict[str, float] = {}
+    from streamlit_flink_demo_spark.operators import embed as _emb
     from streamlit_flink_demo_spark.operators import similarity as _sim
 
     for label, builder, users in (
@@ -126,6 +127,13 @@ def main() -> int:
             "ivfpq_index_build_sec",
             _sim.build_ivfpq_index,
             ("ann_ivfpq_topk",),
+        ),
+        # the corpus encode the embed family shares via persist —
+        # its suite numbers are probe work, this is the encode itself
+        (
+            "embed_encode_sec",
+            _emb.build_embed_encode,
+            ("embed_pipeline_suite",),
         ),
     ):
         if only is None or any(u in only for u in users):

@@ -491,3 +491,20 @@ def encode_documents(
                 )
 
     return df.select("doc_id", "text").mapInPandas(run, ENCODE_SCHEMA)
+
+
+def build_embed_encode(spark: SparkSession, sf_dir: str, force: bool = False):
+    """Materialize the corpus encode for the bench's artifacts ledger:
+    the registered embed queries share ONE persisted encode (see
+    _embed_frame), so their timed windows measure probe work — this
+    entry measures the encode itself, the same disclosure the
+    lsh/ivf/kmeans builders get. ``force`` drops the prepared-plan and
+    block caches first so the timed pass is the real md5-per-token
+    projection, not a cache read."""
+    from streamlit_flink_demo_spark.plans import clear_plan_cache
+
+    if force:
+        clear_plan_cache()
+        spark.catalog.clearCache()
+    _embed_frame(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return ""
