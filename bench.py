@@ -34,6 +34,48 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _external_busy(sample_sec: float = 0.2) -> float:
+    """Fraction of total CPU busy over a short window, sampled while
+    THIS process is idle — i.e. external interference happening NOW.
+    Load average can't distinguish a noisy neighbor from our own
+    just-finished burst (it decays over minutes); /proc/stat deltas
+    can. Returns 0.0 where /proc/stat is unavailable."""
+    def snap():
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+    try:
+        i0, t0 = snap()
+        time.sleep(sample_sec)
+        i1, t1 = snap()
+    except OSError:
+        return 0.0
+    dt = t1 - t0
+    return 0.0 if dt <= 0 else max(0.0, round(1.0 - (i1 - i0) / dt, 3))
+
+
+def _await_quiet(max_busy: float | None = None, timeout: float = 20.0) -> float:
+    """Gate a timed region on box quiet (VERDICT r9 item 8): poll
+    external CPU busy until it drops below ``max_busy`` (default
+    $BENCH_MAX_BUSY or 0.15 = ~5 of 32 cores) or ``timeout`` expires.
+    Returns the busy fraction the region actually starts at, so every
+    accepted measurement carries its interference level in
+    BENCH_DETAIL — a driver-vs-builder ratio gap becomes attributable
+    instead of guessed."""
+    if max_busy is None:
+        try:
+            max_busy = float(os.environ.get("BENCH_MAX_BUSY", "0.15"))
+        except ValueError:
+            max_busy = 0.15
+    deadline = time.monotonic() + timeout
+    busy = _external_busy()
+    while busy > max_busy and time.monotonic() < deadline:
+        time.sleep(0.5)
+        busy = _external_busy()
+    return busy
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = {
@@ -84,8 +126,10 @@ def main() -> int:
     if os.environ.get("BENCH_STREAMING", "1") == "1" and only is None:
         for rep in range(max(1, _env_int("BENCH_STREAMING_REPS", 3))):
             try:
+                busy = _await_quiet()
                 load1, load5, _ = os.getloadavg()
                 s = _streaming_latency(spark)
+                s["ext_busy"] = busy
                 s["load_avg_1m"] = round(load1, 2)
                 s["load_avg_5m"] = round(load5, 2)
                 streaming_reps.append(s)
@@ -94,6 +138,19 @@ def main() -> int:
         if streaming_reps:
             streaming = min(streaming_reps, key=lambda s: s["median_ms"])
             streaming["n_reps"] = len(streaming_reps)
+            # Both central tendencies travel in the summary (ADVICE
+            # r9): best-of-reps adjudicates the <=500 ms envelope (the
+            # engine's achievable latency on this box); the median of
+            # the per-rep medians is the cross-round comparable number
+            # (rounds <=8 recorded single-shot medians).
+            meds = sorted(s["median_ms"] for s in streaming_reps)
+            n = len(meds)
+            mid = (
+                meds[n // 2]
+                if n % 2
+                else (meds[n // 2 - 1] + meds[n // 2]) / 2.0
+            )
+            streaming["median_of_medians_ms"] = round(mid, 1)
 
     # Offline index artifacts (AFTER the streaming envelope, see
     # above): a production ANN deployment builds its signature index
@@ -158,6 +215,7 @@ def main() -> int:
             print("BENCH: no BENCH_QUERIES matched the registry", file=sys.stderr)
             return 2
     timings: dict[str, float] = {}
+    query_busy: dict[str, float] = {}
     for name in sorted(reg):
         if only is not None and name not in only:
             continue
@@ -176,6 +234,12 @@ def main() -> int:
             # gc() drains that debt before the timed window opens.
             fn(spark, sf_dir)
             spark.sparkContext._jvm.System.gc()
+            # quiet-gate the timed window (VERDICT r9 item 8): wait
+            # out external CPU interference before the reps open, and
+            # record the level each query's timing actually started
+            # at — so a noisy driver-box run is attributable per-query
+            # in BENCH_DETAIL instead of a 1.07x-vs-1.41x mystery.
+            query_busy[name] = _await_quiet(timeout=15.0)
             # best-of-N: first run pays whole-stage-codegen compilation
             # and page-cache warmup; the best run is the steady-state
             # number a long-lived engine delivers.
@@ -239,6 +303,7 @@ def main() -> int:
         detail = dict(out)
         detail["metric"] = "bench_detail"
         detail["streaming_reps"] = streaming_reps
+        detail["query_ext_busy"] = query_busy
         detail["repeat"] = repeat
         detail["cpus"] = _env_int("SPARK_GRAFT_CPUS", 32)
         detail["load_avg_end_1m"] = round(os.getloadavg()[0], 2)
@@ -274,6 +339,9 @@ def main() -> int:
     if streaming:
         # best-of-reps (see streaming_reps in BENCH_DETAIL for all)
         summary["streaming_median_ms"] = streaming.get("median_ms")
+        summary["streaming_median_of_medians_ms"] = streaming.get(
+            "median_of_medians_ms"
+        )
         summary["streaming_n_reps"] = streaming.get("n_reps")
         summary["streaming_max_ms"] = streaming.get("max_ms")
         summary["throughput_events_per_sec"] = streaming.get(
@@ -330,6 +398,7 @@ def _duckdb_oracle_timings(reg, sf_dir: str, only, repeat: int) -> dict:
             continue
         best = None
         try:
+            _await_quiet(timeout=10.0)
             for _ in range(repeat):
                 t0 = time.perf_counter()
                 con.execute(oracle).fetchall()

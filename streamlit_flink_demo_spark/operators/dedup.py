@@ -1681,15 +1681,20 @@ FROM flags f LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON f.h = c.h
     expose=False,
 )
 def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter cross-snapshot dedup: the stable 90% corpus slice
+    f"""Bloom-filter cross-snapshot dedup: the stable 90% corpus slice
     (dedup_incremental's hash split) builds a deterministic
     {_BLOOM_K}-hash Bloom filter over content digests; the new 10%
     slice probes it. Output per new doc: bloom verdict, exact-join
     ground truth, and the false-positive flag — all value-checked
-    against the oracle's replay of the identical filter. The synthetic
-    corpus has no cross-slice duplicates and a near-empty filter, so
-    the hit/FP branches are additionally exercised on planted corpora
-    with a shrunk filter in tests/test_bloom.py."""
+    against the oracle's replay of the identical filter. NOTE: the
+    ``exact_dup``/``false_positive`` columns are VALIDATION-ONLY —
+    they broadcast the corpus's distinct digests, reintroducing the
+    O(corpus) join side the Bloom filter exists to avoid; the
+    production probe path is ``bloom_hit`` alone (filter build +
+    broadcast probe, no digest join). The synthetic corpus has no
+    cross-slice duplicates and a near-empty filter, so the hit/FP
+    branches are additionally exercised on planted corpora with a
+    shrunk filter in tests/test_bloom.py."""
     d = load_spread(spark, sf_dir, "documents")
     return bloom_dedup_frame(d)
 

@@ -75,46 +75,46 @@ def _global_group_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     rp = df.repartitionByRange(*key_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # persist BEFORE the count collect: the range sampler is not
-    # deterministic across evaluations, so the counts job and the
-    # window job must read the SAME materialized partitioning —
-    # unpersisted, each would re-sample its own boundaries and the
-    # partition offsets would index a partitioning that no longer
-    # exists (measured: silently wrong ranks).
-    rp.persist()
-    try:
-        cnts = {
-            r["_pid"]: r["n"]
-            for r in rp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-        }
-        offs: dict[int, int] = {}
-        acc = 0
-        for pid in sorted(cnts):
-            offs[pid] = acc
-            acc += cnts[pid]
-        off_map = F.create_map(
-            *[F.lit(x) for kv in offs.items() for x in kv]
-        )
-        widx = W.partitionBy("_pid").orderBy(*key_cols)
-        idx = (
-            F.row_number().over(widx).cast("bigint")
-            - 1
-            + F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("bigint")
-        )
-        indexed = rp.withColumn("_idx", idx)
-        wkey = W.partitionBy(*key_cols)
-        out = (
-            indexed.withColumn("rank", F.min("_idx").over(wkey))
-            .drop("_pid", "_idx")
-        )
-        # materialize + truncate lineage (the pagerank discipline,
-        # operators/dedup.py): each prefix-doubling round otherwise
-        # re-executes every earlier round's sorts, turning O(log n)
-        # rounds into O(log² n) work — and the caller's loop feeds
-        # this result straight into the next round's joins.
-        return out.localCheckpoint(eager=True)
-    finally:
-        rp.unpersist()
+    # localCheckpoint BEFORE the count collect: the range sampler is
+    # not deterministic across evaluations, so the counts job and the
+    # window job must read the SAME materialized partitioning. A bare
+    # persist() is only safe while every block stays cached — on a
+    # real cluster an executor loss would RECOMPUTE the partitioning
+    # with freshly sampled boundaries, making the collected offsets
+    # index a partitioning that no longer exists (silently wrong
+    # ranks). localCheckpoint severs the lineage entirely: the
+    # partitioning cannot be re-derived, so a lost block fail-stops
+    # the job instead of silently corrupting every downstream rank —
+    # the only acceptable failure mode for an index build.
+    # It also truncates lineage once per round (the pagerank
+    # discipline), so round k never re-executes rounds 1..k-1.
+    rp = rp.localCheckpoint(eager=True)
+    cnts = {
+        r["_pid"]: r["n"]
+        for r in rp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(cnts):
+        offs[pid] = acc
+        acc += cnts[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    widx = W.partitionBy("_pid").orderBy(*key_cols)
+    idx = (
+        F.row_number().over(widx).cast("bigint")
+        - 1
+        + F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("bigint")
+    )
+    indexed = rp.withColumn("_idx", idx)
+    wkey = W.partitionBy(*key_cols)
+    # the window plans below hang off the checkpointed rp, so the
+    # caller's next-round self-join re-derives them from pinned
+    # blocks — no extra materialization of the output needed (the
+    # identical window subplan on both join sides reuses one
+    # exchange under AQE).
+    return indexed.withColumn("rank", F.min("_idx").over(wkey)).drop(
+        "_pid", "_idx"
+    )
 
 
 def suffix_ranks(docs: DataFrame, spark: SparkSession) -> DataFrame:

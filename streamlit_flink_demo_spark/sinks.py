@@ -163,7 +163,13 @@ class IdempotentParquetSink:
         into a compaction — those are covered by the watermark)."""
         return self._read_manifest()["batch_ids"]
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> str:
+        """Land one microbatch. Returns ``"committed"`` when this call
+        durably wrote the batch, ``"replayed"`` when the id was already
+        committed (directly or folded through a compaction) — callers
+        with per-batch side effects (summaries, counters) should fire
+        them only on ``"committed"`` to keep exactly-once semantics
+        end-to-end instead of at-least-once."""
         m = self._read_manifest()
         if batch_id in set(m["batch_ids"]) or batch_id <= m["watermark"]:
             # Replay of a committed batch (directly committed, or
@@ -177,7 +183,7 @@ class IdempotentParquetSink:
             # permanently. The noop write executes the full plan
             # distributed-side and discards the rows.
             batch_df.write.format("noop").mode("overwrite").save()
-            return
+            return "replayed"
         (
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(self.path, f"batch_id={batch_id}")
@@ -190,6 +196,7 @@ class IdempotentParquetSink:
             if batch_id not in m["batch_ids"] and batch_id > m["watermark"]:
                 m["batch_ids"].append(batch_id)
                 self._write_manifest(m)
+        return "committed"
 
     def _data_dirs(self, m: dict | None = None) -> list[str]:
         """Every live data directory: compactions first (older rows),

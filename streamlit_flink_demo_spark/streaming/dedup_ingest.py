@@ -122,10 +122,15 @@ def attach_near_dup_stream(
 
         {"batch_id": int, "n_docs": int, "n_flagged": int}
 
-    computed from the DURABLE batch directory (so a summary always
-    describes committed data; a batch folded away by a later
-    compaction skips its replay summary). Returns the started
-    StreamingQuery."""
+    computed from the DURABLE batch directory, and fires EXACTLY ONCE
+    per batch id: a replayed already-committed batch (restart
+    recovery) skips its summary entirely — the sink reports the
+    replay, so a consumer accumulating counts across restarts never
+    double-counts. Returns the started StreamingQuery; the persisted
+    corpus frames are unpersisted automatically when the query
+    terminates (a ``StreamingQueryListener`` keyed on the query id),
+    so repeated attach/stop cycles in one session don't accumulate
+    cached corpus-signature copies."""
     corpus_sigs = minhash_signatures(corpus_docs).persist()
     corpus_bands = corpus_sigs.select(
         F.col("doc_id").alias("old_doc"),
@@ -136,12 +141,13 @@ def attach_near_dup_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         flags = near_dup_flags_batch(batch_df, corpus_sigs, corpus_bands)
-        sink(flags, batch_id)
-        if on_summary is None:
+        status = sink(flags, batch_id)
+        if on_summary is None or status != "committed":
+            # replays are already durable AND already summarized by
+            # the run that committed them — exactly-once, not
+            # at-least-once, for the digest too.
             return
         bdir = os.path.join(flags_path, f"batch_id={batch_id}")
-        if not os.path.isdir(bdir):
-            return  # replay of a batch already folded into a compaction
         row = (
             batch_df.sparkSession.read.parquet(bdir)
             .agg(
@@ -163,4 +169,41 @@ def attach_near_dup_stream(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    query = writer.start()
+    _unpersist_on_termination(
+        doc_stream.sparkSession, query.id, [corpus_sigs, corpus_bands]
+    )
+    return query
+
+
+def _unpersist_on_termination(spark, query_id, frames) -> None:
+    """Register a one-shot ``StreamingQueryListener`` that unpersists
+    ``frames`` when the query with ``query_id`` terminates (stop or
+    failure), then removes itself — long-lived sessions that attach
+    and stop many ingest streams don't leak cached corpus frames."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Cleanup(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != str(query_id):
+                return
+            for f in frames:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing cached
+            try:
+                spark.streams.removeListener(self)
+            except Exception:
+                pass
+
+    spark.streams.addListener(_Cleanup())
