@@ -1,0 +1,419 @@
+"""Incremental ANN index maintenance — append without rebuild.
+
+A growing 100 TB corpus appends vectors daily; rebuilding an ANN
+artifact per ingest is a corpus-wide job, while appending is
+batch-sized. The invariant that makes appends SOUND is a FROZEN
+quantizer: the trained state (IVF centroids; LSH hyperplanes are
+md5-derived constants and need no training) is fixed at base-build
+time and recorded in the artifact's meta.json, so a new vector's
+cell/bucket assignment is a pure function of the vector — appending
+slice B to a base-A artifact yields bit-for-bit the index a fresh
+A∪B build under the same quantizer would produce. That equivalence
+IS the oracle here: the registered queries build on the stable 90%
+hash-slice, append the 10% "newly ingested" slice, and probe — while
+the DuckDB oracle replays a single fresh build with the quantizer
+trained on the 90% slice. A hash match proves append ≡ rebuild.
+
+Delta mechanics (the ``docs_bloom_dedup`` snapshot discipline applied
+to artifacts): each append lands as a ``delta-*`` directory inside
+the LIVE artifact version, written first to a dot-tmp staging dir,
+renamed, and only then recorded in meta.json (atomic tmp+replace
+under the artifact flock). Readers union base ``data/`` with
+COMMITTED deltas only — a crashed append leaves invisible debris,
+and re-appending the same delta key is a no-op (idempotent by key).
+A ``force`` rebuild of the base publishes a fresh version and drops
+all deltas, exactly like a table-format major compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.operators.similarity import (
+    _banded_sigs_arrow,
+    _cents_df,
+    _artifact_is_fresh,
+    _embeddings_fingerprint,
+    _index_dir,
+    _ivf_assign_arrow,
+    _ivf_centroids_np,
+    _ivf_probe,
+    _publish_artifact,
+    _write_meta,
+    _DIM,
+    _IVF_CLUSTERS,
+    _IVF_NPROBE,
+    _IVF_TRAIN_SAMPLE,
+    _N_BANDS,
+    _N_QUERIES,
+    _PLANES_PER_BAND,
+    _TOPK,
+    _sigs_sql,
+    cosine_sql,
+    lsh_probe_topk,
+)
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
+
+# Same hash-mod convention as dedup_incremental: bucket >= _NEW_PCT
+# plays the "newly ingested batch", bucket < _NEW_PCT the existing
+# corpus the base artifact was built on.
+_NEW_PCT = 90
+_BASE_WHERE_SQL = f"({u60_sql('CAST(vec_id AS VARCHAR)')} % 100) < {_NEW_PCT}"
+_NEW_WHERE_SQL = f"({u60_sql('CAST(vec_id AS VARCHAR)')} % 100) >= {_NEW_PCT}"
+
+
+def _split_col() -> F.Column:
+    return u60(F.col("vec_id").cast("string")) % 100
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def _rewrite_meta_atomic(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def read_index_data(spark: SparkSession, path: str) -> DataFrame:
+    """Base ``data/`` plus every COMMITTED delta, as one frame.
+    Partition pruning applies per directory root, so probes stay
+    bucket-pruned across base and deltas alike."""
+    live = os.path.realpath(path)
+    meta = _read_meta(live)
+    dirs = [os.path.join(live, "data")] + [
+        os.path.join(live, d["dir"]) for d in meta.get("deltas", [])
+    ]
+    # one scan per root, unioned: a multi-root read would make Spark
+    # infer partitioning from the paths' common prefix and reject
+    # data/ vs delta-*/ as conflicting structures; per-root scans keep
+    # partition discovery (and pruning) local to each root.
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def commit_delta(
+    path: str,
+    delta_key: str,
+    write_fn,
+) -> bool:
+    """Idempotently append one delta to the live artifact version:
+    ``write_fn(staging_dir)`` materializes the delta's parquet into a
+    dot-tmp dir inside the version (crash debris stays invisible —
+    parquet readers never list it because meta.json never names it),
+    then the dir is renamed and recorded in meta.json atomically under
+    the artifact lock. Returns False when ``delta_key`` was already
+    committed (replay — nothing written), True when this call
+    committed it; the docs_bloom_dedup snapshot discipline plus the
+    IdempotentParquetSink replay contract, applied to index artifacts."""
+    import fcntl
+
+    live = os.path.realpath(path)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            meta = _read_meta(live)
+            deltas = meta.setdefault("deltas", [])
+            if any(d["key"] == delta_key for d in deltas):
+                return False
+            name = f"delta-{len(deltas)}"
+            staging = os.path.join(live, f".tmp-{name}-{os.getpid()}")
+            write_fn(staging)
+            os.rename(staging, os.path.join(live, name))
+            deltas.append({"dir": name, "key": delta_key})
+            _rewrite_meta_atomic(live, meta)
+            return True
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+# --------------------------------------------------------------------------
+# LSH: base build on the 90% slice + signature-only append
+# --------------------------------------------------------------------------
+
+
+def build_lsh_base_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Top-k LSH signature artifact over the STABLE 90% hash-slice
+    (the base corpus an incremental deployment built last week). Same
+    banding and layout as ``build_lsh_index``; the hyperplanes are
+    md5-derived constants, so there is no trained state to freeze."""
+    out = _index_dir("lsh_topk_base", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "n_bands": _N_BANDS,
+        "planes_per_band": _PLANES_PER_BAND,
+        "slice": f"base{_NEW_PCT}",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings").filter(
+        _split_col() < _NEW_PCT
+    )
+    sigs = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        sigs.repartition("band", "bsig")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "bsig")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
+    _publish_artifact(tmp, out)
+    return out
+
+
+def append_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Sign the 10% "newly ingested" slice with the SAME banding and
+    commit it as a delta — per-ingest cost scales with the batch, not
+    the corpus. Idempotent per (fingerprint, slice) key."""
+    path = build_lsh_base_index(spark, sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+
+    def write(staging: str) -> None:
+        e = load_spread(spark, sf_dir, "embeddings").filter(
+            _split_col() >= _NEW_PCT
+        )
+        sigs = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND)
+        (
+            sigs.repartition("band", "bsig")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("band", "bsig")
+            .parquet(staging)
+        )
+
+    commit_delta(path, f"new{_NEW_PCT}:{fp}", write)
+    return path
+
+
+@register(
+    "ann_lsh_incremental_topk",
+    # the equivalence claim IS the oracle: base-build + append must
+    # reproduce the single fresh full-corpus build bit-for-bit (LSH
+    # banding has no trained state), so the oracle is the SAME fresh
+    # full pipeline ann_lsh_topk replays.
+    oracle=f"""
+WITH sigs AS (
+{_sigs_sql(_N_BANDS, _PLANES_PER_BAND)}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, band, bsig
+  FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, s.vec_id,
+         MAX({cosine_sql('q.q_emb', 's.embedding', _DIM)}) AS cos_sim
+  FROM q JOIN sigs s
+    ON s.band = q.band AND s.bsig = q.bsig AND s.vec_id <> q.q_id
+  GROUP BY q.q_id, s.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+""",
+    tags=("similarity", "ann", "lsh", "incremental"),
+    expose=False,
+)
+def ann_lsh_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k probed against a base-90% artifact with the 10%
+    slice APPENDED as a committed delta (never rebuilt). The oracle is
+    the fresh full-corpus pipeline — a hash match proves the append
+    path reproduces a rebuild exactly."""
+    path = append_lsh_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_probe_topk(e, read_index_data(spark, path))
+
+
+# --------------------------------------------------------------------------
+# IVF: quantizer trained on the base slice, FROZEN for appends
+# --------------------------------------------------------------------------
+
+
+def build_ivf_base_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """IVF inverted-list artifact over the stable 90% slice, with the
+    coarse quantizer trained on THAT slice only and recorded frozen in
+    meta.json — appends must never retrain (retraining would reassign
+    the base corpus and silently invalidate every existing list)."""
+    out = _index_dir("ivf_base", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "n_clusters": _IVF_CLUSTERS,
+        "train_sample": _IVF_TRAIN_SAMPLE,
+        "slice": f"base{_NEW_PCT}",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    base = load_spread(spark, sf_dir, "embeddings").filter(
+        _split_col() < _NEW_PCT
+    )
+    cents_np = _ivf_centroids_np(base, _IVF_CLUSTERS)
+    inv = _ivf_assign_arrow(base, cents_np, with_embedding=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        inv.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(
+        tmp,
+        {
+            "fingerprint": fp,
+            **params,
+            "centroids": [[float(v) for v in row] for row in cents_np],
+        },
+    )
+    _publish_artifact(tmp, out)
+    return out
+
+
+def append_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Assign the 10% new slice with the FROZEN base quantizer (read
+    back from meta.json — exact float64 JSON round-trip) and commit
+    the new inverted-list rows as a delta partitioned by the same
+    cluster ids. Idempotent per (fingerprint, slice) key."""
+    path = build_ivf_base_index(spark, sf_dir)
+    meta = _read_meta(os.path.realpath(path))
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+    fp = _embeddings_fingerprint(sf_dir)
+
+    def write(staging: str) -> None:
+        new = load_spread(spark, sf_dir, "embeddings").filter(
+            _split_col() >= _NEW_PCT
+        )
+        inv = _ivf_assign_arrow(new, cents_np, with_embedding=True)
+        (
+            inv.repartition("cluster")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(staging)
+        )
+
+    commit_delta(path, f"new{_NEW_PCT}:{fp}", write)
+    return path
+
+
+def _ivf_inc_oracle_sql() -> str:
+    """Fresh-build replay with the quantizer trained on the 90% base
+    slice: seeds are the first k base vectors BY vec_id (numpy sorts
+    and slices; here ROW_NUMBER — the base slice need not contain
+    vec_ids 0..k-1), one Lloyd step over the bounded base sample, then
+    assignment of the FULL corpus and the standard nprobe probe. The
+    Spark side never runs this as one build — it probes base+delta —
+    so a hash match is the append ≡ rebuild proof."""
+    cos = lambda a, b: cosine_sql(a, b, _DIM)
+    train_n = _IVF_CLUSTERS * _IVF_TRAIN_SAMPLE
+    return f"""
+WITH train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_BASE_WHERE_SQL} AND vec_id < {train_n}
+),
+seeds AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c_id,
+         embedding AS s_emb
+  FROM train ORDER BY vec_id LIMIT {_IVF_CLUSTERS}
+),
+tassign AS (
+  SELECT vec_id, c_id, embedding FROM (
+    SELECT t.vec_id, s.c_id, t.embedding,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos('t.embedding', 's.s_emb')} DESC,
+                                       s.c_id) AS rk
+    FROM train t CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cmeans AS (
+  SELECT s.c_id,
+         coalesce(m.c_emb, list_transform(s.s_emb, x -> x::DOUBLE))
+           AS c_emb
+  FROM seeds s LEFT JOIN (
+    SELECT c_id, list(avg_v ORDER BY dim) AS c_emb
+    FROM (
+      SELECT a.c_id, d.dim, AVG(a.embedding[d.dim+1]::DOUBLE) AS avg_v
+      FROM tassign a CROSS JOIN range({_DIM}) d(dim)
+      GROUP BY a.c_id, d.dim
+    )
+    GROUP BY c_id
+  ) m USING (c_id)
+),
+inv AS (
+  SELECT vec_id, c_id AS cluster, embedding FROM (
+    SELECT e.vec_id, c.c_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS rk
+    FROM embeddings e CROSS JOIN cmeans c
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT q.q_id, q.q_emb, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos('q.q_emb', 'c.c_emb')} DESC,
+                                       c.c_id) AS prk
+    FROM q CROSS JOIN cmeans c
+  ) WHERE prk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, i.vec_id, {cos('p.q_emb', 'i.embedding')} AS cos_sim
+  FROM probes p JOIN inv i ON i.cluster = p.c_id AND i.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@register(
+    "ann_ivf_incremental_topk",
+    oracle=_ivf_inc_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "incremental"),
+    expose=False,
+)
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probed against a base-90% inverted list with the 10%
+    slice appended under the FROZEN base quantizer. The oracle replays
+    ONE fresh build (quantizer trained on the base slice, full corpus
+    assigned) — a hash match proves append ≡ rebuild under a frozen
+    quantizer, the invariant incremental IVF maintenance rests on."""
+    path = append_ivf_index(spark, sf_dir)
+    meta = _read_meta(os.path.realpath(path))
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+    inv = read_index_data(spark, path)
+    cents = _cents_df(spark, cents_np)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return _ivf_probe(q, cents, inv, _IVF_NPROBE, _TOPK)

@@ -524,6 +524,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-prunable scan + broadcast join, never a corpus-wide
     kernel run."""
     e = load_table(spark, sf_dir, "embeddings")
+    return lsh_probe_topk(e, lsh_index(spark, sf_dir))
+
+
+def lsh_probe_topk(e: DataFrame, index_df: DataFrame) -> DataFrame:
+    """Shared LSH probe→score→rank block: query signatures broadcast
+    against any (vec_id, embedding, band, bsig) index frame — the
+    build-once artifact path (ann_lsh_topk) and the base+delta
+    incremental path (operators/incremental.py) probe through ONE
+    definition so tie-breaking can't fork between them."""
     q = F.broadcast(
         _banded_sigs_arrow(
             e.filter(F.col("vec_id") < _N_QUERIES), _N_BANDS, _PLANES_PER_BAND
@@ -535,7 +544,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = q.join(
-        lsh_index(spark, sf_dir),
+        index_df,
         (F.col("band") == F.col("q_band"))
         & (F.col("bsig") == F.col("q_bsig"))
         & (F.col("vec_id") != F.col("q_id")),

@@ -56,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register
 from streamlit_flink_demo_spark.sources.catalog import load_spread
 
@@ -117,60 +118,135 @@ def _global_group_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def suffix_ranks(docs: DataFrame, spark: SparkSession) -> DataFrame:
+def suffix_ranks(
+    docs: DataFrame, spark: SparkSession, shard_col: F.Column | None = None
+) -> DataFrame:
     """(doc_id, p, sa_rank) for every char position of every doc:
-    sa_rank is the 0-based global index in (suffix string, doc_id, p)
-    order. Prefix doubling as described in the module docstring."""
+    sa_rank is the 0-based index in (suffix string, doc_id, p) order —
+    GLOBAL when ``shard_col`` is None, WITHIN-SHARD when given (the
+    Lee et al. 2022 production shape: shard the corpus, build
+    independent per-shard arrays; repeat statistics that only need
+    within-shard adjacency read the sharded index).
+
+    Prefix doubling with ACTIVE-SET RANK REFINEMENT. The seed round
+    pays the one global sort (8-char keys). Every later round exploits
+    the group-start-rank invariant — rank(p) = count of suffixes with
+    a strictly smaller current key — which makes a row with a UNIQUE
+    rank frozen forever: no other row shares its key now, so no later
+    extension can reorder it, and its rank is already its final index.
+    Only rows in non-singleton rank groups re-rank, and their new rank
+    is computable WITHOUT any global sort:
+
+        new_rank = r1 + (rank() over (partition r1 order by r2) - 1)
+
+    because rows outside the group contribute exactly r1 strictly
+    smaller keys (the invariant) and the window counts the smaller
+    keys inside it. So a round costs one (doc_id, p)-shuffle of the
+    rank map (the +off lookup join) plus one window over the ACTIVE
+    set, which shrinks geometrically for natural text — versus two
+    global range-sorts of the full corpus per round in the classic
+    formulation. Frozen rows accumulate as a union of per-round
+    checkpointed frames; driver state stays one scalar per round."""
+    from pyspark.sql import Window as W
+
     d = docs.select("doc_id", "text").filter(F.length("text") > 0)
+    sharded = shard_col is not None
+    d = d.withColumn("shard", shard_col if sharded else F.lit(0))
     max_len = d.agg(F.max(F.length("text"))).first()[0] or 0
 
     pos = d.select(
+        "shard",
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
         F.col("text"),
     ).select(
+        "shard",
         "doc_id",
         "p",
         F.col("text").substr(F.col("p") + 1, F.lit(_SA_SEED)).alias("k0"),
     )
-    cur = _global_group_rank(pos, ["k0"]).select("doc_id", "p", "rank")
+    seeded = _global_group_rank(pos, ["shard", "k0"]).select(
+        "shard", "doc_id", "p", "rank"
+    )
+    if sharded:
+        # shard is the leading range key, so each shard's rows occupy
+        # a contiguous global index range; within-shard rank = global
+        # rank - shard start. One bounded collect (one row per shard).
+        offs = {
+            r["shard"]: r["lo"]
+            for r in seeded.groupBy("shard").agg(
+                F.min("rank").alias("lo")
+            ).collect()
+        }
+        omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+        seeded = seeded.withColumn("rank", F.col("rank") - omap[F.col("shard")])
+    seeded = seeded.localCheckpoint(eager=True)
+
+    grp = W.partitionBy("shard", "rank")
+    sized = seeded.withColumn("gsz", F.count("*").over(grp))
+    frozen: list[DataFrame] = [
+        sized.filter("gsz = 1").drop("gsz").localCheckpoint(eager=True)
+    ]
+    active = sized.filter("gsz > 1").drop("gsz").localCheckpoint(eager=True)
 
     off = _SA_SEED
-    while off < max_len:
-        a = cur.alias("a")
-        b = cur.select(
+    while off < max_len and not active.isEmpty():
+        rank_map = active
+        for fr in frozen:
+            rank_map = rank_map.unionAll(fr)
+        shifted = rank_map.select(
             F.col("doc_id").alias("b_doc"),
             (F.col("p") - off).alias("b_p"),
             F.col("rank").alias("r2"),
         )
+        a = active.alias("a")
         paired = a.join(
-            b,
+            shifted,
             (F.col("a.doc_id") == F.col("b_doc"))
             & (F.col("a.p") == F.col("b_p")),
             "left",
         ).select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.p").alias("p"),
+            "a.shard",
+            "a.doc_id",
+            "a.p",
             F.col("a.rank").alias("r1"),
             F.coalesce(F.col("r2"), F.lit(-1)).cast("bigint").alias("r2"),
         )
-        cur = _global_group_rank(paired, ["r1", "r2"]).select(
-            "doc_id", "p", "rank"
+        wsub = W.partitionBy("shard", "r1").orderBy("r2")
+        # gsz = size of the row's NEW rank group = count of equal-r2
+        # rows in the same (shard, r1) partition — the rangeBetween
+        # frame shares wsub's partitioning AND sort, so both window
+        # functions evaluate in one window stage (one shuffle).
+        updated = paired.select(
+            "shard",
+            "doc_id",
+            "p",
+            (F.col("r1") + F.rank().over(wsub) - 1).alias("rank"),
+            F.count("*").over(wsub.rangeBetween(0, 0)).alias("gsz"),
+        ).localCheckpoint(eager=True)
+        frozen.append(
+            updated.filter("gsz = 1").select("shard", "doc_id", "p", "rank")
+        )
+        active = updated.filter("gsz > 1").select(
+            "shard", "doc_id", "p", "rank"
         )
         off *= 2
 
-    # final total order: identical suffixes (duplicate documents /
-    # repeated tails) share a rank — break by (doc_id, p), index once
-    from pyspark.sql import Window as W  # noqa: F401  (doc link)
-
-    final = _global_group_rank(
-        cur.select("doc_id", "p", F.col("rank").alias("r1"))
-        .withColumn("r2", F.col("doc_id"))
-        .withColumn("r3", F.col("p")),
-        ["r1", "r2", "r3"],
+    # survivors are suffixes identical to their document ends
+    # (duplicate docs / repeated tails): deterministic tie-break by
+    # (doc_id, p) inside the group — still no global sort.
+    wtie = W.partitionBy("shard", "rank").orderBy("doc_id", "p")
+    resolved = active.select(
+        "shard",
+        "doc_id",
+        "p",
+        (F.col("rank") + F.rank().over(wtie) - 1).alias("rank"),
     )
-    # with the full tie-break the key is unique, so rank == row index
-    return final.select("doc_id", "p", F.col("rank").alias("sa_rank"))
+    out = resolved
+    for fr in frozen:
+        out = out.unionAll(fr)
+    cols = ["shard"] if sharded else []
+    return out.select(*cols, "doc_id", "p", F.col("rank").alias("sa_rank"))
 
 
 _SA_ORACLE = f"""
@@ -211,6 +287,74 @@ def corpus_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     sa = suffix_ranks(docs, spark)
     return sa.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_suffixes"),
+        F.min("sa_rank").cast("bigint").alias("min_rank"),
+        F.sum((F.col("sa_rank") * (F.col("p") + 1)) % _SA_MOD)
+        .cast("bigint")
+        .alias("rank_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sharded construction — the Lee et al. 2022 production shape
+# --------------------------------------------------------------------------
+# A 100 TB corpus never builds ONE global suffix array: Lee et al.
+# shard the corpus and build independent per-shard arrays, because a
+# global build's working set (every round touches every position) and
+# its single total order are both unnecessary — every repeat statistic
+# the dedup policy thresholds on only needs adjacency WITHIN a shard
+# large enough to contain the repeats (their shards are multi-GB).
+# Sharding here = hash(doc_id) % S as an extra leading key: the seed
+# sort ranks the concatenated shard order (one job, not S), a bounded
+# S-row collect rebases ranks per shard, and every refinement round
+# partitions by (shard, rank) — so shards refine independently inside
+# the SAME set of exchanges, and at cluster scale the S independent
+# arrays can equally be built by S separate jobs with no cross-talk.
+
+_SA_SHARDS = 4
+
+_SA_SHARD_ORACLE = f"""
+WITH pos AS (
+  SELECT {u60_sql("CAST(doc_id AS VARCHAR)")} % {_SA_SHARDS} AS shard,
+         doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT shard, doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sfx, doc_id, p) - 1
+           AS sa_rank
+  FROM pos
+)
+SELECT doc_id,
+       CAST(MIN(shard) AS BIGINT) AS shard,
+       COUNT(*)::BIGINT AS n_suffixes,
+       CAST(MIN(sa_rank) AS BIGINT) AS min_rank,
+       SUM((sa_rank * (p + 1)) % {_SA_MOD})::BIGINT AS rank_checksum
+FROM sa GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_suffix_array_sharded",
+    oracle=_SA_SHARD_ORACLE,
+    tags=("dedup", "suffix", "index"),
+    expose=False,
+)
+def corpus_suffix_array_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard suffix arrays (hash(doc_id) % {_SA_SHARDS} shards),
+    summarized per document exactly like ``corpus_suffix_array`` but
+    with within-shard ranks — the oracle sorts materialized suffixes
+    PARTITIONED BY shard, so a green row proves each shard's array is
+    bit-for-bit the true suffix order of that shard's documents."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = suffix_ranks(
+        docs, spark, shard_col=u60(F.col("doc_id").cast("string")) % _SA_SHARDS
+    )
+    return sa.groupBy("doc_id").agg(
+        F.min("shard").cast("bigint").alias("shard"),
         F.count("*").cast("bigint").alias("n_suffixes"),
         F.min("sa_rank").cast("bigint").alias("min_rank"),
         F.sum((F.col("sa_rank") * (F.col("p") + 1)) % _SA_MOD)
@@ -347,4 +491,235 @@ def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lcp") >= 24, 1).otherwise(0))
         .cast("bigint")
         .alias("n_long_positions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact span REMOVAL via the suffix array — the action the index is for
+# --------------------------------------------------------------------------
+# corpus_longest_repeat reports the statistic; this operator performs
+# the Lee-et-al-style cleanup: every character position whose suffix
+# shares a >= _MIN_REPEAT-char prefix with an adjacent suffix in SA
+# order starts a repeated span [p, p + lcp); per-document spans are
+# merged (gaps-and-islands over the running max end) and the merged
+# regions are CUT from the text. This is the exact-match tier of the
+# span rewrite: dedup_span_rewrite (operators/dedup.py) approximates
+# repeats with rolling W-token window hashes and keeps the first
+# occurrence; the SA tier finds character-exact repeats of ANY length
+# >= the threshold — including repeats no fixed window tiles — and
+# removes every occurrence (the aggressive policy; threshold-keeping
+# variants differ only in which credited positions they drop).
+
+_MIN_REPEAT = 24
+
+
+def _merged_repeat_ranges(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, rs, n_spans_removed, chars_removed): merged repeated
+    intervals per document, from adjacent-rank LCPs over the global
+    suffix array. rs is a sorted array of disjoint {s, e} structs
+    (char offsets, end-exclusive)."""
+    from pyspark.sql import Window as W
+
+    sa = suffix_ranks(docs, spark)
+    with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "p",
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    a = with_txt.alias("a")
+    b = with_txt.select(
+        (F.col("sa_rank") - 1).alias("prev_rank"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("p").alias("b_p"),
+        F.col("s64").alias("b_s64"),
+    )
+    pairs = a.join(b, F.col("a.sa_rank") == F.col("prev_rank")).select(
+        F.col("a.doc_id").alias("a_doc"),
+        F.col("a.p").alias("a_p"),
+        "b_doc",
+        "b_p",
+        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+    )
+    credited = pairs.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
+    ).unionAll(
+        pairs.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
+        )
+    )
+    # best repeat per position; only span starters survive
+    iv = (
+        credited.groupBy("doc_id", "p")
+        .agg(F.max("lcp").alias("lcp"))
+        .filter(F.col("lcp") >= _MIN_REPEAT)
+        .select("doc_id", F.col("p").alias("s"), (F.col("p") + F.col("lcp")).alias("e"))
+    )
+    # gaps-and-islands on the running max end: a new island starts
+    # when this interval begins past every previous end (s strictly
+    # greater — touching intervals merge, keeping regions disjoint).
+    byd = W.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(byd.rowsBetween(W.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "brk",
+            F.when(
+                prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "g", F.sum("brk").over(byd.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    return isl.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("rs"),
+        F.count("*").cast("bigint").alias("n_spans_removed"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("chars_removed"),
+    )
+
+
+_SA_REWRITE_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
+         ROW_NUMBER() OVER (ORDER BY sfx, doc_id, p) - 1 AS r
+  FROM pos
+),
+adj AS (
+  SELECT a.doc_id AS a_doc, a.p AS a_p, a.s64 AS a_s,
+         b.doc_id AS b_doc, b.p AS b_p, b.s64 AS b_s
+  FROM sa a JOIN sa b ON b.r = a.r + 1
+),
+pairs AS (
+  SELECT a_doc, a_p, b_doc, b_p,
+         (CASE WHEN mp = 0 THEN least(length(a_s), length(b_s))
+               ELSE mp - 1 END)::BIGINT AS lcp
+  FROM (
+    SELECT *, list_position(
+      [ (CASE WHEN d < length(a_s) THEN a_s[d+1] END)
+          IS DISTINCT FROM
+        (CASE WHEN d < length(b_s) THEN b_s[d+1] END)
+        for d in range({_LCP_CAP}) ], true) AS mp
+    FROM adj
+  )
+),
+credited AS (
+  SELECT a_doc AS doc_id, a_p AS p, lcp FROM pairs
+  UNION ALL
+  SELECT b_doc, b_p, lcp FROM pairs
+),
+iv AS (
+  SELECT doc_id, p AS s, p + MAX(lcp) AS e
+  FROM credited GROUP BY doc_id, p
+  HAVING MAX(lcp) >= {_MIN_REPEAT}
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM (
+    SELECT doc_id, s, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+    FROM marked
+  ) GROUP BY doc_id, g
+),
+chars AS (
+  SELECT doc_id, k, substr(text, k + 1, 1) AS c
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+kept AS (
+  SELECT ch.doc_id, ch.k, ch.c
+  FROM chars ch
+  LEFT JOIN merged m
+    ON ch.doc_id = m.doc_id AND ch.k >= m.s AND ch.k < m.e
+  WHERE m.s IS NULL
+),
+clean AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS clean_chars,
+         md5(string_agg(c, '' ORDER BY k)) AS clean_md5
+  FROM kept GROUP BY doc_id
+),
+acct AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_spans_removed,
+         SUM(e - s)::BIGINT AS chars_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS orig_chars,
+       coalesce(c.clean_chars, 0)::BIGINT AS clean_chars,
+       coalesce(a.n_spans_removed, 0)::BIGINT AS n_spans_removed,
+       coalesce(a.chars_removed, 0)::BIGINT AS chars_removed,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM documents d
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+LEFT JOIN acct a ON d.doc_id = a.doc_id
+WHERE length(d.text) > 0
+"""
+
+
+@register(
+    "dedup_sa_span_rewrite",
+    oracle=_SA_REWRITE_ORACLE,
+    tags=("dedup", "suffix", "span"),
+    expose=False,
+)
+def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lee-et-al-style span removal driven by the suffix array:
+    merged character-exact repeated regions (adjacent-rank LCP >=
+    {_MIN_REPEAT}, capped at {_LCP_CAP}) are cut from every document.
+    Returns per-doc accounting plus the md5 of the cleaned text; the
+    oracle replays the whole chain — SA order, LCPs, interval merge,
+    character-level cut — so the rewrite surface is value-exact.
+
+    The cut is one JVM ``aggregate`` over the doc's sorted disjoint
+    ranges building the kept text from inter-range substrings — the
+    text moves through exactly one exchange (the ranges join), never
+    explodes into per-char rows (the oracle's explode+anti-join is
+    the formulation DuckDB prefers; both reduce to the same kept
+    stream)."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    ranges = _merged_repeat_ranges(spark, docs)
+    rewritten = docs.join(ranges, "doc_id", "left").withColumn(
+        "clean_text",
+        F.when(F.col("rs").isNull(), F.col("text")).otherwise(
+            F.expr(
+                "aggregate(rs, struct(0L as prev, '' as acc), "
+                "(a, r) -> struct(r.e, concat(a.acc, "
+                "  substring(text, cast(a.prev as int) + 1, "
+                "            cast(r.s - a.prev as int)))), "
+                "a -> concat(a.acc, substring(text, cast(a.prev as int) + 1, "
+                "            cast(length(text) - a.prev as int))))"
+            )
+        ),
+    )
+    return rewritten.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("orig_chars"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0))
+        .cast("bigint")
+        .alias("n_spans_removed"),
+        F.coalesce(F.col("chars_removed"), F.lit(0))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.md5("clean_text").alias("clean_md5"),
     )

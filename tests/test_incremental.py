@@ -1,0 +1,119 @@
+"""Incremental ANN index maintenance (operators/incremental.py).
+
+Oracle parity for the registered queries lives in
+tests/test_oracle_parity.py (ann_lsh_incremental_topk /
+ann_ivf_incremental_topk — the append ≡ rebuild proof); these tests
+pin the DELTA MECHANICS the oracle can't see: idempotent replay,
+crash-debris invisibility, force-rebuild compaction, and frozen-
+quantizer probe parity against an inline fresh build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.operators import incremental as inc
+from streamlit_flink_demo_spark.operators.similarity import (
+    _IVF_CLUSTERS,
+    _IVF_NPROBE,
+    _N_QUERIES,
+    _TOPK,
+    _cents_df,
+    _ivf_assign_arrow,
+    _ivf_centroids_np,
+    _ivf_probe,
+)
+from streamlit_flink_demo_spark.sources.catalog import load_table
+
+
+@pytest.fixture()
+def artifact_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    import streamlit_flink_demo_spark.operators.similarity as sim
+
+    # _index_dir reads the module global at call time, so patching it
+    # redirects every build/append in this test to the tmp root
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", root)
+    return root
+
+
+def _live_meta(path: str) -> dict:
+    with open(os.path.join(os.path.realpath(path), "meta.json")) as fh:
+        return json.load(fh)
+
+
+def test_append_is_idempotent_by_key(spark, sf_dir, artifact_root):
+    path = inc.append_ivf_index(spark, sf_dir)
+    m1 = _live_meta(path)
+    assert len(m1["deltas"]) == 1
+    # replay: same fingerprint => same key => nothing new committed
+    inc.append_ivf_index(spark, sf_dir)
+    m2 = _live_meta(path)
+    assert m2["deltas"] == m1["deltas"]
+
+
+def test_crash_debris_is_invisible(spark, sf_dir, artifact_root):
+    path = inc.append_lsh_index(spark, sf_dir)
+    live = os.path.realpath(path)
+    n_before = inc.read_index_data(spark, path).count()
+    # simulate an append that died after writing files but before the
+    # meta commit: a dot-tmp staging dir full of parquet
+    debris = os.path.join(live, ".tmp-delta-99-dead")
+    os.makedirs(debris)
+    inc.read_index_data(spark, path).limit(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(debris, "band=0"))
+    assert inc.read_index_data(spark, path).count() == n_before
+
+
+def test_force_rebuild_drops_deltas(spark, sf_dir, artifact_root):
+    path = inc.append_ivf_index(spark, sf_dir)
+    assert len(_live_meta(path)["deltas"]) == 1
+    inc.build_ivf_base_index(spark, sf_dir, force=True)
+    assert _live_meta(path).get("deltas", []) == []
+
+
+def test_ivf_append_probe_parity_with_fresh_build(spark, sf_dir, artifact_root):
+    """base-build + append probed == inline fresh assign of the FULL
+    corpus under the same frozen quantizer — the invariant, checked
+    end-to-end in Spark (the SQL oracle proves the same equivalence
+    against DuckDB)."""
+    path = inc.append_ivf_index(spark, sf_dir)
+    meta = _live_meta(path)
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents = _cents_df(spark, cents_np)
+
+    via_artifact = _ivf_probe(
+        q, cents, inc.read_index_data(spark, path), _IVF_NPROBE, _TOPK
+    )
+    fresh_inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+    via_fresh = _ivf_probe(q, cents, fresh_inv, _IVF_NPROBE, _TOPK)
+
+    got = sorted(map(tuple, via_artifact.collect()))
+    want = sorted(map(tuple, via_fresh.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_base_quantizer_trained_on_base_slice_only(spark, sf_dir, artifact_root):
+    """The recorded centroids must equal training on the 90% slice —
+    never on the appended rows (retraining is the bug the frozen
+    contract exists to prevent)."""
+    path = inc.build_ivf_base_index(spark, sf_dir)
+    meta = _live_meta(path)
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        inc._split_col() < inc._NEW_PCT
+    )
+    want = _ivf_centroids_np(base, _IVF_CLUSTERS)
+    got = np.array(meta["centroids"], dtype=np.float64)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)  # exact: JSON float64 round-trip

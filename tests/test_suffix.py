@@ -72,6 +72,70 @@ def test_seed_constant_sane():
     assert _SA_SEED >= 2  # doubling must start past single chars
 
 
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_sharded_ranks_match_per_shard_brute_force(spark, n_shards):
+    """Within-shard ranks must equal the brute-force suffix sort of
+    each shard's documents alone — shard independence is the property
+    the 100 TB build relies on."""
+    rows = [
+        (1, "abcabc"),
+        (2, "abcab"),
+        (3, "banana"),
+        (4, "ananab"),
+        (5, "aa"),
+        (6, "abcabc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    shard = (F.col("doc_id") % n_shards).cast("int")
+    got = {
+        (r.doc_id, r.p): (r.shard, r.sa_rank)
+        for r in suffix_ranks(docs, spark, shard_col=shard).collect()
+    }
+    for s in range(n_shards):
+        members = [(d, t) for d, t in rows if d % n_shards == s]
+        want = _brute(members)
+        for (d, p), rank in want.items():
+            assert got[(d, p)] == (s, rank), (d, p, s)
+
+
+def test_sa_span_rewrite_on_planted_repeats(spark, tmp_path):
+    """A 30-char block duplicated across two docs must be cut from
+    both (the aggressive exact tier removes every occurrence); the
+    unique doc passes through byte-identical."""
+    import hashlib
+    import os
+
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    block = "copied paragraph of thirty chars!!"  # 34 chars, >= 24
+    rows = [
+        (1, "alpha start " + block + " tail one xyzzy"),
+        (2, "other intro " + block + " closing words two"),
+        (3, "entirely unique text with no repeated spans at all qwertyu"),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_sa_span_rewrite"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    }
+    assert out[1].chars_removed >= len(block)
+    assert out[2].chars_removed >= len(block)
+    assert out[1].clean_chars == out[1].orig_chars - out[1].chars_removed
+    # the duplicated block is gone from both rewritten docs: the md5
+    # can't equal the original text's
+    for doc_id, text in rows[:2]:
+        assert out[doc_id].clean_md5 != hashlib.md5(text.encode()).hexdigest()
+    # unique doc untouched
+    assert out[3].n_spans_removed == 0
+    assert out[3].clean_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
 def test_longest_repeat_on_planted_duplicates(spark, tmp_path):
     """Duplicate documents: every position's suffix recurs verbatim,
     so max_repeat = min(doc_len, cap); a unique-text doc's repeats

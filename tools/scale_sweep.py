@@ -65,6 +65,10 @@ OPS = (
     "docs_embed_search",
     "corpus_suffix_array",
     "docs_bloom_dedup",
+    # round 10
+    "corpus_suffix_array_sharded",
+    "dedup_sa_span_rewrite",
+    "ann_ivf_incremental_topk",
 )
 
 
