@@ -128,6 +128,17 @@ def embed_columns(d: DataFrame) -> DataFrame:
     )
 
 
+def sign_bucket_col() -> F.Column:
+    """Sign-LSH bucket over the first _BKT_BITS dims of the raw fold
+    vector ``v`` (SimHash-style: near-identical vectors agree on every
+    sign bit). Shared by the batch semdedup prune and the streaming
+    ingest-time semantic dedup so the bucketing can't fork."""
+    return sum(
+        F.when(F.col("v")[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(_BKT_BITS)
+    ).cast("bigint")
+
+
 def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch encode of the documents table, persisted: the
     md5-per-token projection is the dominant cost, and every consumer
@@ -286,10 +297,7 @@ def docs_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the docs_semdedup argument); summaries are <=2^_BKT_BITS-row
     aggregates. Driver-surfaced through the 'semdedup' branch of
     embed_pipeline_suite."""
-    bucket = sum(
-        F.when(F.col("v")[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
-        for d in range(_BKT_BITS)
-    ).cast("bigint")
+    bucket = sign_bucket_col()
     from pyspark.sql import Window as W
 
     base = _embed_frame(spark, sf_dir).select(

@@ -377,13 +377,23 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     # all three gram widths from the split array in ONE projection +
-    # ONE explode — no posexplode, no lead window, zero exchanges
-    # before the count aggregation (see functions/ngrams; the earlier
-    # lead-window formulation shuffled the whole token stream on
-    # doc_id first). len_t rides the gram rows (8 bytes) and folds as
-    # MAX through the count aggregation — the earlier second
+    # ONE explode — no posexplode, no lead window (see
+    # functions/ngrams). len_t rides the gram rows (8 bytes) and folds
+    # as MAX through the count aggregation — the earlier second
     # documents scan + per-doc join was a broadcast-side hazard at
     # scale (review finding).
+    #
+    # ONE exchange total (round-10 rewrite, 2.22 s -> 1.26 s at
+    # sf0.1): the shuffle moves BEFORE the explode — repartition by
+    # doc_id ships each doc's raw text bytes once instead of its ~9x
+    # expansion into 2/3/4-gram strings, and HashPartitioning(doc_id)
+    # satisfies the clustering requirement of BOTH downstream
+    # aggregations (doc_id is a subset of each grouping key), so the
+    # gram count and the per-(doc,n) top-1 run exchange-free. The
+    # top-1 itself is min_by over the ordering struct (-cnt, gram) —
+    # field-wise struct comparison encodes (cnt DESC, gram ASC)
+    # exactly, replacing the rank window's extra shuffle + full sort
+    # with a combinable aggregate.
     from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
 
     widths = ", ".join(
@@ -391,30 +401,42 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"('n', {n}, 'gram', x))"
         for n in (2, 3, 4)
     )
-    grams = d.select(
-        "doc_id",
-        F.length(F.trim(F.col("text"))).alias("len_t"),
-        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
-    ).select(
-        "doc_id", "len_t", F.explode(F.expr(f"concat({widths})")).alias("g")
-    ).select(
-        "doc_id",
-        "len_t",
-        F.col("g.n").alias("n"),
-        F.col("g.gram").alias("gram"),
+    grams = (
+        d.select(
+            "doc_id",
+            F.length(F.trim(F.col("text"))).alias("len_t"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+        )
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            "len_t",
+            F.explode(F.expr(f"concat({widths})")).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "len_t",
+            F.col("g.n").alias("n"),
+            F.col("g.gram").alias("gram"),
+        )
     )
     cnt = grams.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("cnt"), F.max("len_t").alias("len_t")
     )
-    wr = W.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
-    top = cnt.withColumn("rk", F.row_number().over(wr)).filter("rk = 1")
+    top = cnt.groupBy("doc_id", "n").agg(
+        F.min_by(
+            F.struct("gram", "cnt", "len_t"),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram")),
+        ).alias("t")
+    )
     return top.select(
         "doc_id",
         F.col("n").cast("bigint").alias("n"),
-        F.col("gram").alias("top_gram"),
-        F.col("cnt").cast("bigint").alias("top_cnt"),
+        F.col("t.gram").alias("top_gram"),
+        F.col("t.cnt").cast("bigint").alias("top_cnt"),
         F.round(
-            (F.col("cnt") * F.length("gram")).cast("double") / F.col("len_t"),
+            (F.col("t.cnt") * F.length("t.gram")).cast("double")
+            / F.col("t.len_t"),
             6,
         ).alias("top_frac_r"),
     )

@@ -599,17 +599,32 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's len >= 2 filter)."""
     from streamlit_flink_demo_spark.functions.ngrams import ngram_array_expr
 
-    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20).filter(
+    d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # bigrams straight from the split array — no posexplode+lead
-    # window, so the token stream is never exchanged before the count
-    # aggregations (see functions/ngrams).
-    bg = d.select(
-        "doc_id",
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
-    ).select("doc_id", F.explode(F.expr(ngram_array_expr(2))).alias("bigram"))
-    cb = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    # Round-10 rewrite (1.51 s -> 1.02 s at sf0.1): the corpus is
+    # exploded into bigrams ONCE, behind a repartition(doc_id) that
+    # ships raw text bytes instead of the bigram expansion — and
+    # because HashPartitioning(doc_id) satisfies the clustering of
+    # both per-doc aggregations, the (doc_id, bigram) count AND the
+    # final per-doc score run exchange-free. Occurrence-level work
+    # collapses to type-level: per-bigram log-probs are computed once
+    # per distinct bigram and weighted by the per-doc count
+    # (cnt * round(ln(p)*S) == sum of per-occurrence quantized terms —
+    # integer-exact, so the oracle is unchanged).
+    db = (
+        d.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+        )
+        .repartition("doc_id")
+        .select(
+            "doc_id", F.explode(F.expr(ngram_array_expr(2))).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cb = db.groupBy("bigram").agg(F.sum("cnt").alias("c_bg"))
     cs = (
         cb.select(
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -623,14 +638,13 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # web-scale corpus has billions of bigram TYPES; the plain join
     # lets the same plan degrade to a shuffle join instead of OOMing
     # the driver on a forced broadcast.
-    scored = (
-        bg.join(cb, "bigram")
-        .join(
+    qt = (
+        cb.join(
             cs,
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
         )
         .select(
-            "doc_id",
+            "bigram",
             F.round(
                 F.ln(F.col("c_bg") / F.col("c_start").cast("double"))
                 * _LM_SCALE
@@ -639,11 +653,19 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(
-            -((F.sum("q").cast("double") / _LM_SCALE) / F.count("*")), 6
-        ).alias("avg_nll"),
+    return (
+        db.join(qt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -(
+                    (F.sum(F.col("q") * F.col("cnt")).cast("double") / _LM_SCALE)
+                    / F.sum("cnt")
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
     )
 
 

@@ -176,6 +176,152 @@ def attach_near_dup_stream(
     return query
 
 
+# --------------------------------------------------------------------------
+# Semantic (embedding-space) ingest-time dedup — the round-9 encoder
+# composed with the ingest pattern above
+# --------------------------------------------------------------------------
+# MinHash catches lexical near-duplicates; the semantic tier flags an
+# arriving document whose EMBEDDING cosine against a corpus document
+# reaches tau — paraphrases and re-encodes the shingle tier misses.
+# Same scale shape: the encoder (operators/embed.embed_columns) is
+# stateless and shuffle-free so it runs inside the micro-batch plan
+# unchanged; the corpus side is encoded ONCE at attach time into
+# sign-LSH buckets (in production: the parquet embedding artifact,
+# bucket-partitioned); the batch side broadcasts into the bucket join,
+# so per-ingest cost scales with the batch. Candidates only form
+# inside a shared bucket (near-identical vectors agree on every sign
+# bit — the docs_embed_semdedup argument), cosine is exact on the
+# normalized vectors (dot product), and flag delivery reuses the
+# IdempotentParquetSink contract above, summaries exactly-once.
+
+# Default tau mirrors operators/embed._EMB_TAU (tuned to the synthetic
+# corpus's cosine distribution; production model vectors run ~0.9).
+_SEM_TAU = 0.97
+
+
+def corpus_embedding_buckets(corpus_docs: DataFrame) -> DataFrame:
+    """(bucket, old_doc, old_emb): the corpus encoded and sign-LSH
+    bucketed — the attach-time artifact the stream probes."""
+    from streamlit_flink_demo_spark.operators.embed import (
+        embed_columns,
+        sign_bucket_col,
+    )
+
+    return embed_columns(corpus_docs).select(
+        sign_bucket_col().alias("bucket"),
+        F.col("doc_id").alias("old_doc"),
+        F.col("embedding").alias("old_emb"),
+    )
+
+
+def semantic_dup_flags_batch(
+    batch_docs: DataFrame, corpus_emb: DataFrame, tau: float = _SEM_TAU
+) -> DataFrame:
+    """Flag one (micro-)batch against the bucketed corpus embeddings:
+    (doc_id, dup_of, cos_sim) with NULLs for clean docs — best corpus
+    match at cosine >= tau, ties to the lowest old_doc. Pure
+    composition, usable from foreachBatch AND batch tests (the
+    equivalence tests/test_dedup_ingest.py pins for the minhash twin
+    applies verbatim)."""
+    from pyspark.sql import Window as W
+
+    from streamlit_flink_demo_spark.functions.vectors import dot
+    from streamlit_flink_demo_spark.operators.embed import (
+        embed_columns,
+        sign_bucket_col,
+    )
+
+    new = embed_columns(batch_docs).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("embedding").alias("new_emb"),
+        sign_bucket_col().alias("bucket"),
+    )
+    scored = (
+        F.broadcast(new)
+        .join(corpus_emb, "bucket")
+        .filter(F.col("new_doc") != F.col("old_doc"))
+        .select(
+            "new_doc",
+            "old_doc",
+            dot(F.col("new_emb"), F.col("old_emb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("new_doc").orderBy(
+                    F.col("cos_sim").desc(), F.col("old_doc")
+                )
+            ),
+        )
+        .filter("rk = 1")
+        .select(
+            F.col("new_doc").alias("doc_id"),
+            F.col("old_doc").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select("doc_id", "dup_of", "cos_sim")
+    )
+
+
+def attach_semantic_dedup_stream(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    flags_path: str,
+    tau: float = _SEM_TAU,
+    on_summary: Callable[[dict], None] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Semantic twin of ``attach_near_dup_stream``: arriving documents
+    are encoded in-plan and flagged against the attach-time corpus
+    embedding buckets. Identical delivery contract — distributed
+    exactly-once flags via ``IdempotentParquetSink``, one bounded
+    summary per COMMITTED batch id, corpus frames unpersisted on query
+    termination."""
+    corpus_emb = corpus_embedding_buckets(corpus_docs).persist()
+    corpus_emb.count()  # materialize before the stream starts
+    sink = IdempotentParquetSink(flags_path)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = semantic_dup_flags_batch(batch_df, corpus_emb, tau)
+        status = sink(flags, batch_id)
+        if on_summary is None or status != "committed":
+            return
+        bdir = os.path.join(flags_path, f"batch_id={batch_id}")
+        row = (
+            batch_df.sparkSession.read.parquet(bdir)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.count("dup_of").alias("n_flagged"),
+            )
+            .first()
+        )
+        on_summary(
+            {
+                "batch_id": batch_id,
+                "n_docs": row["n_docs"],
+                "n_flagged": row["n_flagged"],
+            }
+        )
+
+    writer = doc_stream.writeStream.outputMode("append").foreachBatch(
+        on_batch
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    _unpersist_on_termination(
+        doc_stream.sparkSession, query.id, [corpus_emb]
+    )
+    return query
+
+
 def _unpersist_on_termination(spark, query_id, frames) -> None:
     """Register a one-shot ``StreamingQueryListener`` that unpersists
     ``frames`` when the query with ``query_id`` terminates (stop or

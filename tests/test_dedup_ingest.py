@@ -214,3 +214,148 @@ def test_hot_path_has_no_flag_collect():
     src = inspect.getsource(dedup_ingest.attach_near_dup_stream)
     assert "flags.collect()" not in src
     assert "IdempotentParquetSink" in inspect.getsource(dedup_ingest)
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding) ingest tier — round 10
+# --------------------------------------------------------------------------
+
+
+def test_semantic_stream_flags_equal_batch_flags(spark, sf_dir, tmp_path, corpus):
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+    from streamlit_flink_demo_spark.streaming.dedup_ingest import (
+        attach_semantic_dedup_stream,
+        corpus_embedding_buckets,
+        semantic_dup_flags_batch,
+    )
+
+    new_docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(u60(F.col("doc_id").cast("string")) % 100 >= 90)
+    )
+    spool = str(tmp_path / "spool")
+    pdf = new_docs.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    _spool_batches(spark, spool, (pdf.iloc[:half], pdf.iloc[half:]))
+
+    flags_path = str(tmp_path / "flags")
+    summaries: list[dict] = []
+    q = attach_semantic_dedup_stream(
+        _doc_stream(spark, spool),
+        corpus,
+        flags_path,
+        on_summary=summaries.append,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["dup_of"], r["cos_sim"])
+        for r in IdempotentParquetSink(flags_path)
+        .read_committed(spark)
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (r["dup_of"], r["cos_sim"])
+        for r in semantic_dup_flags_batch(
+            new_docs, corpus_embedding_buckets(corpus)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(pdf)
+    assert sorted(s["batch_id"] for s in summaries) == [0, 1]
+    assert sum(s["n_docs"] for s in summaries) == len(pdf)
+
+
+def test_semantic_planted_paraphrase_is_caught(spark, tmp_path, corpus):
+    """A word-order permutation of a corpus doc has the IDENTICAL
+    bag-of-words embedding (cosine 1.0) but a different shingle set —
+    the case the semantic tier exists for; a clean doc passes."""
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+    from streamlit_flink_demo_spark.streaming.dedup_ingest import (
+        attach_semantic_dedup_stream,
+    )
+
+    src = corpus.limit(1).collect()[0]
+    words = src["text"].split()
+    rows = [
+        (900001, " ".join(reversed(words))),
+        (900002, "entirely novel vocabulary nowhere else present "
+                 + " ".join(f"qzx{i}" for i in range(30))),
+    ]
+    spool = str(tmp_path / "spool")
+    _spool_batches(spark, spool, [rows], schema="doc_id long, text string")
+
+    flags_path = str(tmp_path / "flags")
+    q = attach_semantic_dedup_stream(
+        _doc_stream(spark, spool), corpus, flags_path
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["dup_of"], r["cos_sim"])
+        for r in IdempotentParquetSink(flags_path)
+        .read_committed(spark)
+        .collect()
+    }
+    assert got[900001][0] is not None  # permuted copy flagged
+    assert got[900001][1] >= 0.97
+    assert got[900002] == (None, None)
+
+
+def test_semantic_summaries_fire_once_across_restart(spark, tmp_path, corpus):
+    """Replayed committed batches must NOT re-fire on_summary (ADVICE
+    r9: summaries are exactly-once per batch id, keyed off the sink's
+    committed/replayed status)."""
+    from streamlit_flink_demo_spark.streaming.dedup_ingest import (
+        attach_semantic_dedup_stream,
+    )
+
+    spool = str(tmp_path / "spool")
+    ck = str(tmp_path / "ck")
+    flags_path = str(tmp_path / "flags")
+    rows0 = [(910001, "alpha beta gamma delta epsilon zeta")]
+    _spool_batches(spark, spool, [rows0], schema="doc_id long, text string")
+
+    summaries: list[dict] = []
+    q = attach_semantic_dedup_stream(
+        _doc_stream(spark, spool), corpus, flags_path,
+        on_summary=summaries.append, checkpoint_dir=ck,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [s["batch_id"] for s in summaries] == [0]
+
+    # restart from the same checkpoint with one new file: batch 0 may
+    # replay through foreachBatch, but only batch 1 may summarize
+    staging = os.path.join(spool, "_s9")
+    import pyspark.sql  # noqa: F401
+
+    spark.createDataFrame(
+        [(910003, "nu xi omicron pi rho sigma tau")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+    os.replace(os.path.join(staging, f), os.path.join(spool, "b9999.parquet"))
+
+    q2 = attach_semantic_dedup_stream(
+        _doc_stream(spark, spool), corpus, flags_path,
+        on_summary=summaries.append, checkpoint_dir=ck,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(s["batch_id"] for s in summaries) == [0, 1]
