@@ -474,16 +474,21 @@ def test_semdedup_single_prune_exchange(spark, sf_dir):
 
 def test_topngram_single_explode_chain_no_python(spark, sf_dir):
     """text_topngram derives all three gram widths from the split
-    array in ONE projection + ONE explode — the ONLY window left is
-    the per-(doc,n) argmax rank (the earlier lead-window formulation
-    exchanged the whole token stream on doc_id first); counting +
-    argmax are pure JVM aggregations, zero Python eval nodes."""
+    array in ONE projection + ONE explode, behind ONE exchange: the
+    round-10 rewrite repartitions by doc_id BEFORE the explode (raw
+    text bytes move once, not the ~9x gram expansion), so the gram
+    count AND the per-(doc,n) top-1 (min_by over the (-cnt, gram)
+    ordering struct) both run exchange-free — zero Window nodes, zero
+    joins, zero Python eval nodes."""
     import re
 
     p = plan_str(fresh("text_topngram")(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 0
     assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
-    assert "WindowGroupLimit" in p  # rk=1 pushed into the window sort
+    # exactly one exchange, and it is the pre-explode doc_id
+    # repartition — not a post-explode aggregate shuffle
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "REPARTITION_BY_COL" in p
     assert "EvalPython" not in p
     assert "SortMergeJoin" not in p  # no join at all: len_t rides the agg
 

@@ -65,10 +65,11 @@ OPS = (
     "docs_embed_search",
     "corpus_suffix_array",
     "docs_bloom_dedup",
-    # round 10
-    "corpus_suffix_array_sharded",
-    "dedup_sa_span_rewrite",
+    # round 10 (construction scaling for the suffix family lives in
+    # tools/suffix_scale.py — this harness's best-of-2 would report
+    # their post-build probe floor, the SCALE.md round-9 caveat)
     "ann_ivf_incremental_topk",
+    "ann_lsh_incremental_topk",
 )
 
 
