@@ -69,6 +69,17 @@ def main() -> int:
     kept_n = kept_e.join(near_dupes, "doc_id", "left_anti")
     print(f"after near-dup dedup: {kept_n.count()}")
 
+    # 3b. exact repeated-SPAN removal (round 10): the suffix-array
+    # tier cuts >=24-char corpus-repeated regions inside surviving
+    # docs — doc-level dedup can't see these (Lee et al. 2022)
+    sa_rw = reg["dedup_sa_span_rewrite"].fn(spark, sf_dir)
+    cut = sa_rw.agg(
+        F.sum("chars_removed").alias("chars"),
+        F.sum("n_spans_removed").alias("spans"),
+    ).first()
+    print(f"SA span removal: {cut['spans']} repeated spans "
+          f"({cut['chars']} chars) cut across the corpus")
+
     # 4-5. embed + semantic dedup summary (encoder runs inside both)
     sem = reg["docs_embed_semdedup"].fn(spark, sf_dir)
     dropped = sem.agg(F.sum("n_dropped")).first()[0]

@@ -139,6 +139,40 @@ def commit_delta(
             fcntl.flock(lk, fcntl.LOCK_UN)
 
 
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = ("vec_id",),
+) -> bool:
+    """Major compaction: fold base ``data/`` plus every committed
+    delta into a FRESH artifact version (one well-partitioned layout,
+    no delta list) and publish it atomically via the symlink swap —
+    the compact_sink discipline applied to index artifacts. Daily
+    appends accumulate small delta directories whose per-probe listing
+    and open cost grows with delta count; compaction restores the
+    build-once layout without retraining anything (meta.json — and
+    with it the frozen quantizer — carries over verbatim, minus the
+    folded deltas). Returns False when there is nothing to fold."""
+    live = os.path.realpath(path)
+    meta = _read_meta(live)
+    if not meta.get("deltas"):
+        return False
+    merged = read_index_data(spark, path)
+    tmp = f"{path}.tmp-compact-{os.getpid()}"
+    (
+        merged.repartition(*partition_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(os.path.join(tmp, "data"))
+    )
+    new_meta = {k: v for k, v in meta.items() if k != "deltas"}
+    _write_meta(tmp, new_meta)
+    _publish_artifact(tmp, path)
+    return True
+
+
 # --------------------------------------------------------------------------
 # LSH: base build on the 90% slice + signature-only append
 # --------------------------------------------------------------------------
@@ -309,6 +343,85 @@ def append_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cluster")
+            .parquet(staging)
+        )
+
+    commit_delta(path, f"new{_NEW_PCT}:{fp}", write)
+    return path
+
+
+# --------------------------------------------------------------------------
+# PQ: codebooks trained on the base slice, FROZEN for appends
+# --------------------------------------------------------------------------
+
+
+def build_pq_base_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """PQ code artifact over the stable 90% slice with the codebooks
+    trained on THAT slice and frozen in meta.json — appends encode
+    with the stored books, never retrain (retrained books would remap
+    every existing code silently). Same commit/read machinery as the
+    LSH/IVF paths; probe parity under the frozen books is pinned in
+    tests/test_incremental.py (the oracle-level append ≡ rebuild proof
+    lives on the LSH/IVF queries, which exercise the identical delta
+    mechanism)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _PQ_DSUB,
+        _PQ_KSUB,
+        _PQ_M,
+        _PQ_TRAIN_SAMPLE,
+        _pq_codebooks_np,
+        _pq_encode_arrow,
+    )
+
+    out = _index_dir("pq_base", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "m": _PQ_M,
+        "ksub": _PQ_KSUB,
+        "dsub": _PQ_DSUB,
+        "train_sample": _PQ_TRAIN_SAMPLE,
+        "slice": f"base{_NEW_PCT}",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    base = load_spread(spark, sf_dir, "embeddings").filter(
+        _split_col() < _NEW_PCT
+    )
+    books = _pq_codebooks_np(base)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        _pq_encode_arrow(base, books)
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params, "codebooks": books.tolist()})
+    _publish_artifact(tmp, out)
+    return out
+
+
+def append_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Encode the 10% new slice with the FROZEN base codebooks (exact
+    float64 JSON round-trip) and commit the codes as a delta."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _pq_encode_arrow,
+    )
+
+    path = build_pq_base_index(spark, sf_dir)
+    meta = _read_meta(os.path.realpath(path))
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    fp = _embeddings_fingerprint(sf_dir)
+
+    def write(staging: str) -> None:
+        new = load_spread(spark, sf_dir, "embeddings").filter(
+            _split_col() >= _NEW_PCT
+        )
+        (
+            _pq_encode_arrow(new, books)
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
             .parquet(staging)
         )
 

@@ -117,3 +117,47 @@ def test_base_quantizer_trained_on_base_slice_only(spark, sf_dir, artifact_root)
     got = np.array(meta["centroids"], dtype=np.float64)
     assert got.shape == want.shape
     assert np.array_equal(got, want)  # exact: JSON float64 round-trip
+
+
+def test_compaction_folds_deltas_probe_identical(spark, sf_dir, artifact_root):
+    """compact_index folds base + deltas into a fresh version: delta
+    list empties, the frozen quantizer carries over verbatim, probe
+    results are bit-identical, and a second compaction is a no-op."""
+    path = inc.append_ivf_index(spark, sf_dir)
+    before_meta = _live_meta(path)
+    assert len(before_meta["deltas"]) == 1
+    before = sorted(map(tuple, inc.read_index_data(spark, path).collect()))
+
+    assert inc.compact_index(spark, path, ("cluster",)) is True
+    after_meta = _live_meta(path)
+    assert after_meta.get("deltas", []) == []
+    assert after_meta["centroids"] == before_meta["centroids"]
+    after = sorted(map(tuple, inc.read_index_data(spark, path).collect()))
+    assert after == before
+
+    assert inc.compact_index(spark, path, ("cluster",)) is False  # no-op
+
+
+def test_pq_append_codes_match_fresh_encode(spark, sf_dir, artifact_root):
+    """base-build + append codes == one fresh encode of the FULL
+    corpus under the frozen base codebooks — byte-identical code
+    arrays per vec_id (PQ shares the LSH/IVF delta machinery; this
+    pins the frozen-codebook contract)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _pq_encode_arrow,
+    )
+
+    path = inc.append_pq_index(spark, sf_dir)
+    meta = _live_meta(path)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+
+    got = {
+        r["vec_id"]: list(r["code"])
+        for r in inc.read_index_data(spark, path).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    want = {
+        r["vec_id"]: list(r["code"])
+        for r in _pq_encode_arrow(e, books).collect()
+    }
+    assert got == want and len(got) > 0
