@@ -494,6 +494,114 @@ def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_SHARD_ORACLE = f"""
+WITH pos AS (
+  SELECT {u60_sql("CAST(doc_id AS VARCHAR)")} % {_SA_SHARDS} AS shard,
+         doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT shard, doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sfx, doc_id, p) - 1
+           AS r
+  FROM pos
+),
+adj AS (
+  SELECT a.doc_id AS a_doc, a.p AS a_p, a.s64 AS a_s,
+         b.doc_id AS b_doc, b.p AS b_p, b.s64 AS b_s
+  FROM sa a JOIN sa b ON b.shard = a.shard AND b.r = a.r + 1
+),
+pairs AS (
+  SELECT a_doc, a_p, b_doc, b_p,
+         (CASE WHEN mp = 0 THEN least(length(a_s), length(b_s))
+               ELSE mp - 1 END)::BIGINT AS lcp
+  FROM (
+    SELECT *, list_position(
+      [ (CASE WHEN d < length(a_s) THEN a_s[d+1] END)
+          IS DISTINCT FROM
+        (CASE WHEN d < length(b_s) THEN b_s[d+1] END)
+        for d in range({_LCP_CAP}) ], true) AS mp
+    FROM adj
+  )
+),
+credited AS (
+  SELECT a_doc AS doc_id, a_p AS p, lcp FROM pairs
+  UNION ALL
+  SELECT b_doc, b_p, lcp FROM pairs
+)
+SELECT doc_id,
+       CAST(MAX(lcp) AS BIGINT) AS max_repeat,
+       CAST(SUM(CASE WHEN lcp >= 24 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_positions
+FROM credited GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_longest_repeat_sharded",
+    oracle=_LR_SHARD_ORACLE,
+    tags=("dedup", "suffix", "index"),
+    expose=False,
+)
+def corpus_longest_repeat_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest repeated substring per document computed WITHIN each
+    shard's suffix array — the statistic a sharded Lee-et-al
+    deployment actually serves: adjacency never crosses shards, so
+    cross-shard repeats are invisible by design (the trade sharding
+    makes; shard size is the knob). The oracle replays the per-shard
+    chain, so a green row proves the sharded index answers the
+    within-shard query bit-for-bit — the verification the sharded
+    construction exists to enable."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = suffix_ranks(
+        docs, spark, shard_col=u60(F.col("doc_id").cast("string")) % _SA_SHARDS
+    )
+    with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        "shard",
+        "doc_id",
+        "p",
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    a = with_txt.alias("a")
+    b = with_txt.select(
+        F.col("shard").alias("b_shard"),
+        (F.col("sa_rank") - 1).alias("prev_rank"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("p").alias("b_p"),
+        F.col("s64").alias("b_s64"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.shard") == F.col("b_shard"))
+        & (F.col("a.sa_rank") == F.col("prev_rank")),
+    ).select(
+        F.col("a.doc_id").alias("a_doc"),
+        F.col("a.p").alias("a_p"),
+        "b_doc",
+        "b_p",
+        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+    )
+    credited = pairs.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
+    ).unionAll(
+        pairs.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
+        )
+    )
+    return credited.groupBy("doc_id").agg(
+        F.max("lcp").cast("bigint").alias("max_repeat"),
+        F.sum(F.when(F.col("lcp") >= 24, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_long_positions"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact span REMOVAL via the suffix array — the action the index is for
 # --------------------------------------------------------------------------
