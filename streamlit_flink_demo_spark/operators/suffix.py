@@ -865,3 +865,218 @@ def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_removed"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact train/eval contamination via the suffix array
+# --------------------------------------------------------------------------
+# docs_eval_contamination (operators/pipeline.py) measures SHINGLE
+# overlap; this is the exact tier Lee et al. 2022 run for train-test
+# leakage: for every EVAL document, the longest character-exact
+# substring it shares with ANY TRAIN document. SA property: among the
+# train suffixes, the one maximizing LCP with an eval suffix is one of
+# its two NEAREST train neighbors in suffix order — so the whole
+# corpus-cross-corpus match problem reduces to a nearest-other-set
+# scan over rank order plus two LCPs per eval position.
+#
+# The scan is the distributed-prefix-scan shape: range-partition by
+# rank (localCheckpoint pins the partitioning — same fail-stop
+# contract as _global_group_rank), in-partition running last/next
+# train rank via two windows over ONE exchange, and cross-partition
+# boundary fill from a bounded collect (per-partition train-rank
+# extremes, prefix/suffix-folded on the driver, shipped back as two
+# literal maps). Driver state: two values per shuffle partition.
+
+_CONTAM_T = 24  # chars: position counts as contaminated at >= this
+
+
+def _nearest_train_scan(flagged: DataFrame) -> DataFrame:
+    """Input: (shard-free) SA rows flagged is_train. Output: the EVAL
+    rows with prev_tr / next_tr = nearest train ranks in SA order
+    (null when none exists on that side)."""
+    from pyspark.sql import Window as W
+
+    rp = (
+        flagged.repartitionByRange("sa_rank")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ext = {
+        r["_pid"]: (r["mn"], r["mx"])
+        for r in rp.filter("is_train")
+        .groupBy("_pid")
+        .agg(F.min("sa_rank").alias("mn"), F.max("sa_rank").alias("mx"))
+        .collect()
+    }
+    pids = sorted(r["_pid"] for r in rp.select("_pid").distinct().collect())
+    prev_fill: dict[int, int] = {}
+    next_fill: dict[int, int] = {}
+    run = None
+    for pid in pids:
+        if run is not None:
+            prev_fill[pid] = run
+        if pid in ext:
+            run = ext[pid][1]
+    run = None
+    for pid in reversed(pids):
+        if run is not None:
+            next_fill[pid] = run
+        if pid in ext:
+            run = ext[pid][0]
+    pmap = (
+        F.create_map(*[F.lit(x) for kv in prev_fill.items() for x in kv])
+        if prev_fill
+        else F.lit(None)
+    )
+    nmap = (
+        F.create_map(*[F.lit(x) for kv in next_fill.items() for x in kv])
+        if next_fill
+        else F.lit(None)
+    )
+    tr_rank = F.when(F.col("is_train"), F.col("sa_rank"))
+    wf = W.partitionBy("_pid").orderBy("sa_rank").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wb = W.partitionBy("_pid").orderBy(F.col("sa_rank").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    out = rp.withColumn(
+        "prev_tr",
+        F.coalesce(
+            F.last(tr_rank, ignorenulls=True).over(wf),
+            pmap[F.col("_pid")] if prev_fill else F.lit(None),
+        ),
+    ).withColumn(
+        "next_tr",
+        F.coalesce(
+            F.last(tr_rank, ignorenulls=True).over(wb),
+            nmap[F.col("_pid")] if next_fill else F.lit(None),
+        ),
+    )
+    return out.filter(~F.col("is_train")).drop("_pid", "is_train")
+
+
+_TRAIN_SQL = f"({u60_sql('CAST(doc_id AS VARCHAR)')} % 100) < 90"
+_TRAIN_SQL_D = f"({u60_sql('CAST(d.doc_id AS VARCHAR)')} % 100) < 90"
+
+_CONTAM_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+sa AS (
+  SELECT doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
+         ROW_NUMBER() OVER (ORDER BY sfx, doc_id, p) - 1 AS r,
+         {_TRAIN_SQL} AS is_train
+  FROM pos
+),
+nb AS (
+  SELECT doc_id, p, s64, is_train,
+         MAX(CASE WHEN is_train THEN r END) OVER (
+           ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_tr,
+         MIN(CASE WHEN is_train THEN r END) OVER (
+           ORDER BY r ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_tr
+  FROM sa
+),
+cand AS (
+  SELECT e.doc_id, e.p, e.s64 AS a_s, t.s64 AS b_s
+  FROM (SELECT * FROM nb WHERE NOT is_train) e
+  JOIN sa t ON t.is_train AND (t.r = e.prev_tr OR t.r = e.next_tr)
+),
+pairs AS (
+  SELECT doc_id, p,
+         (CASE WHEN mp = 0 THEN least(length(a_s), length(b_s))
+               ELSE mp - 1 END)::BIGINT AS lcp
+  FROM (
+    SELECT *, list_position(
+      [ (CASE WHEN d < length(a_s) THEN a_s[d+1] END)
+          IS DISTINCT FROM
+        (CASE WHEN d < length(b_s) THEN b_s[d+1] END)
+        for d in range({_LCP_CAP}) ], true) AS mp
+    FROM cand
+  )
+),
+best AS (
+  SELECT doc_id, p, MAX(lcp) AS m FROM pairs GROUP BY doc_id, p
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(MAX(m) AS BIGINT) AS max_train_match,
+         CAST(SUM(CASE WHEN m >= {_CONTAM_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_positions
+  FROM best GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.max_train_match, 0) AS max_train_match,
+       COALESCE(p.n_contaminated_positions, 0) AS n_contaminated_positions
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+WHERE NOT ({_TRAIN_SQL_D}) AND length(d.text) > 0
+"""
+
+
+@register(
+    "contamination_sa_exact",
+    oracle=_CONTAM_ORACLE,
+    tags=("pipeline", "contamination", "suffix"),
+    expose=False,
+)
+def contamination_sa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact train→eval contamination per eval document: the longest
+    character-exact substring shared with any train document (capped
+    at {_LCP_CAP}) and the count of eval positions whose match reaches
+    {_CONTAM_T} chars. Split = the engine's standard 90/10 hash split
+    (docs_train_eval_split convention). One shared SA construction
+    (the session memo), one nearest-other-set scan, two LCPs per eval
+    position — never an eval×train join. The oracle replays the whole
+    chain with global windows, so every match length is hash-checked."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    sa = _suffix_ranks_cached(spark, sf_dir, None)
+    is_train = (u60(F.col("doc_id").cast("string")) % 100) < 90
+    with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "p",
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+        is_train.alias("is_train"),
+    )
+    ev = _nearest_train_scan(with_txt)
+    tr = with_txt.filter("is_train").select(
+        F.col("sa_rank").alias("tr_rank"), F.col("s64").alias("tr_s64")
+    )
+    cand = (
+        ev.select(
+            "doc_id",
+            "p",
+            "s64",
+            F.explode(F.array("prev_tr", "next_tr")).alias("nbr"),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .join(tr, F.col("nbr") == F.col("tr_rank"))
+        .select(
+            "doc_id", "p", _lcp_expr(F.col("s64"), F.col("tr_s64")).alias("lcp")
+        )
+    )
+    best = cand.groupBy("doc_id", "p").agg(F.max("lcp").alias("m"))
+    per_doc = best.groupBy("doc_id").agg(
+        F.max("m").cast("bigint").alias("max_train_match"),
+        F.sum(F.when(F.col("m") >= _CONTAM_T, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated_positions"),
+    )
+    ev_docs = docs.filter(~is_train).select("doc_id")
+    return ev_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_train_match", F.lit(0))
+        .cast("bigint")
+        .alias("max_train_match"),
+        F.coalesce("n_contaminated_positions", F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_positions"),
+    )

@@ -166,3 +166,53 @@ def test_longest_repeat_on_planted_duplicates(spark, tmp_path):
     assert out[1][1] > 0  # long duplicated positions detected
     assert out[3][0] < 24  # unique doc: no long repeat
     assert out[3][1] == 0
+
+
+def test_sa_contamination_on_planted_eval_copy(spark, tmp_path):
+    """An eval doc copied verbatim from a train doc must report
+    max_train_match = min(len, cap); a unique eval doc stays below
+    the 24-char threshold. doc_ids are picked so the 90/10 hash split
+    puts them on the intended sides; with ~tiny input spread over 32
+    range partitions the nearest-train scan's cross-partition boundary
+    fill is exercised on nearly every row."""
+    import os
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
+    from streamlit_flink_demo_spark.operators.suffix import _LCP_CAP
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    # find concrete ids on each side of the split
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 400)], "doc_id bigint"
+    ).select(
+        "doc_id", (u60(F.col("doc_id").cast("string")) % 100).alias("b")
+    )
+    rows_b = {r.doc_id: r.b for r in ids.collect()}
+    train_ids = [i for i, b in rows_b.items() if b < 90][:2]
+    eval_ids = [i for i, b in rows_b.items() if b >= 90][:2]
+    assert len(train_ids) == 2 and len(eval_ids) == 2
+
+    shared = "this exact sentence appears in a training document verbatim"
+    rows = [
+        (train_ids[0], shared + " plus trailing train only material"),
+        (train_ids[1], "other unrelated training text entirely here"),
+        (eval_ids[0], "eval preamble " + shared + " eval tail words"),
+        (eval_ids[1], "wq zx vb nm completely novel eval only content"),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        r.doc_id: (r.max_train_match, r.n_contaminated_positions)
+        for r in REGISTRY["contamination_sa_exact"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    }
+    assert set(out) == set(eval_ids)
+    assert out[eval_ids[0]][0] >= min(len(shared), _LCP_CAP)
+    assert out[eval_ids[0]][1] > 0
+    assert out[eval_ids[1]][0] < 24
+    assert out[eval_ids[1]][1] == 0
