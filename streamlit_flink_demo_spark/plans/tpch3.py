@@ -431,13 +431,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ONE per-order aggregate: n_suppliers ≥ 2 ⟺ the EXISTS;
     n_suppliers_with_R = 1 (given l1 itself is R) ⟺ the NOT EXISTS.
     At 100 TB that is one extra orderkey-partitioned aggregate over
-    two key columns versus three scans of the fact table."""
+    two key columns versus three scans of the fact table. The two
+    COUNT(DISTINCT)s are decomposed through a (orderkey, suppkey)
+    pre-aggregate instead of Catalyst's Expand strategy: Expand
+    replicates every fact row once per DISTINCT aggregate before the
+    shuffle, while the pair-level partial ships each distinct pair
+    once and derives both counts from |pairs| rows (the
+    supplier_part_diversity rewrite, SCALE.md round-10)."""
     l = load_table(spark, sf_dir, "lineitem")
-    ord_stats = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    ord_stats = pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_supp_r"),
     )
     o = (
         load_table(spark, sf_dir, "orders")
