@@ -440,3 +440,88 @@ def text_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_frac_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (UniMax / T5-style α-sampling)
+# --------------------------------------------------------------------------
+# docs_domain_mix rebalances toward a FIXED recipe; multilingual
+# pipelines instead derive the recipe FROM the data with temperature
+# sampling: p_lang ∝ n_lang^α flattens the head languages so low-
+# resource ones aren't drowned (α=1 is proportional, α=0 uniform).
+# α = 0.5 here — inside the range the T5/mT5 ablations use — and
+# deliberately exactly sqrt: IEEE 754 requires sqrt to be correctly
+# rounded, so Spark (java.lang.Math.sqrt) and the DuckDB oracle
+# (libm sqrt) produce bit-identical weights, which a pow(x, 0.3)
+# formulation cannot guarantee across engines. Weights are then
+# floor-scaled to integer parts-per-million and summed as BIGINTs, so
+# the normalizing denominator is order-independent (double summation
+# across groups is not).
+
+
+@register(
+    "docs_lang_temperature_mix",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS weight_ppm
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(weight_ppm) AS BIGINT) AS w_total
+  FROM per_lang
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       weight_ppm,
+       LEAST(1.0, ((CAST(weight_ppm AS DOUBLE) / CAST(w_total AS DOUBLE))
+                   * CAST(total_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE))
+         AS rate,
+       CAST(FLOOR(LEAST(1.0, ((CAST(weight_ppm AS DOUBLE)
+                               / CAST(w_total AS DOUBLE))
+                              * CAST(total_docs AS DOUBLE))
+                             / CAST(n_docs AS DOUBLE))
+                  * CAST(n_docs AS DOUBLE)) AS BIGINT) AS expected_kept
+FROM per_lang, tot
+""",
+    tags=("pipeline", "sampling", "mixture"),
+    expose=False,
+)
+def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-derived language mix (α = 0.5): per-language target
+    share ∝ sqrt(n_lang), then the same rate/expected-kept derivation
+    as docs_domain_mix (rate capped at 1; upsampling is a loader
+    concern). Same scale shape too: one map-side-combined count per
+    language, a broadcast single-row total, no second corpus scan —
+    the whole mixture computation is |languages| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    per = per.withColumn(
+        "weight_ppm",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("weight_ppm").cast("bigint").alias("w_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.col("weight_ppm").cast("double") / F.col("w_total").cast("double"))
+            * F.col("total_docs").cast("double")
+        )
+        / F.col("n_docs").cast("double"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "weight_ppm",
+        rate.alias("rate"),
+        F.floor(rate * F.col("n_docs").cast("double"))
+        .cast("bigint")
+        .alias("expected_kept"),
+    )
