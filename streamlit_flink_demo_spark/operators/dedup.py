@@ -1681,9 +1681,9 @@ FROM flags f LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON f.h = c.h
     expose=False,
 )
 def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Bloom-filter cross-snapshot dedup: the stable 90% corpus slice
+    """Bloom-filter cross-snapshot dedup: the stable 90% corpus slice
     (dedup_incremental's hash split) builds a deterministic
-    {_BLOOM_K}-hash Bloom filter over content digests; the new 10%
+    3-hash (_BLOOM_K) Bloom filter over content digests; the new 10%
     slice probes it. Output per new doc: bloom verdict, exact-join
     ground truth, and the false-positive flag — all value-checked
     against the oracle's replay of the identical filter. NOTE: the

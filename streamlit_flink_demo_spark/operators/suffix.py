@@ -382,7 +382,7 @@ FROM sa GROUP BY doc_id
     expose=False,
 )
 def corpus_suffix_array_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard suffix arrays (hash(doc_id) % {_SA_SHARDS} shards),
+    """Per-shard suffix arrays (hash(doc_id) % 4 (_SA_SHARDS) shards),
     summarized per document exactly like ``corpus_suffix_array`` but
     with within-shard ranks — the oracle sorts materialized suffixes
     PARTITIONED BY shard, so a green row proves each shard's array is
@@ -825,7 +825,7 @@ WHERE length(d.text) > 0
 def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Lee-et-al-style span removal driven by the suffix array:
     merged character-exact repeated regions (adjacent-rank LCP >=
-    {_MIN_REPEAT}, capped at {_LCP_CAP}) are cut from every document.
+    24 (_MIN_REPEAT), capped at 64 (_LCP_CAP)) are cut from every doc.
     Returns per-doc accounting plus the md5 of the cleaned text; the
     oracle replays the whole chain — SA order, LCPs, interval merge,
     character-level cut — so the rewrite surface is value-exact.
@@ -1028,8 +1028,8 @@ WHERE NOT ({_TRAIN_SQL_D}) AND length(d.text) > 0
 def contamination_sa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact train→eval contamination per eval document: the longest
     character-exact substring shared with any train document (capped
-    at {_LCP_CAP}) and the count of eval positions whose match reaches
-    {_CONTAM_T} chars. Split = the engine's standard 90/10 hash split
+    at 64, _LCP_CAP) and the count of eval positions whose match
+    reaches 24 (_CONTAM_T) chars. Split = the engine's standard 90/10 hash split
     (docs_train_eval_split convention). One shared SA construction
     (the session memo), one nearest-other-set scan, two LCPs per eval
     position — never an eval×train join. The oracle replays the whole
@@ -1134,8 +1134,8 @@ GROUP BY gram
 )
 def corpus_gram_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact occurrence count + document frequency for a probe set of
-    {_GRAM_W}-char patterns (every overlapping position counts — the
-    infini-gram count API). The probe set derives deterministically
+    16-char (_GRAM_W) patterns (every overlapping position counts —
+    the infini-gram count API). The probe set derives deterministically
     from the corpus (one mid-document gram from each doc in a 1/17
     hash sample) so both engines compute it independently. Plan: one
     corpus scan → per-position gram → map-side broadcast-hash join

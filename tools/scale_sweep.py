@@ -70,6 +70,10 @@ OPS = (
     # their post-build probe floor, the SCALE.md round-9 caveat)
     "ann_ivf_incremental_topk",
     "ann_lsh_incremental_topk",
+    # round 10 continuation: gram-count lookup is scan+probe per call
+    # (no build artifact), temperature mix is one map-side-combined agg
+    "corpus_gram_lookup",
+    "docs_lang_temperature_mix",
 )
 
 
