@@ -1252,3 +1252,95 @@ def corpus_suffix_array_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distinct-substring counting — the SA+LCP identity, independently checked
+# --------------------------------------------------------------------------
+# A corpus's count of DISTINCT substrings (bounded here at length <= 24
+# so both engines stay finite) is the classic suffix-array identity:
+# in suffix order, suffix i introduces exactly
+# min(len_i, K) - min(LCP(i, i-1), K) new substrings of length <= K,
+# because the lexicographic PREDECESSOR maximizes the common prefix
+# against all earlier suffixes. So the count is two global sums over
+# the SA — while the oracle computes the same number by literally
+# materializing every substring and COUNT(DISTINCT)ing it. The two
+# formulations share NO intermediate: a green row re-derives the
+# entire suffix order + LCP machinery through an independent method
+# (the strongest cross-check in the SA family). The statistic itself
+# is the vocabulary-richness / template-detection measure: a corpus of
+# near-copies has far fewer distinct substrings per position than
+# fresh text.
+
+_DSUB_K = 24  # substring length bound (= _CONTAM_T / _MIN_REPEAT)
+
+
+_DSUB_ORACLE = f"""
+WITH pos AS (
+  SELECT substr(text, k + 1, {_LCP_CAP}) AS sfx
+  FROM (
+    SELECT text, unnest(range(0, length(text))) AS k
+    FROM documents WHERE length(text) > 0
+  )
+),
+subs AS (
+  SELECT DISTINCT substr(sfx, 1, w.w) AS s
+  FROM pos, (SELECT unnest(range(1, {_DSUB_K + 1})) AS w) w
+  WHERE w.w <= length(sfx)
+)
+SELECT (SELECT COUNT(*) FROM pos)::BIGINT AS n_positions,
+       (SELECT SUM(LEAST(length(sfx), {_DSUB_K})) FROM pos)::BIGINT
+         AS sum_capped_len,
+       (SELECT COUNT(*) FROM subs)::BIGINT AS n_distinct_le24
+"""
+
+
+@register(
+    "corpus_distinct_substrings",
+    oracle=_DSUB_ORACLE,
+    tags=("dedup", "suffix", "index"),
+    expose=False,
+)
+def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of distinct substrings of length <= 24 (_DSUB_K) in the
+    corpus, computed from the suffix array WITHOUT materializing any
+    substring: sum of per-suffix capped lengths minus the sum of
+    capped adjacent-rank LCPs (each suffix's predecessor already
+    covers exactly its LCP-prefixes). One shared SA construction (the
+    session memo), one adjacent-rank exchange, two scalar sums. The
+    oracle has no suffix array at all — it materializes all
+    position x width substrings and COUNT(DISTINCT)s them — so a
+    match validates the full suffix order + LCP chain by a method
+    that shares no intermediate with the engine."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = _suffix_ranks_cached(spark, sf_dir, None)
+    with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    caplen = F.least(F.lit(_DSUB_K), F.length("s64"))
+    base = with_txt.agg(
+        F.count("*").cast("bigint").alias("n_positions"),
+        F.sum(caplen).cast("bigint").alias("sum_capped_len"),
+    )
+    a = with_txt.alias("a")
+    b = with_txt.select(
+        (F.col("sa_rank") - 1).alias("prev_rank"),
+        F.col("s64").alias("b_s64"),
+    )
+    lcp_sum = (
+        a.join(b, F.col("a.sa_rank") == F.col("prev_rank"))
+        .select(
+            F.least(
+                F.lit(_DSUB_K), _lcp_expr(F.col("a.s64"), F.col("b_s64"))
+            ).alias("l")
+        )
+        .agg(F.coalesce(F.sum("l"), F.lit(0)).cast("bigint").alias("lcp_total"))
+    )
+    return base.crossJoin(F.broadcast(lcp_sum)).select(
+        "n_positions",
+        "sum_capped_len",
+        (F.col("sum_capped_len") - F.col("lcp_total"))
+        .cast("bigint")
+        .alias("n_distinct_le24"),
+    )
