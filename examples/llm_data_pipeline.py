@@ -13,7 +13,11 @@ code the driver's oracle gate checks), wired over one SparkSession:
                              sentence-transformers tier in prod)
       5. semantic dedup      docs_embed_semdedup summary
       6. similar-doc search  docs_embed_search (top-k per probe doc)
-      7. shard               sinks.write_training_shards (deterministic
+      7. contamination gate  contamination_sa_exact (exact train->eval
+                             leakage via the suffix array)
+      8. language mix        docs_lang_temperature_mix (UniMax-style
+                             alpha=0.5 recipe for the loader)
+      9. shard               sinks.write_training_shards (deterministic
                              order, resumable)
 
 Run:  python examples/llm_data_pipeline.py [sf_dir]
@@ -92,7 +96,22 @@ def main() -> int:
     for r in topk.filter(F.col("rk") == 1).orderBy("q_id").collect():
         print(f"  q{r.q_id} -> doc {r.doc_id} (cos {r.cos_sim:.3f})")
 
-    # 7. deterministic training shards of the surviving docs
+    # 7. eval-contamination gate (round 10 continuation): exact
+    # train->eval leakage via the suffix array — the release check
+    # that runs before the eval split is frozen
+    contam = reg["contamination_sa_exact"].fn(spark, sf_dir)
+    n_leaky = contam.filter(F.col("n_contaminated_positions") > 0).count()
+    print(f"contamination gate: {n_leaky} eval docs share a >=24-char "
+          f"span with train (of {contam.count()} eval docs)")
+
+    # 8. language-mix recipe for the loader (UniMax-style alpha=0.5)
+    mix = reg["docs_lang_temperature_mix"].fn(spark, sf_dir)
+    print("temperature language mix (lang: n_docs -> expected_kept):")
+    for r in mix.orderBy("lang").collect():
+        print(f"  {r.lang}: {r.n_docs} -> {r.expected_kept} "
+              f"(rate {r.rate:.3f})")
+
+    # 9. deterministic training shards of the surviving docs
     out = "/tmp/llm_pipeline_shards"
     surviving = docs.join(kept_n, "doc_id")
     sinks.write_training_shards(surviving, out, n_shards=4)
