@@ -1344,3 +1344,105 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_le24"),
     )
+
+
+# --------------------------------------------------------------------------
+# Variable-length pattern lookup — one scan serves every pattern width
+# --------------------------------------------------------------------------
+# corpus_gram_lookup probes a FIXED width; real lookup batches mix
+# lengths (phrases, code identifiers, memorized-string audits). The
+# distributed trick that keeps it ONE corpus scan for all widths: key
+# the position index on an 8-char SEED gram (_SA_SEED — the same seed
+# the suffix array sorts on first) and carry a capped extension; a
+# pattern of any length 8..36 joins on its first 8 chars and verifies
+# by prefix match against the extension. The seed join is a hash join
+# (broadcast here; bucket-pruned against the gram-index artifact at
+# production scale), so only seed-colliding positions ever reach the
+# verify — the distributed analogue of descending the suffix tree 8
+# chars at a time.
+
+_PAT_MAX = 36  # longest probe pattern (capped extension width)
+
+
+_PAT_LOOKUP_ORACLE = f"""
+WITH pats AS (
+  SELECT DISTINCT
+    substr(text, 17, 8 + ({u60_sql("CAST(doc_id AS VARCHAR)")} % 5) * 7)
+      AS pat
+  FROM documents
+  WHERE ({u60_sql("CAST(doc_id AS VARCHAR)")} % 23) = 5
+    AND length(text) >= 64
+),
+pos AS (
+  SELECT doc_id, substr(text, k + 1, {_PAT_MAX}) AS ext
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text) - 7)) AS k
+    FROM documents WHERE length(text) >= 8
+  )
+)
+SELECT pat,
+       CAST(length(pat) AS BIGINT) AS pat_len,
+       COUNT(*)::BIGINT AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pos JOIN pats
+  ON substr(pos.ext, 1, 8) = substr(pats.pat, 1, 8)
+ AND substr(pos.ext, 1, length(pats.pat)) = pats.pat
+GROUP BY pat
+"""
+
+
+@register(
+    "corpus_pattern_lookup",
+    oracle=_PAT_LOOKUP_ORACLE,
+    tags=("pipeline", "suffix", "lookup"),
+    expose=False,
+)
+def corpus_pattern_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length exact pattern counts (occurrences including
+    overlaps + document frequency) for a mixed-width probe set —
+    lengths 8/15/22/29/36, derived deterministically from a 1/23 hash
+    sample of the corpus so both engines compute the probe set
+    independently. ONE corpus scan serves every width: positions are
+    keyed by their 8-char seed gram and carry a 36-char (_PAT_MAX)
+    capped extension; each pattern hash-joins on its first 8 chars and
+    verifies by prefix equality. Counts come from the same two-level
+    (pattern, doc) aggregation as corpus_gram_lookup."""
+    docs = load_spread(spark, sf_dir, "documents")
+    h = u60(F.col("doc_id").cast("string"))
+    pats = (
+        docs.filter(((h % 23) == 5) & (F.length("text") >= 64))
+        .select(
+            F.col("text")
+            .substr(F.lit(17), (F.lit(8) + (h % 5) * 7).cast("int"))
+            .alias("pat")
+        )
+        .distinct()
+        .select("pat", F.col("pat").substr(1, _SA_SEED).alias("k8"))
+    )
+    pos = docs.filter(F.length("text") >= 8).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 8)).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("text").substr(F.col("p") + 1, F.lit(_PAT_MAX)).alias("ext"),
+    ).select(
+        "doc_id", "ext", F.col("ext").substr(1, _SA_SEED).alias("k8")
+    )
+    hits = pos.join(F.broadcast(pats), "k8").filter(
+        F.col("ext").substr(F.lit(1), F.length("pat")) == F.col("pat")
+    )
+    per_doc = hits.groupBy("pat", "doc_id").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("pat")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "pat",
+            F.length("pat").cast("bigint").alias("pat_len"),
+            "n_occurrences",
+            "n_docs",
+        )
+    )

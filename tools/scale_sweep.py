@@ -73,6 +73,7 @@ OPS = (
     # round 10 continuation: gram-count lookup is scan+probe per call
     # (no build artifact), temperature mix is one map-side-combined agg
     "corpus_gram_lookup",
+    "corpus_pattern_lookup",
     "docs_lang_temperature_mix",
 )
 
