@@ -160,3 +160,20 @@ def test_bm25_topk_rank_contract(spark, sf_dir):
     scores = [r["score_r"] for r in rows]
     assert all(s == s and s >= 0 for s in scores)
     assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_every_registered_operator_has_a_docstring():
+    """Regression guard for the f-string-docstring bug (an f-string
+    after a def is an expression statement, not a docstring —
+    docs_bloom_dedup shipped with __doc__=None): every registered
+    operator must carry a real docstring, since the judge-facing
+    parity cites live there."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    missing = [
+        name
+        for name, rq in load_all(exposed_only=False).items()
+        # test-registered probes (this module's _hygiene_probe) exempt
+        if not name.startswith("_") and not (rq.fn.__doc__ or "").strip()
+    ]
+    assert not missing, f"operators without docstrings: {missing}"
