@@ -1,0 +1,406 @@
+"""Hybrid retrieval and diversity selection over the documents corpus.
+
+Two curation-stage operators a production training-data / RAG pipeline
+runs after the ranking primitives exist:
+
+- **Hybrid search with reciprocal-rank fusion** (``docs_hybrid_search_rrf``):
+  fuse the lexical ranker (Okapi BM25, operators/text.py) and the
+  semantic ranker (hash-projection embedding cosine, operators/embed.py)
+  by RRF (Cormack et al. 2009): score(d) = Σ_legs 1/(C + rank_leg(d)),
+  C = 60 — the standard fusion for hybrid retrieval because it needs no
+  score calibration between legs, only ranks. Both legs are the
+  engine's existing oracle-verified rankers, so the fusion composes two
+  proven components; the oracle replays both legs AND the fusion, so
+  the whole hybrid result is value-checked.
+
+- **k-center diversity selection** (``docs_kcenter_diverse``): the
+  greedy farthest-point traversal (Gonzalez 1985) that diversity-aware
+  curation uses to pick a maximally-spread representative subset of a
+  corpus in embedding space (the 2-approximation of the k-center
+  objective). Iterative by nature: k-1 rounds of "argmax over the
+  corpus of min cosine-distance to the chosen set".
+
+Scale shape:
+- RRF: each leg is one corpus scan ending in TakeOrderedAndProject
+  (per-partition heaps, never a global sort); the fusion joins two
+  ≤K-row lists — driver-free, broadcast-sized. At 100 TB the legs ride
+  their own scale tiers (BM25's literal-stats scan; the ANN ladder in
+  operators/similarity.py stands above the exact-cosine leg) and the
+  fusion cost stays O(K).
+- k-center: k bounded collects of ONE row each (the argmax), k vectors
+  of driver state, and a final one-scan assignment — the k-means
+  trainer's bounded-collect discipline with an even smaller footprint.
+  Each round's min-dist is a ≤k-term JVM ``least`` over codegen dot
+  products; no Python, no shuffle (the corpus never exchanges — only
+  per-partition top-1 candidates move).
+
+Reference parity: the reference (confluentinc/streamlit-flink-demo)
+has no retrieval surface — these are training-data-pipeline extensions
+mandated by the build brief, not ports.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streamlit_flink_demo_spark.functions.vectors import dot, dot_sql
+from streamlit_flink_demo_spark.operators.embed import (
+    _EMB_DIM,
+    _embed_ctes,
+    _embed_frame,
+)
+from streamlit_flink_demo_spark.operators.text import (
+    _BM25_TERMS,
+    bm25_ctes,
+    bm25_scores,
+)
+from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.sources.catalog import load_spread
+
+_RRF_C = 60  # Cormack et al.'s constant
+_HY_K = 50  # per-leg candidate depth
+_HY_TOPK = 20  # fused result size
+
+
+def _py_u60(s: str) -> int:
+    """Python replica of functions.hashing.u60 (md5 hex prefix)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _query_embedding() -> list[float]:
+    """The hash-projection embedding of the fixed hybrid query (the
+    BM25 term set as text), computed ONCE in Python with the exact
+    fold orders of operators/embed.embed_columns — the resulting
+    doubles enter BOTH engines as literals (the BM25-idf pattern), so
+    neither engine re-derives the query-side encode."""
+    v = [0] * _EMB_DIM
+    for t in _BM25_TERMS:
+        h = _py_u60("emb:" + t)
+        for d in range(_EMB_DIM):
+            v[d] += ((h >> d) & 1) * 2 - 1
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    nrm = math.sqrt(acc)
+    assert nrm > 0.0, "query term set hashed to the zero vector"
+    return [float(x) / nrm for x in v]
+
+
+_QUERY_EMB = _query_embedding()
+
+
+def _hybrid_oracle_sql() -> str:
+    qlit = "[" + ", ".join(repr(x) for x in _QUERY_EMB) + "]"
+    cos = dot_sql("embedding", qlit, _EMB_DIM)
+    steps = bm25_ctes() + _embed_ctes()
+    steps.append(
+        f"""lexk AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS lex_rank
+    FROM bm25s
+  ) WHERE lex_rank <= {_HY_K}
+)"""
+    )
+    steps.append(
+        f"""semk AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY {cos} DESC, doc_id) AS sem_rank
+    FROM eemb
+  ) WHERE sem_rank <= {_HY_K}
+)"""
+    )
+    steps.append(
+        f"""fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         (COALESCE(1.0 / ({_RRF_C} + l.lex_rank), 0.0)
+          + COALESCE(1.0 / ({_RRF_C} + s.sem_rank), 0.0)) AS rrf
+  FROM lexk l FULL OUTER JOIN semk s ON l.doc_id = s.doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       ROUND(rrf, 9) AS rrf_r,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_HY_TOPK}
+"""
+    )
+
+
+@register(
+    "docs_hybrid_search_rrf",
+    oracle=_hybrid_oracle_sql(),
+    tags=("text", "retrieval", "hybrid"),
+    expose=False,
+)
+def docs_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal-rank
+    fusion: BM25 top-50 (_HY_K) and embedding-cosine top-50 against the
+    same fixed query, fused as 1/(60+lex_rank) + 1/(60+sem_rank)
+    (absent leg contributes 0), top-20 (_HY_TOPK) kept. Each leg ends
+    in TakeOrderedAndProject (per-partition heaps); the fusion is a
+    full outer join of two 50-row lists, so everything after the two
+    corpus scans is broadcast-sized. The query embedding is a plan
+    literal computed once in Python (the BM25-idf discipline) — the
+    semantic leg is pure JVM codegen arithmetic over the shared
+    persisted corpus encode."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    lex_topk = (
+        bm25_scores(d)
+        .orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        .limit(_HY_K)
+    )
+    lexr = lex_topk.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_r").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    qlit = F.array(*[F.lit(x) for x in _QUERY_EMB])
+    emb = _embed_frame(spark, sf_dir).select("doc_id", "embedding")
+    sem_topk = (
+        emb.select(
+            "doc_id", dot(F.col("embedding"), qlit).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(_HY_K)
+    )
+    semr = sem_topk.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    # USING-style full outer join coalesces doc_id; rank columns stay
+    # null on the absent side until the explicit coalesce below.
+    fused = lexr.join(semr, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    topk = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(
+        _HY_TOPK
+    )
+    return topk.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round("rrf", 9).alias("rrf_r"),
+        F.row_number()
+        .over(W.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("fused_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center (farthest-point) diversity selection
+# --------------------------------------------------------------------------
+
+_KC_K = 8  # selected subset size
+
+
+def _kcenter_oracle_sql() -> str:
+    """Replay the greedy traversal as k-1 chained CTE steps (each:
+    argmax of the running min-dist, then fold the new center into the
+    min), then the one-scan assignment — structurally the exact SQL
+    image of the Spark loop, so every selection decision AND the final
+    assignment partition are value-checked."""
+    steps = _embed_ctes()
+    steps.append(
+        """kc0 AS (
+  SELECT doc_id, embedding FROM eemb WHERE l2_norm > 0
+)"""
+    )
+    # DuckDB forbids scalar subqueries INSIDE lambda/list-comprehension
+    # bodies, so every center embedding is CROSS JOINed in as a plain
+    # column before the dot-product comprehension references it.
+    c1 = "(SELECT MIN(doc_id) FROM kc0)"
+    steps.append(
+        f"""kd1 AS (
+  SELECT k.doc_id, k.embedding,
+         1.0 - {dot_sql("k.embedding", "c.cemb", _EMB_DIM)} AS md
+  FROM kc0 k CROSS JOIN
+       (SELECT embedding AS cemb FROM kc0 WHERE doc_id = {c1}) c
+)"""
+    )
+    for i in range(2, _KC_K + 1):
+        steps.append(
+            f"""ks{i} AS (
+  SELECT doc_id AS c_id, md AS sel_md
+  FROM kd{i - 1} ORDER BY md DESC, doc_id LIMIT 1
+)"""
+        )
+        if i < _KC_K:
+            steps.append(
+                f"""kd{i} AS (
+  SELECT k.doc_id, k.embedding,
+         LEAST(k.md, 1.0 - {dot_sql("k.embedding", "c.cemb", _EMB_DIM)}) AS md
+  FROM kd{i - 1} k CROSS JOIN
+       (SELECT embedding AS cemb FROM kc0
+        WHERE doc_id = (SELECT c_id FROM ks{i})) c
+)"""
+            )
+    centers = " UNION ALL ".join(
+        [
+            f"SELECT 1 AS sel_rank, {c1} AS doc_id, "
+            "CAST(NULL AS DOUBLE) AS sel_radius"
+        ]
+        + [
+            f"SELECT {i}, (SELECT c_id FROM ks{i}), (SELECT sel_md FROM ks{i})"
+            for i in range(2, _KC_K + 1)
+        ]
+    )
+    steps.append(f"kcent AS ({centers})")
+    cemb_cols = ", ".join(
+        f"(SELECT embedding FROM kc0 WHERE doc_id = "
+        f"(SELECT doc_id FROM kcent WHERE sel_rank = {i})) AS ce{i}"
+        for i in range(1, _KC_K + 1)
+    )
+    steps.append(f"kce AS (SELECT {cemb_cols})")
+    arr = (
+        "["
+        + ", ".join(
+            "1.0 - " + dot_sql("e.embedding", f"x.ce{i}", _EMB_DIM)
+            for i in range(1, _KC_K + 1)
+        )
+        + "]"
+    )
+    steps.append(
+        f"""kasg AS (
+  SELECT doc_id,
+         list_position(dists, list_aggregate(dists, 'min')) AS sel_rank,
+         list_aggregate(dists, 'min') AS d
+  FROM (SELECT e.doc_id, {arr} AS dists
+        FROM kc0 e CROSS JOIN kce x)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT c.sel_rank::BIGINT AS sel_rank,
+       c.doc_id,
+       ROUND(c.sel_radius, 9) AS sel_radius_r,
+       COUNT(a.doc_id)::BIGINT AS n_assigned,
+       COALESCE(SUM(a.doc_id), 0)::BIGINT AS assigned_checksum,
+       ROUND(MAX(a.d), 9) AS coverage_r
+FROM kcent c LEFT JOIN kasg a ON a.sel_rank = c.sel_rank
+GROUP BY c.sel_rank, c.doc_id, c.sel_radius
+"""
+    )
+
+
+@register(
+    "docs_kcenter_diverse",
+    oracle=_kcenter_oracle_sql(),
+    tags=("embed", "similarity", "diversity"),
+    expose=False,
+)
+def docs_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection over the deterministic
+    document embeddings (k=8, _KC_K): seed at the lowest doc_id, then
+    repeatedly take the document FARTHEST (max-min cosine distance,
+    doc_id tie-break) from the chosen set — Gonzalez's 2-approximation,
+    the standard diversity-subset primitive. Zero-norm (empty) docs are
+    excluded (their cosine is undefined; every distance would tie at
+    1.0). Output per center: selection order, the selection radius
+    (its min-dist when chosen — null for the seed), and the one-scan
+    nearest-center assignment (count / doc_id checksum / coverage
+    radius; distance ties assign to the earliest-selected center on
+    both engines). Driver state: 8 rows of 16 doubles; per round the
+    corpus never shuffles — only per-partition top-1 candidates move
+    (TakeOrderedAndProject)."""
+    emb = (
+        _embed_frame(spark, sf_dir)
+        .filter(F.col("l2_norm") > 0)
+        .select("doc_id", "embedding")
+    )
+    seed = (
+        emb.orderBy("doc_id")
+        .limit(1)
+        .select("doc_id", "embedding")
+        .collect()[0]
+    )
+    centers: list[tuple[int, list[float], float | None]] = [
+        (seed["doc_id"], list(seed["embedding"]), None)
+    ]
+
+    def dists_to(centers_embs: list[list[float]]) -> list[F.Column]:
+        return [
+            F.lit(1.0)
+            - dot(F.col("embedding"), F.array(*[F.lit(x) for x in ce]))
+            for ce in centers_embs
+        ]
+
+    for _ in range(_KC_K - 1):
+        dcols = dists_to([ce for _, ce, _ in centers])
+        md = dcols[0] if len(dcols) == 1 else F.least(*dcols)
+        nxt = (
+            emb.select("doc_id", "embedding", md.alias("md"))
+            .orderBy(F.col("md").desc(), F.col("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((nxt["doc_id"], list(nxt["embedding"]), nxt["md"]))
+
+    arr = F.array(*dists_to([ce for _, ce, _ in centers]))
+    asg = emb.select(
+        "doc_id",
+        F.array_position(arr, F.array_min(arr)).cast("int").alias(
+            "sel_rank"
+        ),
+        F.array_min(arr).alias("d"),
+    )
+    cent = spark.createDataFrame(
+        [
+            (i + 1, cid, rad)
+            for i, (cid, _, rad) in enumerate(centers)
+        ],
+        "sel_rank int, doc_id bigint, sel_radius double",
+    )
+    return (
+        cent.join(asg.withColumnRenamed("doc_id", "a_id"), "sel_rank", "left")
+        .groupBy("sel_rank", "doc_id", "sel_radius")
+        .agg(
+            F.count("a_id").cast("bigint").alias("n_assigned"),
+            F.coalesce(F.sum("a_id"), F.lit(0))
+            .cast("bigint")
+            .alias("assigned_checksum"),
+            F.round(F.max("d"), 9).alias("coverage_r"),
+        )
+        .select(
+            F.col("sel_rank").cast("bigint").alias("sel_rank"),
+            "doc_id",
+            F.round("sel_radius", 9).alias("sel_radius_r"),
+            "n_assigned",
+            "assigned_checksum",
+            "coverage_r",
+        )
+    )

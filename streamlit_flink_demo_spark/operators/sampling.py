@@ -525,3 +525,85 @@ def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("expected_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+# The primitive behind quality-weighted subcorpus selection ("sample
+# 100 docs with probability proportional to length/quality, no
+# repeats"): Efraimidis & Spirakis 2006 — draw u_i ~ U(0,1], give item
+# i the key u_i^(1/w_i), keep the n largest keys. The result is a
+# distributionally-exact weighted sample without replacement, and it
+# is embarrassingly parallel: one scan, per-partition top-n heaps, no
+# shuffle of the corpus (TakeOrderedAndProject), which is why it is
+# THE weighted-sampling shape for distributed engines (a sequential
+# weighted draw can't parallelize). The u_i here is the engine's
+# deterministic hash-uniform (u60/2^60, salt "esw:"), so any engine
+# re-derives the identical sample; we rank by ln(u)/w — the same
+# order as u^(1/w) (ln is monotone, w > 0) without pow()'s rounding
+# hazards, and the ln-over-identical-doubles discipline is the one
+# docs_lm_score already proved cross-engine-exact.
+
+_ES_N = 100
+_ES_SALT = "esw:"
+
+
+_ES_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         (n_chars + 1)::DOUBLE AS w,
+         ln(({u60_sql(f"'{_ES_SALT}' || CAST(doc_id AS VARCHAR)")} + 1)
+            / 1152921504606846976.0) / ((n_chars + 1)::DOUBLE) AS es_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS w,
+       ROUND(es_key, 12) AS es_key_r,
+       CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+         AS rank
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_ES_N}
+"""
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=_ES_ORACLE,
+    tags=("sampling", "pipeline"),
+    expose=False,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    keep the 100 (_ES_N) documents with the largest ln(u)/w keys,
+    u = the deterministic hash-uniform in (0, 1] (salt "esw:"),
+    w = n_chars + 1 (length-proportional inclusion, the +1 keeps
+    empty docs drawable). One corpus scan into per-partition top-n
+    heaps (orderBy+limit = TakeOrderedAndProject — the corpus never
+    shuffles); ranks are assigned afterwards by a window over the
+    surviving 100 rows. ln runs engine-side over bit-identical
+    doubles on both engines (the docs_lm_score precedent), and the
+    12-digit round on the emitted key absorbs any display-layer
+    difference."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        u60(F.concat(F.lit(_ES_SALT), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    w = (F.col("n_chars") + 1).cast("double")
+    keyed = d.select(
+        "doc_id", w.alias("w"), (F.log(u) / w).alias("es_key")
+    )
+    topn = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(
+        _ES_N
+    )
+    return topn.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.round("es_key", 12).alias("es_key_r"),
+        F.row_number()
+        .over(W.orderBy(F.col("es_key").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )

@@ -420,7 +420,11 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-def _bm25_oracle_sql() -> str:
+def bm25_ctes() -> list[str]:
+    """DuckDB CTE chain ending in ``bm25s(doc_id, score_r)`` — the
+    6-digit-rounded BM25 score per document. Shared by the BM25 top-k
+    oracle and the hybrid-RRF oracle (operators/retrieval.py) so the
+    lexical leg cannot fork between the two."""
     tf_cols = ",\n         ".join(
         rf"len(regexp_extract_all(lower(text), '\b{t}\b')) AS tf_{t}"
         for t in _BM25_TERMS
@@ -438,47 +442,49 @@ def _bm25_oracle_sql() -> str:
         f" + {_BM25_B} * b.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))"
         for t in _BM25_TERMS
     )
-    return rf"""
-WITH base AS (
+    return [
+        rf"""base AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\S+')) AS dl,
          {tf_cols}
   FROM documents
-), stats AS (
+)""",
+        f"""stats AS (
   SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
          {df_cols}
   FROM base
-), scored AS (
-  SELECT b.doc_id,
-         ({parts}) AS score
+)""",
+        f"""bm25s AS (
+  SELECT b.doc_id, ROUND({parts}, 6) AS score_r
   FROM base b CROSS JOIN stats s
-), ranked AS (
-  SELECT doc_id, ROUND(score, 6) AS score_r,
-         ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
-  FROM scored
+)""",
+    ]
+
+
+def _bm25_oracle_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(bm25_ctes())
+        + f""", ranked AS (
+  SELECT doc_id, score_r,
+         ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS rank
+  FROM bm25s
 )
 SELECT doc_id, rank, score_r FROM ranked WHERE rank <= {_BM25_TOPK}
 """
+    )
 
 
-@register(
-    "docs_bm25_topk",
-    oracle=_bm25_oracle_sql(),
-    tags=("text", "retrieval", "bm25"),
-    expose=False,
-)
-def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k over the corpus for a fixed query-term set
-    (k1=1.2, b=0.75, Lucene's ln(1+(N-df+.5)/(df+.5)) idf). The idfs
-    and avgdl are computed from a single collected 1-row aggregate and
-    enter the scoring projection as literals, so the per-row score is
-    pure JVM codegen arithmetic; ln() runs once per term in Python
-    (libm — the same library the DuckDB oracle calls, so the idf
-    literals agree bit-for-bit). Scores are ranked on their 6-digit
-    round with doc_id tie-break, making the top-k deterministic."""
+def bm25_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, score_r): 6-digit-rounded Okapi BM25 score of every
+    document against the fixed _BM25_TERMS query — the Spark twin of
+    ``bm25_ctes``. One corpus scan (codegen regexp_count per term, no
+    tokenize/explode shuffle), one collected 1-row aggregate turning
+    N / Σdl / per-term dfs into plan literals; the scoring projection
+    is pure JVM arithmetic. Shared by docs_bm25_topk and the hybrid
+    RRF fusion (operators/retrieval.py)."""
     import math
 
-    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     base = d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("dl"),
@@ -501,17 +507,39 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = float(stats["sumdl"]) / n
     score = None
     for t in _BM25_TERMS:
-        idf = math.log(1 + (n - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5))
+        idf = math.log(
+            1 + (n - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5)
+        )
         tfc = F.col(f"tf_{t}")
         term = (
             F.lit(idf)
             * tfc
             / (
                 tfc
-                + _BM25_K1 * (F.lit(1.0 - _BM25_B) + _BM25_B * F.col("dl") / avgdl)
+                + _BM25_K1
+                * (F.lit(1.0 - _BM25_B) + _BM25_B * F.col("dl") / avgdl)
             )
         )
         score = term if score is None else score + term
+    return base.select("doc_id", F.round(score, 6).alias("score_r"))
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    tags=("text", "retrieval", "bm25"),
+    expose=False,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over the corpus for a fixed query-term set
+    (k1=1.2, b=0.75, Lucene's ln(1+(N-df+.5)/(df+.5)) idf). The idfs
+    and avgdl are computed from a single collected 1-row aggregate and
+    enter the scoring projection as literals, so the per-row score is
+    pure JVM codegen arithmetic; ln() runs once per term in Python
+    (libm — the same library the DuckDB oracle calls, so the idf
+    literals agree bit-for-bit). Scores are ranked on their 6-digit
+    round with doc_id tie-break, making the top-k deterministic."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
     # partition heaps, never a full sort), THEN rank the k surviving
     # rows with the same total order: a global row_number window
@@ -520,7 +548,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linear regexp passes over 10× text on a floored 0.3 s base —
     # at 1000× the single-task sort, not the scan, would dominate).
     topk = (
-        base.select("doc_id", F.round(score, 6).alias("score_r"))
+        bm25_scores(d)
         .orderBy(F.col("score_r").desc(), F.col("doc_id"))
         .limit(_BM25_TOPK)
     )

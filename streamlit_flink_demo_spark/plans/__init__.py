@@ -158,6 +158,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         linalg,
         multimodal,
         pipeline,
+        retrieval,
         sampling,
         similarity,
         skew,

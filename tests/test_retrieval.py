@@ -1,0 +1,128 @@
+"""Targeted pins for the retrieval/diversity/sampling family, beyond
+the oracle-parity rows: structural properties that must hold for ANY
+corpus (the oracle only proves engine agreement on THIS corpus)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from streamlit_flink_demo_spark.operators.retrieval import (
+    _HY_TOPK,
+    _KC_K,
+    _QUERY_EMB,
+    _RRF_C,
+    docs_hybrid_search_rrf,
+    docs_kcenter_diverse,
+)
+from streamlit_flink_demo_spark.operators.sampling import (
+    _ES_N,
+    _ES_SALT,
+    docs_weighted_sample,
+)
+from streamlit_flink_demo_spark.sources.catalog import table_path
+
+
+def test_query_embedding_is_unit_norm():
+    assert math.isclose(
+        sum(x * x for x in _QUERY_EMB), 1.0, rel_tol=1e-12
+    )
+
+
+def test_rrf_scores_consistent_with_ranks(spark, sf_dir):
+    rows = docs_hybrid_search_rrf(spark, sf_dir).collect()
+    assert [r["fused_rank"] for r in rows] != []
+    assert sorted(r["fused_rank"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    assert len(rows) <= _HY_TOPK
+    prev = None
+    for r in sorted(rows, key=lambda r: r["fused_rank"]):
+        expect = 0.0
+        if r["lex_rank"] > 0:
+            expect += 1.0 / (_RRF_C + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            expect += 1.0 / (_RRF_C + r["sem_rank"])
+        assert r["rrf_r"] == pytest.approx(expect, abs=5e-10)
+        # at least one leg contributed; fused order is non-increasing
+        assert r["lex_rank"] > 0 or r["sem_rank"] > 0
+        if prev is not None:
+            assert r["rrf_r"] <= prev + 5e-10
+        prev = r["rrf_r"]
+
+
+def test_rrf_rank1_docs_always_fused(spark, sf_dir):
+    """The #1 doc of each leg scores ≥ 1/(C+1) > any doc seen by one
+    leg at rank ≥ 2 only — both leg winners must appear in the fused
+    top-k (k ≥ 2)."""
+    rows = docs_hybrid_search_rrf(spark, sf_dir).collect()
+    lex1 = [r for r in rows if r["lex_rank"] == 1]
+    sem1 = [r for r in rows if r["sem_rank"] == 1]
+    assert lex1 and sem1
+
+
+def test_kcenter_selection_radii_decrease(spark, sf_dir):
+    rows = sorted(
+        docs_kcenter_diverse(spark, sf_dir).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert len(rows) == _KC_K
+    assert rows[0]["sel_radius_r"] is None
+    radii = [r["sel_radius_r"] for r in rows[1:]]
+    assert all(r > 0 for r in radii)
+    # greedy farthest-point: each pick's min-dist cannot exceed the
+    # previous pick's (the min over a superset of centers)
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    # every center is its own nearest center → every center's group
+    # is nonempty, and groups partition the nonzero-norm corpus
+    assert all(r["n_assigned"] >= 1 for r in rows)
+    # coverage radius of every group ≤ the LAST selection radius is
+    # false in general, but the GLOBAL max assigned distance must be
+    # ≤ the radius the next (9th) pick would have had, which is ≤ the
+    # 8th selection radius.
+    assert max(r["coverage_r"] for r in rows) <= radii[-1] + 5e-10
+
+
+def test_weighted_sample_matches_pure_python(spark, sf_dir):
+    """Re-derive the Efraimidis–Spirakis top-n in pure Python
+    (hashlib md5, math.log) from the parquet and demand the identical
+    doc_id sequence — a third engine agreeing on the draw."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM "
+        f"read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in docs:
+        h = int(
+            hashlib.md5(f"{_ES_SALT}{doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+        u = (h + 1) / float(1 << 60)
+        keyed.append((math.log(u) / float(n_chars + 1), -doc_id, doc_id))
+    keyed.sort(reverse=True)
+    expect = [d for _, _, d in keyed[:_ES_N]]
+    got = [
+        r["doc_id"]
+        for r in sorted(
+            docs_weighted_sample(spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == expect
+
+
+def test_weighted_sample_is_length_biased(spark, sf_dir):
+    """Sanity on the WEIGHTING (not just the mechanics): the sampled
+    docs' mean length should exceed the corpus mean — w ∝ length."""
+    con = duckdb.connect()
+    corpus_mean = con.execute(
+        f"SELECT AVG(n_chars) FROM "
+        f"read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchone()[0]
+    sample = docs_weighted_sample(spark, sf_dir).collect()
+    sample_mean = sum(r["w"] - 1 for r in sample) / len(sample)
+    assert sample_mean > corpus_mean

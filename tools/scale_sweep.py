@@ -75,6 +75,12 @@ OPS = (
     "corpus_gram_lookup",
     "corpus_pattern_lookup",
     "docs_lang_temperature_mix",
+    # round 10, third session: hybrid fusion (two top-k scans + a
+    # 50-row join), greedy k-center (k bounded argmax scans), and
+    # A-ES weighted sampling (one scan into per-partition heaps)
+    "docs_hybrid_search_rrf",
+    "docs_kcenter_diverse",
+    "docs_weighted_sample",
 )
 
 
