@@ -377,10 +377,13 @@ def _publish_artifact(tmp: str, out: str) -> None:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
 
-def _embeddings_fingerprint(sf_dir: str) -> str:
-    """Source identity for staleness checks: (path, size, mtime_ns) of
-    every file under embeddings.parquet."""
-    root = table_path(sf_dir, "embeddings")
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Source identity for artifact staleness checks: (path, size,
+    mtime_ns) of every file under the table's parquet root. Shared by
+    every artifact family (ANN indexes fingerprint ``embeddings``; the
+    suffix-array artifact in operators/suffix.py fingerprints
+    ``documents``)."""
+    root = table_path(sf_dir, table)
     parts = []
     if os.path.isdir(root):
         for base, _, files in sorted(os.walk(root)):
@@ -392,6 +395,10 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
         st = os.stat(root)
         parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    return table_fingerprint(sf_dir, "embeddings")
 
 
 def _artifact_is_fresh(out: str, fp: str, params: dict | None = None) -> bool:

@@ -334,6 +334,71 @@ def _suffix_ranks_cached(
 
 
 # --------------------------------------------------------------------------
+# Persisted suffix-index artifact — the 100 TB standing form
+# --------------------------------------------------------------------------
+# The session memo above shares ONE construction across the SA-family
+# queries of a session; at corpus scale the index is built once and
+# READ for months (Lee et al. keep theirs on disk next to the corpus).
+# This is that tier: (doc_id, p, sa_rank) materialized as parquet,
+# range-partitioned AND sorted by sa_rank so (a) adjacency scans
+# (LCP/longest-repeat/nearest-train) read rank-contiguous files and
+# (b) parquet min/max stats give rank-range pruning for probe reads —
+# no directory fan-out needed. Same fingerprint/meta/atomic-symlink
+# publishing contract as the ANN artifacts (operators/similarity.py),
+# fingerprinting the *documents* table. NOT wired implicitly into the
+# registered queries: the construction benchmarks (tools/
+# suffix_scale.py) stay honest because nothing short-circuits a build
+# behind their backs; consumers opt in via load_suffix_index.
+
+
+def build_suffix_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build (or reuse, when the source fingerprint + seed parameter
+    match) the persisted global suffix-array artifact for ``sf_dir``.
+    Returns the artifact directory; data lives under ``<dir>/data``."""
+    import os
+
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _artifact_is_fresh,
+        _index_dir,
+        _publish_artifact,
+        _write_meta,
+        table_fingerprint,
+    )
+
+    out = _index_dir("suffix", sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    params = {"seed": _SA_SEED, "kind": "global"}
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    docs = load_spread(spark, sf_dir, "documents")
+    sa = suffix_ranks(docs, spark)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        sa.repartitionByRange("sa_rank")
+        .sortWithinPartitions("sa_rank")
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
+    _publish_artifact(tmp, out)
+    return out
+
+
+def load_suffix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the persisted suffix-array artifact (building it first if
+    absent or stale): the disk-backed equivalent of
+    ``_suffix_ranks_cached(spark, sf_dir, None)`` — bit-identical
+    ranks, pinned by tests/test_suffix.py's artifact-parity test."""
+    import os
+
+    return spark.read.parquet(
+        os.path.join(build_suffix_index(spark, sf_dir), "data")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sharded construction — the Lee et al. 2022 production shape
 # --------------------------------------------------------------------------
 # A 100 TB corpus never builds ONE global suffix array: Lee et al.

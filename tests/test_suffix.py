@@ -216,3 +216,96 @@ def test_sa_contamination_on_planted_eval_copy(spark, tmp_path):
     assert out[eval_ids[0]][1] > 0
     assert out[eval_ids[1]][0] < 24
     assert out[eval_ids[1]][1] == 0
+
+
+def test_suffix_artifact_roundtrip_freshness_force(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The persisted suffix-index artifact: (1) reload is bit-identical
+    to an in-session construction, (2) a second build with matching
+    fingerprint+params is a no-op reuse, (3) --force republishes."""
+    import os
+
+    from streamlit_flink_demo_spark.operators import similarity as sim
+    from streamlit_flink_demo_spark.operators.suffix import (
+        build_suffix_index,
+        load_suffix_index,
+        suffix_ranks,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", str(tmp_path))
+    out = build_suffix_index(spark, sf_dir)
+    got = {
+        (r.doc_id, r.p): r.sa_rank
+        for r in load_suffix_index(spark, sf_dir).collect()
+    }
+    fresh = {
+        (r.doc_id, r.p): r.sa_rank
+        for r in suffix_ranks(
+            load_table(spark, sf_dir, "documents"), spark
+        ).collect()
+    }
+    assert got == fresh
+
+    v1 = os.path.realpath(out)
+    assert build_suffix_index(spark, sf_dir) == out
+    assert os.path.realpath(out) == v1, "fresh artifact must be reused"
+
+    build_suffix_index(spark, sf_dir, force=True)
+    assert os.path.realpath(out) != v1, "--force must republish"
+
+
+def test_suffix_artifact_serves_adjacency_reads(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The artifact's reason to exist: rank-adjacency consumers read it
+    instead of rebuilding. Recompute corpus_longest_repeat's per-doc
+    max LCP from the DISK artifact and demand equality with the
+    memo-construction path."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators import similarity as sim
+    from streamlit_flink_demo_spark.operators.suffix import (
+        _LCP_CAP,
+        _lcp_expr,
+        corpus_longest_repeat,
+        load_suffix_index,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", str(tmp_path))
+    docs = load_table(spark, sf_dir, "documents")
+    sa = load_suffix_index(spark, sf_dir)
+    with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "p",
+        "sa_rank",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    a = with_txt.alias("a")
+    b = with_txt.select(
+        (F.col("sa_rank") - 1).alias("prev_rank"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("p").alias("b_p"),
+        F.col("s64").alias("b_s64"),
+    )
+    pairs = a.join(b, F.col("a.sa_rank") == F.col("prev_rank")).select(
+        F.col("a.doc_id").alias("a_doc"),
+        "b_doc",
+        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+    )
+    credited = pairs.select(
+        F.col("a_doc").alias("doc_id"), "lcp"
+    ).unionAll(pairs.select(F.col("b_doc").alias("doc_id"), "lcp"))
+    from_disk = {
+        r["doc_id"]: r["mx"]
+        for r in credited.groupBy("doc_id")
+        .agg(F.max("lcp").alias("mx"))
+        .collect()
+    }
+    from_memo = {
+        r["doc_id"]: r["max_repeat"]
+        for r in corpus_longest_repeat(spark, sf_dir).collect()
+    }
+    assert from_disk == from_memo

@@ -2,7 +2,7 @@
 """Offline ANN/near-dup index builder (the artifact half of the
 build/probe split in operators/similarity.py).
 
-    python tools/build_indexes.py [sf_dir] [--force]
+    python tools/build_indexes.py [sf_dir] [--force] [--suffix]
 
 Builds the probe artifacts for the given scale-factor directory
 (default $SPARK_GRAFT_SF_DIR → /root/testdata/sf0.1):
@@ -13,7 +13,9 @@ Builds the probe artifacts for the given scale-factor directory
   - ivfpq     : cluster-partitioned codes + centroids + codebooks (composite)
 and prints one JSON line of build timings. Safe to re-run: builds are
 skipped when the artifact's source fingerprint matches (--force
-rebuilds unconditionally).
+rebuilds unconditionally). ``--suffix`` additionally builds the
+persisted suffix-array artifact (operators/suffix.py) — opt-in
+because it is the one expensive construction (~40 s at sf0.1).
 """
 
 from __future__ import annotations
@@ -48,6 +50,20 @@ def main() -> int:
         t0 = time.perf_counter()
         path = builder(spark, sf_dir, force=force)
         out["builds"][name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "path": path,
+        }
+    if "--suffix" in sys.argv[1:]:
+        # opt-in: the suffix-array build is the one expensive
+        # construction (~40 s at sf0.1) and nothing in the bench
+        # surface consumes the artifact — see operators/suffix.py
+        from streamlit_flink_demo_spark.operators.suffix import (
+            build_suffix_index,
+        )
+
+        t0 = time.perf_counter()
+        path = build_suffix_index(spark, sf_dir, force=force)
+        out["builds"]["suffix"] = {
             "sec": round(time.perf_counter() - t0, 3),
             "path": path,
         }
