@@ -1102,3 +1102,119 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity-bucket quality gate (head / middle / tail)
+# --------------------------------------------------------------------------
+# The signature move of the CCNet pipeline (Wenzek et al. 2020): score
+# every document with a corpus LM, split the corpus into perplexity
+# TERCILES (head = most fluent), and keep head fully, middle/tail at
+# decreasing deterministic rates. The scoring signal is the engine's
+# docs_lm_score (bigram avg-NLL, oracle-exact); the tercile is an
+# EXACT global NTILE computed WITHOUT a single-task sort — the
+# suffix-array family's range-partition + per-partition-offset rank
+# primitive (_global_group_rank) assigns every doc its global rank
+# with bounded driver state (one count per partition), and the NTILE
+# quota formula (first n%k buckets take ceil(n/k)) is applied from two
+# collected scalars. The DuckDB oracle uses plain NTILE over the same
+# total order, pinning the distributed rank-to-bucket math exactly.
+# Keep decisions reuse the hash-uniform sampling discipline (salt
+# "ccnet:"), so the whole gate is re-derivable by any engine.
+
+_CCNET_K = 3
+_CCNET_SALT = "ccnet:"
+
+
+def _ccnet_oracle_sql() -> str:
+    from streamlit_flink_demo_spark.operators.text import _LM_ORACLE
+
+    keep_h = u60_sql(f"'{_CCNET_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lm AS ({_LM_ORACLE}),
+nt AS (
+  SELECT doc_id, avg_nll,
+         NTILE({_CCNET_K}) OVER (ORDER BY avg_nll, doc_id) AS b
+  FROM lm
+),
+dec AS (
+  SELECT doc_id, avg_nll, b,
+         CASE WHEN b = 1 THEN TRUE
+              WHEN b = 2 THEN ({keep_h} % 2) = 0
+              ELSE ({keep_h} % 10) = 0 END AS keep
+  FROM nt
+)
+SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       MIN(avg_nll) AS min_nll,
+       MAX(avg_nll) AS max_nll,
+       SUM(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS kept_checksum
+FROM dec GROUP BY b
+"""
+
+
+@register(
+    "docs_ccnet_buckets",
+    oracle=_ccnet_oracle_sql(),
+    tags=("pipeline", "quality", "lm"),
+    expose=False,
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles with deterministic per-bucket
+    keep rates (head: 100%, middle: 50%, tail: 10% — hash-uniform,
+    salt "ccnet:"). Terciles are an EXACT global NTILE over
+    (avg_nll, doc_id) computed distributed: the range-partition +
+    offset rank primitive assigns global ranks (no single-task sort;
+    driver state = one count per partition + two scalars for the
+    NTILE quota), so the gate holds its shape at corpus scale where a
+    plain windowed NTILE would serialize. Docs with <2 tokens have no
+    LM score and are outside the gate (both engines). Output per
+    bucket: doc/kept counts, NLL range, kept-doc checksum."""
+    from streamlit_flink_demo_spark.operators.suffix import (
+        _global_group_rank,
+    )
+    from streamlit_flink_demo_spark.operators.text import docs_lm_score
+
+    lm = docs_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
+    ranked = _global_group_rank(lm, ["avg_nll", "doc_id"])
+    n = ranked.count()
+    q, rem = divmod(n, _CCNET_K)
+    # NTILE quotas: ranks [0, rem*(q+1)) fill the first `rem` buckets
+    # at q+1 rows; the rest fill at q rows.
+    cut = rem * (q + 1)
+    b = (
+        F.when(F.col("rank") < cut, F.floor(F.col("rank") / (q + 1)))
+        .otherwise(rem + F.floor((F.col("rank") - cut) / F.greatest(F.lit(q), F.lit(1))))
+        .cast("int")
+        + 1
+    )
+    h = u60(F.concat(F.lit(_CCNET_SALT), F.col("doc_id").cast("string")))
+    keep = (
+        F.when(F.col("b") == 1, F.lit(True))
+        .when(F.col("b") == 2, (h % 2) == 0)
+        .otherwise((h % 10) == 0)
+    )
+    dec = ranked.withColumn("b", b).withColumn("keep", keep)
+    label = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return dec.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.min("avg_nll").alias("min_nll"),
+        F.max("avg_nll").alias("max_nll"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_checksum"),
+    ).select(
+        label.alias("bucket"),
+        "n_docs",
+        "n_kept",
+        "min_nll",
+        "max_nll",
+        "kept_checksum",
+    )

@@ -81,6 +81,8 @@ OPS = (
     "docs_hybrid_search_rrf",
     "docs_kcenter_diverse",
     "docs_weighted_sample",
+    # CCNet gate: LM-score two aggs + distributed-NTILE rank
+    "docs_ccnet_buckets",
 )
 
 
