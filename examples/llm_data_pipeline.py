@@ -54,6 +54,13 @@ def main() -> int:
     ).select("doc_id")
     print(f"after quality gate: {kept_q.count()}")
 
+    # 1b. CCNet perplexity gate (round 10, third session): tercile
+    # the corpus by bigram-LM NLL, keep head/middle/tail at 100/50/10%
+    ccnet = reg["docs_ccnet_buckets"].fn(spark, sf_dir)
+    print("ccnet perplexity gate (bucket: n_docs -> n_kept):")
+    for r in ccnet.orderBy("min_nll").collect():
+        print(f"  {r.bucket}: {r.n_docs} -> {r.n_kept}")
+
     # 2. exact dedup: keep each content group's keeper only
     # (dedup_exact reports the groups; the keeper set is its
     # keeper_doc_id column)
@@ -95,6 +102,20 @@ def main() -> int:
     print("sample similar-doc results (q_id -> best match):")
     for r in topk.filter(F.col("rk") == 1).orderBy("q_id").collect():
         print(f"  q{r.q_id} -> doc {r.doc_id} (cos {r.cos_sim:.3f})")
+
+    # 6b. hybrid retrieval (round 10, third session): the same corpus
+    # served lexically+semantically, fused by reciprocal-rank fusion
+    hy = reg["docs_hybrid_search_rrf"].fn(spark, sf_dir)
+    print("hybrid RRF top-3 (doc: lex-rank / sem-rank):")
+    for r in hy.filter(F.col("fused_rank") <= 3).orderBy("fused_rank").collect():
+        print(f"  doc {r.doc_id}: lex {r.lex_rank or '-'} / "
+              f"sem {r.sem_rank or '-'} (rrf {r.rrf_r:.4f})")
+
+    # 6c. diversity pick: greedy k-center seed set (e.g. for a
+    # labeling/eval panel that should span the embedding space)
+    kc = reg["docs_kcenter_diverse"].fn(spark, sf_dir)
+    centers = [r.doc_id for r in kc.orderBy("sel_rank").collect()]
+    print(f"k-center diversity picks (selection order): {centers}")
 
     # 7. eval-contamination gate (round 10 continuation): exact
     # train->eval leakage via the suffix array — the release check

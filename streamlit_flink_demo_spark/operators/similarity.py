@@ -534,22 +534,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_topk(e, lsh_index(spark, sf_dir))
 
 
-def lsh_probe_topk(e: DataFrame, index_df: DataFrame) -> DataFrame:
+def lsh_probe_topk(
+    e: DataFrame, index_df: DataFrame, hamming1: bool = False
+) -> DataFrame:
     """Shared LSH probe→score→rank block: query signatures broadcast
     against any (vec_id, embedding, band, bsig) index frame — the
     build-once artifact path (ann_lsh_topk) and the base+delta
     incremental path (operators/incremental.py) probe through ONE
-    definition so tie-breaking can't fork between them."""
-    q = F.broadcast(
-        _banded_sigs_arrow(
-            e.filter(F.col("vec_id") < _N_QUERIES), _N_BANDS, _PLANES_PER_BAND
-        ).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("band").alias("q_band"),
-            F.col("bsig").alias("q_bsig"),
-        )
+    definition so tie-breaking can't fork between them.
+    ``hamming1`` turns on multi-probe (Lv et al. 2007): each band also
+    probes the buckets at Hamming distance 1 from the query's
+    signature — with 2 planes per band that is 2 extra buckets, i.e.
+    3× probe fan-out for a recall boost that would otherwise cost
+    whole extra hash tables (index size, not probe size, is the
+    expensive axis at 100 TB)."""
+    q = _banded_sigs_arrow(
+        e.filter(F.col("vec_id") < _N_QUERIES), _N_BANDS, _PLANES_PER_BAND
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("band").alias("q_band"),
+        F.col("bsig").alias("q_bsig"),
     )
+    if hamming1:
+        probes = F.array(
+            F.col("q_bsig"),
+            *[
+                F.col("q_bsig").bitwiseXOR(F.lit(1 << r))
+                for r in range(_PLANES_PER_BAND)
+            ],
+        )
+        q = q.withColumn("q_bsig", F.explode(probes))
+    q = F.broadcast(q)
     cand = q.join(
         index_df,
         (F.col("band") == F.col("q_band"))
@@ -576,6 +592,54 @@ def lsh_probe_topk(e: DataFrame, index_df: DataFrame) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("q_id", "vec_id", "cos_sim", "rk")
     )
+
+
+_MP_IN = "(q.bsig, " + ", ".join(
+    f"xor(q.bsig, {1 << r})" for r in range(_PLANES_PER_BAND)
+) + ")"
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH sigs AS (
+{_sigs_sql(_N_BANDS, _PLANES_PER_BAND)}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, band, bsig
+  FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, s.vec_id,
+         MAX({cosine_sql('q.q_emb', 's.embedding', _DIM)}) AS cos_sim
+  FROM q JOIN sigs s
+    ON s.band = q.band AND s.bsig IN {_MP_IN} AND s.vec_id <> q.q_id
+  GROUP BY q.q_id, s.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=_LSH_MULTIPROBE_ORACLE,
+    tags=("similarity", "ann", "lsh"),
+    expose=False,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): each band probes the
+    query's bucket AND both Hamming-1 neighbor buckets (3 of this
+    banding's 4 buckets), against the SAME prebuilt signature artifact
+    as ann_lsh_topk — recall rises without adding hash tables (probe
+    fan-out is cheap; index bytes are the expensive axis at 100 TB).
+    Recall dominance over the single-probe tier is pytest-pinned
+    (tests/test_similarity.py); the oracle replays banding, the
+    3-bucket probe, and the re-rank bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_probe_topk(e, lsh_index(spark, sf_dir), hamming1=True)
 
 
 # Near-dup threshold. Real corpora use ~0.95+; the synthetic test
@@ -2327,4 +2391,82 @@ def embeddings_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.join(conf, "label", "left").select(
         "label", "n_vecs", "margin_sum_q", "n_confused", "top_confusion"
+    )
+
+
+# --------------------------------------------------------------------------
+# Index-quality observability: per-query recall of the LSH tier
+# --------------------------------------------------------------------------
+# The evaluation a production ANN deployment runs continuously: how
+# much of the EXACT top-k does the approximate tier return? The pytest
+# floors (tests/test_similarity.py) assert recall >= a threshold; this
+# registered query pins the exact per-query recall VALUES against the
+# oracle's independent replay of both rankers — index observability as
+# a first-class query, not just a test. Cost: both rankers are already
+# registered plans (the brute baseline is the eval's price of truth —
+# production samples queries for exactly that reason), and the eval
+# join touches k rows per query.
+
+
+def _recall_oracle_sql() -> str:
+    tier = """
+SELECT '{name}' AS tier, br.q_id,
+       COUNT(*)::BIGINT AS n_exact,
+       SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       ROUND(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS recall_r
+FROM br LEFT JOIN {cte} ap
+  ON ap.q_id = br.q_id AND ap.vec_id = br.vec_id
+GROUP BY br.q_id"""
+    return (
+        f"WITH br AS ({_ANN_ORACLE}),\n"
+        f"lr AS ({_LSH_TOPK_ORACLE}),\n"
+        f"ir AS ({_ivf_oracle_sql()})\n"
+        + tier.format(name="lsh", cte="lr")
+        + "\nUNION ALL\n"
+        + tier.format(name="ivf", cte="ir")
+    )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_recall_oracle_sql(),
+    tags=("similarity", "ann", "eval"),
+    expose=False,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the approximate tiers (LSH and IVF)
+    against the exact brute-force top-k — the standard ANN quality
+    metric: join each approximate ranker with the exact one on
+    (q_id, vec_id), count hits, divide by k. All three rankers ride
+    their memoized registered plans, so the eval adds one
+    k-rows-per-query join per tier; the oracle replays all three
+    rankers AND the joins independently."""
+    br = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+
+    def tier(name: str, approx: DataFrame) -> DataFrame:
+        ap = approx.select(
+            F.col("q_id").alias("a_q"), F.col("vec_id").alias("a_v")
+        )
+        j = br.join(
+            ap,
+            (F.col("q_id") == F.col("a_q"))
+            & (F.col("vec_id") == F.col("a_v")),
+            "left",
+        )
+        return j.groupBy("q_id").agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.col("a_v").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.col("a_v").isNotNull().cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("recall_r"),
+        ).select(F.lit(name).alias("tier"), "q_id", "n_exact", "n_hit", "recall_r")
+
+    return tier("lsh", ann_lsh_topk(spark, sf_dir)).unionAll(
+        tier("ivf", ann_ivf_topk(spark, sf_dir))
     )

@@ -836,3 +836,24 @@ def test_label_margins_match_numpy_reimplementation(spark, sf_dir):
         )
         assert got[lbl] == (n, mq, nc, top), lbl
     assert set(got) == set(want)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe's candidate set is a SUPERSET of single-probe's
+    (it probes the same bucket plus two Hamming-1 neighbors per band),
+    so its recall vs the exact baseline can never be lower — and every
+    vec the single-probe tier ranked must still be reachable."""
+    exact = _topk_sets(REG["ann_cosine_topk"].fn(spark, sf_dir))
+    single = _topk_sets(REG["ann_lsh_topk"].fn(spark, sf_dir))
+    multi = _topk_sets(REG["ann_lsh_multiprobe_topk"].fn(spark, sf_dir))
+
+    def recall(approx):
+        total = hit = 0
+        for q, truth in exact.items():
+            total += len(truth)
+            hit += len(truth & approx.get(q, set()))
+        return hit / total
+
+    r1, r3 = recall(single), recall(multi)
+    assert r3 >= r1, f"multi-probe recall {r3:.2f} < single {r1:.2f}"
+    assert r3 >= 0.4

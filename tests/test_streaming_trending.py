@@ -194,3 +194,48 @@ def test_restart_replay_is_exactly_once(spark, tmp_path):
     ids = [s["batch_id"] for s in summaries]
     assert len(ids) == len(set(ids)), "summary re-fired for a replayed id"
     assert len(summaries) >= n_summaries_before
+
+
+def test_sliding_windows_stream_matches_batch_twin(spark, tmp_path):
+    """The slide parameter: 2-hour windows sliding hourly — each event
+    lands in TWO windows; finalized sliding windows must match the
+    batch twin exactly."""
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "trend")
+    q = attach_trending_stream(
+        _stream(spark, spool),
+        out,
+        checkpoint_dir=str(tmp_path / "ck"),
+        window="2 hours",
+        slide="1 hour",
+        watermark="1 hour",
+        topk=3,
+    )
+    try:
+        _write_batch(spark, spool, 0, _B0)
+        q.processAllAvailable()
+        _write_batch(spark, spool, 1, [(_ts(6, 0), "advance far")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["window_end"], r["token"], r["n"], r["rank"])
+        for r in IdempotentParquetSink(out).read_committed(spark).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        _B0 + [(_ts(6, 0), "advance far")], "ts timestamp, text string"
+    )
+    twin = topk_per_window(
+        windowed_term_counts(batch_docs, window="2 hours", slide="1 hour"),
+        topk=3,
+    )
+    want = {
+        (r["window_start"], r["window_end"], r["token"], r["n"], r["rank"])
+        for r in twin.collect()
+        if r["window_end"] <= _ts(5)  # watermark 05:00 → these closed
+    }
+    assert got == want
+    # each _B0 event hour appears in two overlapping windows
+    starts = {r[0] for r in got}
+    assert len(starts) >= 3

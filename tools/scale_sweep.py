@@ -83,6 +83,10 @@ OPS = (
     "docs_weighted_sample",
     # CCNet gate: LM-score two aggs + distributed-NTILE rank
     "docs_ccnet_buckets",
+    # recall eval: three memoized rankers + two k-row joins
+    "ann_recall_eval",
+    # multi-probe LSH: same artifact, 3x probe fan-out per band
+    "ann_lsh_multiprobe_topk",
 )
 
 
