@@ -155,40 +155,44 @@ def _embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_persist(embed_columns(d))
 
 
-def _embed_ctes() -> list[str]:
+def _embed_ctes(src: str = "documents", prefix: str = "e") -> list[str]:
     """DuckDB CTE chain replaying the encoder exactly (same hash, same
-    bit extraction, same fold orders). Shared by the docs_embed oracle
-    and the composed semantic-dedup oracle so the two cannot fork."""
+    bit extraction, same fold orders), ending in ``{prefix}emb``.
+    Shared by the docs_embed oracle, the composed semantic-dedup /
+    search oracles, and (with ``src``/``prefix``) the chunk-level
+    retrieval oracle (operators/retrieval.py) so the encoder replay
+    cannot fork between them. ``src`` must expose (doc_id, text)."""
+    p = prefix
     return [
-        f"""eth AS (
+        f"""{p}th AS (
   SELECT doc_id,
          list_transform(
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                        t -> t <> ''),
            t -> {u60_sql("'emb:' || t")}) AS th
-  FROM documents
+  FROM {src}
 )""",
-        f"""evv AS (
+        f"""{p}vv AS (
   SELECT doc_id, len(th)::BIGINT AS n_tokens,
          [CAST(COALESCE(list_aggregate(
              list_transform(th, h -> ((h >> d) & 1) * 2 - 1), 'sum'), 0)
            AS BIGINT) for d in range({_EMB_DIM})] AS v
-  FROM eth
+  FROM {p}th
 )""",
-        f"""enn AS (
+        f"""{p}nn AS (
   SELECT doc_id, n_tokens, v,
          sqrt(list_aggregate(
            [(v[d+1]::DOUBLE) * (v[d+1]::DOUBLE)
             for d in range({_EMB_DIM})], 'sum')) AS l2_norm
-  FROM evv
+  FROM {p}vv
 )""",
-        f"""eemb AS (
+        f"""{p}emb AS (
   SELECT doc_id, n_tokens, v, l2_norm,
          CASE WHEN l2_norm = 0
               THEN [0.0::DOUBLE for d in range({_EMB_DIM})]
               ELSE [(v[d+1]::DOUBLE) / l2_norm
                     for d in range({_EMB_DIM})] END AS embedding
-  FROM enn
+  FROM {p}nn
 )""",
     ]
 

@@ -404,3 +404,184 @@ def docs_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_r",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping document chunking + chunk-level semantic search
+# --------------------------------------------------------------------------
+# RAG-granularity retrieval: whole-document embeddings blur long
+# documents (the averaged bag hides the passage that actually
+# matches), so retrieval pipelines chunk with overlap and index the
+# CHUNKS. Chunking is a pure map-only projection (explode a stride
+# sequence + substr — it rides the scan's partitioning at any corpus
+# size); chunk-level search is then exactly the existing
+# text→embed→cosine pipeline with chunks as the unit, sharing the
+# encoder fold via embed_columns / _embed_ctes so the chunk tier
+# cannot drift from the document tier.
+
+_CHUNK_W = 200  # chunk width (chars)
+_CHUNK_STRIDE = 150  # 50-char overlap
+_CHUNK_KEYBASE = 10_000  # chunk_key = doc_id * base + chunk_id
+_CHK_N_QUERIES = 5
+_CHK_TOPK = 5
+
+
+def chunk_columns(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, start, chunk) overlapping fixed-width chunks
+    of every nonempty document — map-only (explode of a per-row stride
+    sequence; no shuffle, no Python)."""
+    return (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.length("text") - 1, F.lit(_CHUNK_STRIDE)
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start"),
+            F.col("text")
+            .substr(F.col("start") + 1, F.lit(_CHUNK_W))
+            .alias("chunk"),
+        )
+    )
+
+
+_CHUNKS_CTE = f"""chunks AS (
+  SELECT doc_id, k // {_CHUNK_STRIDE} AS chunk_id, k AS start,
+         substr(text, k + 1, {_CHUNK_W}) AS chunk
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text), {_CHUNK_STRIDE})) AS k
+    FROM documents WHERE length(text) > 0
+  )
+)"""
+
+
+_CHUNK_ORACLE = f"""
+WITH {_CHUNKS_CTE}
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+"""
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
+    tags=("text", "retrieval", "chunk"),
+    expose=False,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (200-char chunks, 150-char
+    stride → 50-char overlap) of every nonempty document: the unit
+    conversion step of a RAG indexing pipeline. One map-only
+    projection; every chunk's boundary and content md5 is
+    value-checked by the oracle."""
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    c = chunk_columns(d)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+def _chunk_search_oracle_sql() -> str:
+    from streamlit_flink_demo_spark.operators.embed import _embed_ctes
+
+    steps = [_CHUNKS_CTE]
+    steps.append(
+        f"""chunk_src AS (
+  SELECT doc_id * {_CHUNK_KEYBASE} + chunk_id AS doc_id, chunk AS text
+  FROM chunks
+)"""
+    )
+    steps.extend(_embed_ctes(src="chunk_src", prefix="c"))
+    steps.extend(_embed_ctes())  # query side over documents -> eemb
+    cos = dot_sql("q.q_emb", "c.embedding", _EMB_DIM)
+    steps.append(
+        f"""cq AS (
+  SELECT doc_id AS q_id, embedding AS q_emb FROM eemb
+  WHERE doc_id < {_CHK_N_QUERIES}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT q_id, doc_id, chunk_id, cos_sim, rk FROM (
+  SELECT q.q_id,
+         c.doc_id // {_CHUNK_KEYBASE} AS doc_id,
+         c.doc_id % {_CHUNK_KEYBASE} AS chunk_id,
+         {cos} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY {cos} DESC, c.doc_id) AS rk
+  FROM cq q JOIN cemb c ON c.doc_id // {_CHUNK_KEYBASE} <> q.q_id
+) WHERE rk <= {_CHK_TOPK}
+"""
+    )
+
+
+@register(
+    "docs_chunk_embed_search",
+    oracle=_chunk_search_oracle_sql(),
+    tags=("embed", "retrieval", "chunk"),
+    expose=False,
+)
+def docs_chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity semantic search: document-level query
+    embeddings (the shared corpus encode) against CHUNK embeddings
+    (the same hash-projection fold over chunk_columns output), exact
+    cosine, top-5 chunks per query, own-document chunks excluded —
+    the retrieval shape a RAG pipeline serves, where the hit names
+    the passage (doc_id, chunk_id), not just the document. One
+    map-only chunk+encode pass, a broadcast query join, one rank
+    shuffle; the ANN ladder stands above this exact baseline at scale
+    exactly as it does for documents."""
+    from streamlit_flink_demo_spark.operators.embed import embed_columns
+
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    chunks = chunk_columns(d).select(
+        (F.col("doc_id") * _CHUNK_KEYBASE + F.col("chunk_id")).alias(
+            "doc_id"
+        ),
+        F.col("chunk").alias("text"),
+    )
+    cemb = embed_columns(chunks).select(
+        (F.col("doc_id") / _CHUNK_KEYBASE).cast("bigint").alias("c_doc"),
+        (F.col("doc_id") % _CHUNK_KEYBASE).alias("chunk_id"),
+        "embedding",
+    )
+    q = F.broadcast(
+        _embed_frame(spark, sf_dir)
+        .filter(F.col("doc_id") < _CHK_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    scored = q.join(cemb, F.col("c_doc") != F.col("q_id")).select(
+        "q_id",
+        F.col("c_doc").alias("doc_id"),
+        "chunk_id",
+        dot(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(),
+        (F.col("doc_id") * _CHUNK_KEYBASE + F.col("chunk_id")),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CHK_TOPK)
+        .select("q_id", "doc_id", "chunk_id", "cos_sim", "rk")
+    )

@@ -126,3 +126,64 @@ def test_weighted_sample_is_length_biased(spark, sf_dir):
     sample = docs_weighted_sample(spark, sf_dir).collect()
     sample_mean = sum(r["w"] - 1 for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    """Structural chunking properties on planted docs: full coverage,
+    correct overlap, boundary behavior for short docs."""
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        chunk_columns,
+    )
+
+    rows = [
+        (1, "a" * 10),           # shorter than a chunk -> 1 chunk
+        (2, "b" * _CHUNK_W),     # exactly one chunk width -> 2 chunks
+                                 # (stride 150 < 200 starts a tail chunk)
+        (3, "c" * 500),          # several chunks
+        (4, ""),                 # empty -> no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in chunk_columns(docs).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in got
+    assert len(got[1]) == 1 and got[1][0]["chunk"] == "a" * 10
+    for doc_id, text in [(2, "b" * _CHUNK_W), (3, "c" * 500)]:
+        chunks = sorted(got[doc_id], key=lambda r: r["start"])
+        # starts advance by exactly the stride from 0
+        assert [c["start"] for c in chunks] == [
+            i * _CHUNK_STRIDE for i in range(len(chunks))
+        ]
+        # coverage: every char position falls inside some chunk
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["start"], c["start"] + len(c["chunk"])))
+        assert covered == set(range(len(text)))
+        # consecutive chunks overlap by W - stride (when full-width)
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a["chunk"]) == _CHUNK_W:
+                assert a["start"] + _CHUNK_W - b["start"] == (
+                    _CHUNK_W - _CHUNK_STRIDE
+                )
+
+
+def test_chunk_search_excludes_own_document(spark, sf_dir):
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        docs_chunk_embed_search,
+    )
+
+    rows = docs_chunk_embed_search(spark, sf_dir).collect()
+    assert rows
+    assert all(r["doc_id"] != r["q_id"] for r in rows)
+    # ranks are 1..k per query and cosine is non-increasing in rank
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["q_id"], []).append(r)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            a["cos_sim"] >= b["cos_sim"] for a, b in zip(rs, rs[1:])
+        )

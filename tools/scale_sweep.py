@@ -87,6 +87,9 @@ OPS = (
     "ann_recall_eval",
     # multi-probe LSH: same artifact, 3x probe fan-out per band
     "ann_lsh_multiprobe_topk",
+    # chunking is map-only; chunk search = chunk+encode pass + rank
+    "docs_chunk_overlap",
+    "docs_chunk_embed_search",
 )
 
 
