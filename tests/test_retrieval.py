@@ -187,3 +187,37 @@ def test_chunk_search_excludes_own_document(spark, sf_dir):
         assert all(
             a["cos_sim"] >= b["cos_sim"] for a, b in zip(rs, rs[1:])
         )
+
+
+def test_chunking_runs_on_a_stream(spark, tmp_path):
+    """chunk_columns is a stateless projection, so it must attach to a
+    readStream source unchanged (the embed_columns stream contract) —
+    the ingest-side form of the RAG indexing pipeline."""
+    import os
+
+    from streamlit_flink_demo_spark.operators.retrieval import chunk_columns
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    docs = spark.createDataFrame(
+        [(1, "x" * 350), (2, "y" * 10)], "doc_id bigint, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(spool)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        spool
+    )
+    q = (
+        chunk_columns(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM chunk_stream_out").collect()
+    got = {(r["doc_id"], r["chunk_id"], len(r["chunk"])) for r in rows}
+    assert got == {(1, 0, 200), (1, 1, 200), (1, 2, 50), (2, 0, 10)}
