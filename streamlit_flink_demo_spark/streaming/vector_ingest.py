@@ -1,0 +1,101 @@
+"""Streaming vector-index ingest: documents → chunk → embed → bucket.
+
+The ingest half of a continuously-updated retrieval index: arriving
+documents are chunked (operators/retrieval.chunk_columns, 200-char
+windows at 150-char stride), encoded with the deterministic
+hash-projection embedder (operators/embed.embed_columns), tagged with
+their sign-LSH bucket (operators/embed.sign_bucket_col — the SAME
+bucketing the batch semantic-dedup and the streaming semantic dedup
+probe use, so the index the stream grows is the index the batch
+queries probe), and landed exactly-once in an ``IdempotentParquetSink``.
+
+Every stage is a STATELESS projection — no watermark, no state store,
+no aggregation — so the whole chain attaches to a readStream source
+unchanged and per-batch cost is strictly ∝ batch size. That is the
+point: at 100 TB the corpus encode is an artifact built once
+(operators/embed.build_embed_encode) and the DELTA rides this stream;
+the sink's batch-id manifest makes restart replays rewrite nothing,
+and ``read_committed`` exposes exactly the committed vector rows —
+ready for the incremental ANN append path (operators/incremental.py)
+to fold into the serving index under its frozen quantizers.
+
+Tests (tests/test_streaming_vector_ingest.py) pin stream ≡ batch-twin
+equality of every vector row, the exactly-once restart contract for
+rows AND summaries, and bucket agreement with the batch sign-LSH.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.operators.embed import (
+    embed_columns,
+    sign_bucket_col,
+)
+from streamlit_flink_demo_spark.operators.retrieval import (
+    _CHUNK_KEYBASE,
+    chunk_columns,
+)
+from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+
+def chunk_embed_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, bucket, embedding) for every chunk
+    of every nonempty document — the batch twin AND the streaming
+    projection (stateless, so the identical call serves both)."""
+    keyed = chunk_columns(docs).select(
+        (F.col("doc_id") * _CHUNK_KEYBASE + F.col("chunk_id")).alias(
+            "doc_id"
+        ),
+        F.col("chunk").alias("text"),
+    )
+    emb = embed_columns(keyed)
+    return emb.select(
+        (F.col("doc_id") / _CHUNK_KEYBASE).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % _CHUNK_KEYBASE).cast("bigint").alias("chunk_id"),
+        "n_tokens",
+        sign_bucket_col().alias("bucket"),
+        "embedding",
+    )
+
+
+def attach_vector_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    on_summary: Callable[[dict], None] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a (doc_id, text) document stream through chunk → embed →
+    sign-bucket into an ``IdempotentParquetSink`` at ``index_path``.
+    Returns the started ``StreamingQuery``. ``on_summary`` (optional)
+    receives ONE bounded digest per COMMITTED batch id (chunk/doc
+    counts + zero-norm count — the empty-chunk health signal);
+    replayed batches re-fire nothing."""
+    rows = chunk_embed_rows(doc_stream)
+    sink = IdempotentParquetSink(index_path)
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        status = sink(batch, batch_id)
+        if on_summary is None or status != "committed":
+            return
+        d = batch.agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum((F.col("n_tokens") == 0).cast("int")).alias("n_empty"),
+        ).first()
+        on_summary(
+            {
+                "batch_id": batch_id,
+                "n_chunks": d["n_chunks"],
+                "n_docs": d["n_docs"],
+                "n_empty": d["n_empty"] or 0,
+            }
+        )
+
+    writer = rows.writeStream.outputMode("append").foreachBatch(_handle)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
