@@ -221,3 +221,45 @@ def test_chunking_runs_on_a_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM chunk_stream_out").collect()
     got = {(r["doc_id"], r["chunk_id"], len(r["chunk"])) for r in rows}
     assert got == {(1, 0, 200), (1, 1, 200), (1, 2, 50), (2, 0, 10)}
+
+
+def test_chunking_equals_pure_python_on_arbitrary_texts(spark):
+    """Hypothesis pin: chunk_columns on arbitrary texts equals a
+    pure-Python chunker — starts, widths, contents, short/empty edges,
+    multi-byte-free ASCII domain (substr is character-based in both)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        chunk_columns,
+    )
+
+    texts = st.lists(
+        st.text(alphabet="xyz .", min_size=0, max_size=700),
+        min_size=1,
+        max_size=6,
+    )
+
+    def brute(text: str) -> list[tuple[int, int, str]]:
+        return [
+            (k // _CHUNK_STRIDE, k, text[k : k + _CHUNK_W])
+            for k in range(0, len(text), _CHUNK_STRIDE)
+        ]
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(ts):
+        docs = spark.createDataFrame(
+            list(enumerate(ts)), "doc_id bigint, text string"
+        )
+        got = {}
+        for r in chunk_columns(docs).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["start"], r["chunk"])
+            )
+        for i, t in enumerate(ts):
+            assert sorted(got.get(i, [])) == brute(t), (i, t)
+
+    check()
