@@ -720,15 +720,21 @@ def corpus_longest_repeat_sharded(
 _MIN_REPEAT = 24
 
 
-def _merged_repeat_ranges(spark, docs: DataFrame, sf_dir: str) -> DataFrame:
+def _merged_repeat_ranges(
+    spark, docs: DataFrame, sf_dir: str, shards: int | None = None
+) -> DataFrame:
     """(doc_id, rs, n_spans_removed, chars_removed): merged repeated
     intervals per document, from adjacent-rank LCPs over the global
-    suffix array. rs is a sorted array of disjoint {s, e} structs
-    (char offsets, end-exclusive)."""
+    suffix array (``shards=None``) or WITHIN each shard's array (the
+    sharded production form — adjacency never crosses shards). rs is
+    a sorted array of disjoint {s, e} structs (char offsets,
+    end-exclusive)."""
     from pyspark.sql import Window as W
 
-    sa = _suffix_ranks_cached(spark, sf_dir, None)
+    sa = _suffix_ranks_cached(spark, sf_dir, shards)
+    shard_cols = ["shard"] if shards is not None else []
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
+        *shard_cols,
         "doc_id",
         "p",
         "sa_rank",
@@ -736,12 +742,20 @@ def _merged_repeat_ranges(spark, docs: DataFrame, sf_dir: str) -> DataFrame:
     )
     a = with_txt.alias("a")
     b = with_txt.select(
+        *(
+            [F.col("shard").alias("b_shard")]
+            if shards is not None
+            else []
+        ),
         (F.col("sa_rank") - 1).alias("prev_rank"),
         F.col("doc_id").alias("b_doc"),
         F.col("p").alias("b_p"),
         F.col("s64").alias("b_s64"),
     )
-    pairs = a.join(b, F.col("a.sa_rank") == F.col("prev_rank")).select(
+    adj = F.col("a.sa_rank") == F.col("prev_rank")
+    if shards is not None:
+        adj = (F.col("a.shard") == F.col("b_shard")) & adj
+    pairs = a.join(b, adj).select(
         F.col("a.doc_id").alias("a_doc"),
         F.col("a.p").alias("a_p"),
         "b_doc",
@@ -787,23 +801,37 @@ def _merged_repeat_ranges(spark, docs: DataFrame, sf_dir: str) -> DataFrame:
     )
 
 
-_SA_REWRITE_ORACLE = f"""
+def _sa_rewrite_oracle(sharded: bool) -> str:
+    """One template for the global AND the per-shard span-removal
+    oracle — the only differences are the shard column, the window
+    partition, and the adjacency's shard equality, so generating both
+    from one body keeps the two replays from drifting."""
+    shard_col = (
+        f"{u60_sql('CAST(doc_id AS VARCHAR)')} % {_SA_SHARDS} AS shard,\n"
+        "         "
+        if sharded
+        else ""
+    )
+    shard_sel = "shard, " if sharded else ""
+    part = "PARTITION BY shard " if sharded else ""
+    adj_shard = "b.shard = a.shard AND " if sharded else ""
+    return f"""
 WITH pos AS (
-  SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
+  SELECT {shard_col}doc_id, k AS p, substr(text, k + 1) AS sfx
   FROM (
     SELECT doc_id, text, unnest(range(0, length(text))) AS k
     FROM documents WHERE length(text) > 0
   )
 ),
 sa AS (
-  SELECT doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
-         ROW_NUMBER() OVER (ORDER BY sfx, doc_id, p) - 1 AS r
+  SELECT {shard_sel}doc_id, p, substr(sfx, 1, {_LCP_CAP}) AS s64,
+         ROW_NUMBER() OVER ({part}ORDER BY sfx, doc_id, p) - 1 AS r
   FROM pos
 ),
 adj AS (
   SELECT a.doc_id AS a_doc, a.p AS a_p, a.s64 AS a_s,
          b.doc_id AS b_doc, b.p AS b_p, b.s64 AS b_s
-  FROM sa a JOIN sa b ON b.r = a.r + 1
+  FROM sa a JOIN sa b ON {adj_shard}b.r = a.r + 1
 ),
 pairs AS (
   SELECT a_doc, a_p, b_doc, b_p,
@@ -883,7 +911,7 @@ WHERE length(d.text) > 0
 
 @register(
     "dedup_sa_span_rewrite",
-    oracle=_SA_REWRITE_ORACLE,
+    oracle=_sa_rewrite_oracle(False),
     tags=("dedup", "suffix", "span"),
     expose=False,
 )
@@ -904,7 +932,13 @@ def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
-    ranges = _merged_repeat_ranges(spark, docs, sf_dir)
+    return _apply_span_cut(docs, _merged_repeat_ranges(spark, docs, sf_dir))
+
+
+def _apply_span_cut(docs: DataFrame, ranges: DataFrame) -> DataFrame:
+    """Cut the merged disjoint ranges out of each document and report
+    per-doc accounting + clean-text md5 — shared by the global and the
+    sharded rewrite so the cut semantics cannot fork."""
     rewritten = docs.join(ranges, "doc_id", "left").withColumn(
         "clean_text",
         F.when(F.col("rs").isNull(), F.col("text")).otherwise(
@@ -929,6 +963,31 @@ def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_removed"),
         F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "dedup_sa_span_rewrite_sharded",
+    oracle=_sa_rewrite_oracle(True),
+    tags=("dedup", "suffix", "span"),
+    expose=False,
+)
+def dedup_sa_span_rewrite_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span removal over the SHARDED suffix arrays (hash(doc_id) % 4,
+    _SA_SHARDS) — the form a Lee-et-al deployment actually executes:
+    repeats are found within each shard's array (cross-shard repeats
+    are invisible by design; shard size is the knob), the cut itself
+    is the shared ``_apply_span_cut``. The oracle replays the
+    per-shard chain — shard map, per-shard suffix order, LCPs,
+    interval merge, character cut — via the same template as the
+    global oracle (one builder, two variants, zero drift)."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    return _apply_span_cut(
+        docs, _merged_repeat_ranges(spark, docs, sf_dir, shards=_SA_SHARDS)
     )
 
 
