@@ -2470,3 +2470,92 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tier("lsh", ann_lsh_topk(spark, sf_dir)).unionAll(
         tier("ivf", ann_ivf_topk(spark, sf_dir))
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-filtered vector search (the vector-DB table-stakes feature)
+# --------------------------------------------------------------------------
+# Production vector search is almost never unfiltered: "nearest
+# neighbors WHERE tenant/language/label = X". The composition that
+# scales is filter-THEN-rank (the filter prunes the candidate scan
+# before any distance math; at the artifact tier the filter column is
+# stored in-file so parquet row-group stats prune the probe scan — the
+# same reason the LSH artifact keeps bsig sorted in-file). This
+# registered query is the exact filtered baseline: same-label top-k
+# per query, the correctness bar any filtered-ANN tier must match.
+
+_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id,
+         {cosine_sql('q.q_emb', 'e.embedding', _DIM)} AS cos_sim
+  FROM q JOIN embeddings e
+    ON e.label = q.q_label AND e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, q_label AS label, vec_id, cos_sim, rk
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=_FILTERED_ORACLE,
+    tags=("similarity", "ann", "filter"),
+    expose=False,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-k: nearest neighbors restricted to
+    the QUERY'S OWN label (the tenant/language/label predicate of
+    production vector search), self excluded. The label equality is a
+    JOIN KEY, not a post-score filter — candidates outside the label
+    never reach the distance math, and at the artifact tier the same
+    predicate prunes the probe scan via in-file column stats. Norms
+    hoisted exactly like ann_cosine_topk so the scoring join pays one
+    dot product per surviving pair."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    cand = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    q = F.broadcast(
+        cand.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("c_norm").alias("q_norm"),
+        )
+    )
+    scored = q.join(
+        cand,
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select(
+            "q_id", F.col("q_label").alias("label"), "vec_id", "cos_sim", "rk"
+        )
+    )
