@@ -1774,3 +1774,92 @@ def bloom_dedup_frame(d: DataFrame, n_words: int = _BLOOM_WORDS) -> DataFrame:
         .cast("bigint")
         .alias("false_positive"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-quality observability: MinHash estimate vs exact Jaccard
+# --------------------------------------------------------------------------
+# The dedup twin of ann_recall_eval (operators/similarity.py): how far
+# is the 16-component MinHash estimate from the TRUE shingle Jaccard
+# on the pairs the LSH tier actually emits? Production tunes K and the
+# banding against exactly this calibration curve. Cost is bounded by
+# the CANDIDATE set (the emitted pairs broadcast into the shingle
+# joins; true-Jaccard math runs only for candidate docs' shingles),
+# never all-pairs — the same candidates-drive-cost shape as the
+# verified-pair operators above.
+
+
+_CALIBRATION_ORACLE = f"""
+WITH {_SHH_CTE},
+mh AS ({_MINHASH_ORACLE}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+ti AS (
+  SELECT m.doc_a, m.doc_b, COUNT(*) AS i
+  FROM mh m JOIN shh a ON a.doc_id = m.doc_a
+            JOIN shh b ON b.doc_id = m.doc_b AND b.h = a.h
+  GROUP BY m.doc_a, m.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.est_jaccard,
+       COALESCE(ti.i, 0) / (sa.n + sb.n - COALESCE(ti.i, 0))::DOUBLE
+         AS true_jaccard,
+       CAST(ROUND(ABS(m.est_jaccard
+              - COALESCE(ti.i, 0)
+                / (sa.n + sb.n - COALESCE(ti.i, 0))::DOUBLE) * 1000000)
+            AS BIGINT) AS abs_err_q
+FROM mh m
+LEFT JOIN ti ON m.doc_a = ti.doc_a AND m.doc_b = ti.doc_b
+JOIN sz sa ON m.doc_a = sa.doc_id
+JOIN sz sb ON m.doc_b = sb.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_CALIBRATION_ORACLE,
+    tags=("dedup", "lsh", "eval"),
+    expose=False,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash calibration: every LSH-emitted candidate pair
+    with its 16-component estimate, its EXACT shingle Jaccard
+    (computed only for candidate pairs — the pair list broadcasts into
+    the shingle joins), and the absolute error quantized to 1e-6. The
+    oracle replays the estimate, the exact intersection, and the error
+    independently, so the calibration surface itself is value-checked;
+    this is the report K and the banding get tuned against."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    pairs = F.broadcast(
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    )
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("b_doc"), F.col("h").alias("hb"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("h") == F.col("hb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    )
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    true_j = i0 / (F.col("na") + F.col("nb") - i0).cast("double")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        true_j.alias("true_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - true_j) * 1000000)
+        .cast("bigint")
+        .alias("abs_err_q"),
+    )
