@@ -90,6 +90,10 @@ OPS = (
     # chunking is map-only; chunk search = chunk+encode pass + rank
     "docs_chunk_overlap",
     "docs_chunk_embed_search",
+    # filtered ANN: label-pruned scoring join; calibration: candidate-
+    # bounded exact-Jaccard joins over the emitted pair list
+    "ann_filtered_topk",
+    "dedup_minhash_calibration",
 )
 
 
