@@ -1863,3 +1863,97 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_err_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/eval split (split by near-dup CLUSTER, not by doc)
+# --------------------------------------------------------------------------
+# The doc-level hash split (docs_train_eval_split) leaks: two
+# near-duplicates can land on opposite sides, and the eval set then
+# scores memorization. The standard fix is to split by the near-dup
+# CLUSTER — every member of a connected component goes where its
+# cluster goes, so no LSH pair can ever straddle the boundary (the
+# property tests/test_graph.py pins directly against the pair list).
+# Cost on top of the cluster labels: one per-cluster aggregate and a
+# hash on the cluster id — the split itself adds no corpus-sized work.
+
+_LS_SALT = "lsplit:"
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE mh AS (
+{_MINHASH_ORACLE}
+),
+verts AS (
+  SELECT doc_id FROM documents
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM verts
+  UNION
+  SELECT e.dst AS doc_id, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+cl AS (
+  SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+),
+cs AS (
+  SELECT cluster_id, COUNT(*) AS n, SUM(doc_id) AS s
+  FROM cl GROUP BY cluster_id
+),
+spl AS (
+  SELECT cluster_id, n, s,
+         CASE WHEN {u60_sql(f"'{_LS_SALT}' || CAST(cluster_id AS VARCHAR)")}
+                   % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM cs
+)
+SELECT split,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(MAX(n) AS BIGINT) AS max_cluster_size,
+       CAST(SUM(s) AS BIGINT) AS docs_checksum
+FROM spl GROUP BY split
+"""
+
+
+@register(
+    "docs_leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("pipeline", "split", "dedup"),
+    expose=False,
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/eval split BY NEAR-DUP CLUSTER: the split hash runs
+    on the connected-component label (min doc_id of the component,
+    salt "lsplit:"), so every near-duplicate lands with its cluster
+    and no LSH pair can straddle the boundary — the decontaminated
+    split a pretraining pipeline freezes before eval. Output per
+    split: doc/cluster counts, the largest cluster, and a doc-id
+    checksum; the no-straddle property itself is pinned against the
+    raw pair list in pytest."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    cl = REGISTRY["dedup_connected_clusters"].fn(spark, sf_dir)
+    cs = cl.groupBy("cluster_id").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    )
+    split = F.when(
+        u60(F.concat(F.lit(_LS_SALT), F.col("cluster_id").cast("string")))
+        % 100
+        < 90,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return (
+        cs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.max("n").cast("bigint").alias("max_cluster_size"),
+            F.sum("s").cast("bigint").alias("docs_checksum"),
+        )
+    )

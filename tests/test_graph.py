@@ -57,3 +57,51 @@ def test_transitive_closure_via_python_union_find(spark, sf_dir):
             parent[max(ra, rb)] = min(ra, rb)
     for doc in lab:
         assert lab[doc] == find(doc), doc
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """The property the cluster-level split exists for: NO near-dup
+    pair may straddle train/eval — checked directly against the raw
+    LSH pair list, not through the cluster labels the operator uses."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
+    from streamlit_flink_demo_spark.operators.dedup import _LS_SALT
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    cl = REGISTRY["dedup_connected_clusters"].fn(spark, sf_dir)
+    side = cl.select(
+        "doc_id",
+        (
+            u60(
+                F.concat(
+                    F.lit(_LS_SALT), F.col("cluster_id").cast("string")
+                )
+            )
+            % 100
+            < 90
+        ).alias("is_train"),
+    )
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    straddles = (
+        pairs.join(
+            side.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "is_train", "ta"
+            ),
+            "doc_a",
+        )
+        .join(
+            side.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "is_train", "tb"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ta") != F.col("tb"))
+        .count()
+    )
+    assert straddles == 0
+    # and the split is actually a split: both sides nonempty
+    sides = {r["is_train"] for r in side.distinct().collect()}
+    assert sides == {True, False}
