@@ -125,6 +125,14 @@ def main() -> int:
     print(f"contamination gate: {n_leaky} eval docs share a >=24-char "
           f"span with train (of {contam.count()} eval docs)")
 
+    # 7b. leakage-safe split: the frozen train/eval boundary runs on
+    # near-dup CLUSTER labels, so no near-duplicate pair straddles it
+    print("leakage-safe split (by near-dup cluster):")
+    ls = reg["docs_leakage_safe_split"].fn(spark, sf_dir)
+    for r in ls.orderBy("split").collect():
+        print(f"  {r.split}: {r.n_docs} docs in {r.n_clusters} clusters "
+              f"(largest {r.max_cluster_size})")
+
     # 8. language-mix recipe for the loader (UniMax-style alpha=0.5)
     mix = reg["docs_lang_temperature_mix"].fn(spark, sf_dir)
     print("temperature language mix (lang: n_docs -> expected_kept):")

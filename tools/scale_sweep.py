@@ -94,6 +94,8 @@ OPS = (
     # bounded exact-Jaccard joins over the emitted pair list
     "ann_filtered_topk",
     "dedup_minhash_calibration",
+    # leakage-safe split: cluster labels + one per-cluster agg
+    "docs_leakage_safe_split",
 )
 
 
