@@ -1822,16 +1822,20 @@ JOIN sz sb ON m.doc_b = sb.doc_id
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair MinHash calibration: every LSH-emitted candidate pair
     with its 16-component estimate, its EXACT shingle Jaccard
-    (computed only for candidate pairs — the pair list broadcasts into
-    the shingle joins), and the absolute error quantized to 1e-6. The
+    (computed only for candidate pairs — the pair list prunes the
+    shingle joins), and the absolute error quantized to 1e-6. The
     oracle replays the estimate, the exact intersection, and the error
     independently, so the calibration surface itself is value-checked;
     this is the report K and the banding get tuned against."""
     from streamlit_flink_demo_spark.plans import REGISTRY
 
-    pairs = F.broadcast(
-        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
-    )
+    # NOT force-broadcast: the candidate list is small at test SF (AQE
+    # promotes it to broadcast at runtime) but UNBOUNDED in principle —
+    # a replica-heavy corpus inflates it quadratically (the 10× sweep
+    # measured 942×), and a forced broadcast would OOM the driver
+    # exactly when the calibration matters most. The plain join
+    # degrades to shuffle joins on doc_a/doc_b instead.
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
     sh = _doc_shingle_hashes(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
