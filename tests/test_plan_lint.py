@@ -80,7 +80,25 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["q1_pricing_summary", "dedup_minhash_lsh", "ann_ivfpq_topk", "docs_bpe_tokenize"],
+    [
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "ann_ivfpq_topk",
+        "docs_bpe_tokenize",
+        # round-10 third session
+        "docs_hybrid_search_rrf",
+        "docs_kcenter_diverse",
+        "docs_weighted_sample",
+        "docs_ccnet_buckets",
+        "ann_recall_eval",
+        "ann_lsh_multiprobe_topk",
+        "docs_chunk_overlap",
+        "docs_chunk_embed_search",
+        "dedup_sa_span_rewrite_sharded",
+        "ann_filtered_topk",
+        "dedup_minhash_calibration",
+        "docs_leakage_safe_split",
+    ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
     df = REG[name].fn(spark, sf_dir)
