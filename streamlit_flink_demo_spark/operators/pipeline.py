@@ -1218,3 +1218,189 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_nll",
         "kept_checksum",
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed logistic regression (bit-reproducible full-batch GD)
+# --------------------------------------------------------------------------
+# The quality/language-classifier training loop a data pipeline runs
+# over its own corpus (the fasttext-classifier role), expressed as the
+# k-means discipline: the MODEL lives on the driver (K+1 doubles), the
+# DATA never leaves the executors, one bounded aggregate per GD step.
+#
+# The twist that makes it oracle-EXACT rather than oracle-approximate:
+# per-row gradient contributions are quantized to 1e-6 fixed point
+# (BIGINT) before the sum, so the gradient is an exact integer sum —
+# independent of partitioning, shuffle order, and engine — and every
+# weight update replays bit-for-bit in the DuckDB oracle's unrolled
+# CTE chain. Deterministic distributed training is a production
+# requirement (reproducible data decisions), not just a test trick;
+# the quantization error is folded into the optimization (it is a
+# rounded gradient, not a rounded loss). The link function is the
+# rational "fast sigmoid" 0.5 + 0.5*z/(1+|z|): same gradient-descent
+# shape, but only IEEE +,-,*,/,abs — exactly specified everywhere —
+# where exp() may differ by 1 ulp between libm implementations.
+
+_LR_STEPS = 24
+_LR_RATE = "16.0"
+_LR_Q = "1000000.0"  # fixed-point scale for gradient quantization
+
+
+def _logreg_feats_sql(spark_dialect: bool) -> str:
+    """Shared feature/label fragment. Dialect splits: the token count
+    (Spark regexp_count vs DuckDB len(regexp_extract_all)) and the
+    regex literal's backslash escaping. Features are centered/scaled
+    by CONSTANTS only (never data statistics, which would need their
+    own quantized exchange): x1 = centered length, x2 = x1² (the
+    quadratic term that lets a linear model carve the length BAND the
+    gate uses), x3 = centered space count."""
+    ntok = (
+        r"regexp_count(text, '\\S+')"
+        if spark_dialect
+        else r"len(regexp_extract_all(text, '\S+'))"
+    )
+    hash_mod = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 100"
+        if spark_dialect
+        else f"{u60_sql('CAST(doc_id AS VARCHAR)')} % 100"
+    )
+    return f"""
+  SELECT doc_id,
+         CASE WHEN len BETWEEN 100 AND 500 AND ntok >= 20
+              THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         (CAST(len AS DOUBLE) - 300.0) / 200.0 AS x1,
+         ((CAST(len AS DOUBLE) - 300.0) / 200.0)
+           * ((CAST(len AS DOUBLE) - 300.0) / 200.0) AS x2,
+         (CAST(sp AS DOUBLE) - 30.0) / 30.0 AS x3,
+         is_train
+  FROM (
+    SELECT doc_id,
+           length(text) AS len,
+           length(text) - length(replace(text, ' ', '')) AS sp,
+           {ntok} AS ntok,
+           {hash_mod} < 90 AS is_train
+    FROM {{src}} WHERE length(text) > 0
+  )"""
+
+
+def _logreg_s_sql(w: tuple[str, str, str, str]) -> str:
+    """Fast-sigmoid score text, weights given as SQL fragments (column
+    names in the oracle's CTE chain, repr'd double literals on the
+    Spark side) — ONE template produces both engines' expression, so
+    the arithmetic (and its IEEE evaluation order) cannot drift."""
+    z = (
+        f"((({w[0]}) * x0 + ({w[1]}) * x1)"
+        f" + ({w[2]}) * x2) + ({w[3]}) * x3"
+    )
+    return f"0.5 + (0.5 * ({z})) / (1.0 + abs({z}))"
+
+
+def _logreg_gq_sql(s: str, xj: str) -> str:
+    """Quantized per-row gradient contribution for feature xj."""
+    return f"CAST(FLOOR(((({s}) - y) * {xj}) * {_LR_Q} + 0.5) AS BIGINT)"
+
+
+def _logreg_oracle() -> str:
+    steps = []
+    prev = "w0s"
+    for k in range(1, _LR_STEPS + 1):
+        s = _logreg_s_sql((f"{prev}.w0", f"{prev}.w1", f"{prev}.w2", f"{prev}.w3"))
+        gsel = ", ".join(
+            f"SUM({_logreg_gq_sql(s, f'x{j}')}) AS g{j}" for j in range(4)
+        )
+        upd = ", ".join(
+            f"{prev}.w{j} - {_LR_RATE} * ((CAST(g{k}s.g{j} AS DOUBLE)"
+            f" / CAST(nn.n AS DOUBLE)) / {_LR_Q}) AS w{j}"
+            for j in range(4)
+        )
+        # MATERIALIZED per step: w{k} is referenced ~32× by step k+1
+        # (4 gradient sums × the weight refs inside the score), so
+        # plain CTE inlining would grow the expression tree ~32× per
+        # unrolled step — materializing pins each step to one row.
+        steps.append(
+            f"g{k}s AS MATERIALIZED (SELECT {gsel} FROM f, {prev}"
+            " WHERE is_train),\n"
+            f"w{k}s AS MATERIALIZED (SELECT {upd} FROM {prev}, g{k}s, nn)"
+        )
+        prev = f"w{k}s"
+    s_fin = _logreg_s_sql(
+        (f"{prev}.w0", f"{prev}.w1", f"{prev}.w2", f"{prev}.w3")
+    )
+    feats = _logreg_feats_sql(spark_dialect=False).format(src="documents")
+    # MATERIALIZED: every unrolled step references f; inlining would
+    # re-open the parquet once per reference (EMFILE at _LR_STEPS=24)
+    return f"""
+WITH f AS MATERIALIZED ({feats}),
+nn AS (SELECT COUNT(*) AS n FROM f WHERE is_train),
+w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+{",".join(steps)}
+SELECT doc_id,
+       CASE WHEN is_train THEN 'train' ELSE 'eval' END AS split,
+       CAST(y AS BIGINT) AS label,
+       CAST(FLOOR((({s_fin}) * {_LR_Q}) + 0.5) AS BIGINT) AS score_q,
+       CAST(CASE WHEN ({s_fin}) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM f, {prev}
+"""
+
+
+@register(
+    "docs_logreg_classifier",
+    oracle=_logreg_oracle(),
+    tags=("pipeline", "ml"),
+    expose=False,
+)
+def docs_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the rule-based quality gate (n_chars BETWEEN 100 AND
+    500 AND n_tokens >= 20 — docs_quality_dedup_yield's keep rule)
+    into a logistic-regression classifier — the fasttext-distillation
+    shape production pipelines run so the gate can be scored without
+    the rules. 24 full-batch GD steps over the hash-mod 90% train
+    slice; the quadratic length feature lets the linear model carve
+    the gate's length band (eval accuracy well above the all-positive
+    base rate — pinned in pytest). Distributed-training shape: the
+    corpus is scanned once per step into ONE 4-value aggregate
+    (gradient sums); driver state is 4 doubles; weights ship back as
+    literals in the next step's plan — no row ever reaches the
+    driver. Gradient contributions are 1e-6 fixed-point quantized
+    BIGINTs, so the sums are exact integers: training is
+    bit-reproducible under any partitioning and replays exactly in
+    the oracle's unrolled CTE chain (one template generates both
+    engines' arithmetic, down to IEEE evaluation order)."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d.createOrReplaceTempView("_logreg_docs")
+    feats = track_persist(
+        spark.sql(
+            _logreg_feats_sql(spark_dialect=True).format(src="_logreg_docs")
+        )
+    )
+    tr = feats.filter("is_train")
+    n = tr.count()
+    w = (0.0, 0.0, 0.0, 0.0)
+    for _ in range(_LR_STEPS):
+        s = _logreg_s_sql(tuple(repr(v) for v in w))
+        grads = tr.select(
+            *[
+                F.expr(_logreg_gq_sql(s, f"x{j}")).alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(4)]).first()
+        w = tuple(
+            w[j] - 16.0 * ((grads[f"g{j}"] / n) / 1_000_000.0)
+            for j in range(4)
+        )
+    s_fin = _logreg_s_sql(tuple(repr(v) for v in w))
+    return feats.select(
+        "doc_id",
+        F.when(F.col("is_train"), "train").otherwise("eval").alias("split"),
+        F.col("y").cast("bigint").alias("label"),
+        F.expr(
+            f"CAST(FLOOR((({s_fin}) * {_LR_Q}) + 0.5) AS BIGINT)"
+        ).alias("score_q"),
+        F.expr(
+            f"CAST(CASE WHEN ({s_fin}) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("pred"),
+    )

@@ -769,6 +769,15 @@ def _merged_repeat_ranges(
             F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
         )
     )
+    return _ranges_from_credited(credited)
+
+
+def _ranges_from_credited(credited: DataFrame) -> DataFrame:
+    """credited (doc_id, p, lcp) rows -> merged disjoint repeat ranges
+    per doc (the gaps-and-islands tail shared by every crediting
+    strategy: global SA adjacency, per-shard adjacency, capped-sort)."""
+    from pyspark.sql import Window as W
+
     # best repeat per position; only span starters survive
     iv = (
         credited.groupBy("doc_id", "p")
@@ -989,6 +998,79 @@ def dedup_sa_span_rewrite_sharded(
     return _apply_span_cut(
         docs, _merged_repeat_ranges(spark, docs, sf_dir, shards=_SA_SHARDS)
     )
+
+
+@register(
+    "dedup_span_rewrite_capsort",
+    oracle=_sa_rewrite_oracle(False),
+    tags=("dedup", "suffix", "span"),
+    expose=False,
+)
+def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-exact span removal WITHOUT building the suffix array:
+    one range-sort of the 64-char capped suffixes replaces the whole
+    prefix-doubling construction. Identical output to
+    ``dedup_sa_span_rewrite`` (same oracle SQL, and pinned equal in
+    pytest), because the rewrite's semantics only ever see LCPs capped
+    at _LCP_CAP (64): a position's credited repeat length is its max
+    common prefix with ANY other suffix, capped at 64 — which is fully
+    determined by the 64-char window s64(p). In any lexicographic
+    order of the s64 strings, that max is attained at an adjacent row
+    (sorted-strings property: cp(x_i, x_j) = min of adjacent cps
+    between them), and full-suffix order is a refinement of s64 order,
+    so adjacency crediting over the s64 sort and over the true SA
+    yield the same per-position max — the SA's extra work (resolving
+    order BEYOND 64 chars) is information the rewrite then throws
+    away.
+
+    Cost: ~88 B/char through ONE range exchange, vs ~28 B/char ×
+    ~7 prefix-doubling rounds (~196 B/char cumulative) plus their
+    per-round checkpoint materializations — and unlike the sharded
+    tier this loses NO cross-shard repeats. Use the SA when arbitrary-
+    length queries (pattern lookup, distinct substrings, contamination
+    scans) must also be served; use this when span removal is the only
+    consumer. Positions explode (doc_id, p, s64) exactly like the SA
+    seed round; `_global_group_rank` on the unique key (s64, doc_id,
+    p) is the global index (group size 1), adjacent ranks join, and
+    the credited tail + cut are the shared helpers, so the three span
+    tiers cannot drift."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    ranked = _global_group_rank(pos, ["s64", "doc_id", "p"]).select(
+        "doc_id", "p", "s64", F.col("rank").alias("r")
+    )
+    a = ranked.alias("a")
+    b = ranked.select(
+        (F.col("r") - 1).alias("prev_r"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("p").alias("b_p"),
+        F.col("s64").alias("b_s64"),
+    )
+    pairs = a.join(b, F.col("a.r") == F.col("prev_r")).select(
+        F.col("a.doc_id").alias("a_doc"),
+        F.col("a.p").alias("a_p"),
+        "b_doc",
+        "b_p",
+        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+    )
+    credited = pairs.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
+    ).unionAll(
+        pairs.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
+        )
+    )
+    return _apply_span_cut(docs, _ranges_from_credited(credited))
 
 
 # --------------------------------------------------------------------------

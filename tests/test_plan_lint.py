@@ -98,6 +98,9 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         "ann_filtered_topk",
         "dedup_minhash_calibration",
         "docs_leakage_safe_split",
+        # round-10 fourth session
+        "dedup_span_rewrite_capsort",
+        "docs_logreg_classifier",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):

@@ -309,3 +309,70 @@ def test_suffix_artifact_serves_adjacency_reads(
         for r in corpus_longest_repeat(spark, sf_dir).collect()
     }
     assert from_disk == from_memo
+
+
+def test_capsort_rewrite_equals_sa_rewrite(spark, tmp_path):
+    """dedup_span_rewrite_capsort (one 64-char-key sort, no prefix
+    doubling) must be row-for-row identical to dedup_sa_span_rewrite
+    (full suffix-array tier) — the equivalence the capped-sort tier's
+    docstring argues. The planted corpus stresses exactly where the
+    two orders diverge: repeats LONGER than the 64-char cap (cap
+    saturation), pairs sharing a full 64-char prefix with DIFFERENT
+    tails (s64-sorted adjacency differs from true SA adjacency), and
+    sub-threshold repeats that must be ignored by both."""
+    import os
+
+    from streamlit_flink_demo_spark.operators.suffix import _LCP_CAP
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    long_block = "Z" * (_LCP_CAP + 30)  # repeat saturating the cap
+    shared64 = "s" * (_LCP_CAP + 5)  # 64-char shared prefix...
+    rows = [
+        (1, "intro " + long_block + " middle " + shared64 + "AAAA tail"),
+        (2, long_block + " other " + shared64 + "BBBB different end"),
+        (3, "short dup short dup"),  # sub-threshold (< 24): untouched
+        (4, "wholly unique document body with nothing repeated at all"),
+        (5, shared64 + "AAAA tail"),  # exact-suffix tie with doc 1's end
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    sa = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_sa_span_rewrite"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    )
+    cs = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_span_rewrite_capsort"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    )
+    assert cs == sa
+    by_doc = {t[0]: t for t in cs}
+    assert by_doc[3][3] == 0  # n_spans_removed: sub-threshold repeat kept
+    assert by_doc[4][3] == 0
+    assert by_doc[1][4] > 0 and by_doc[2][4] > 0  # chars_removed
+
+
+def test_capsort_rewrite_equals_sa_rewrite_on_corpus(spark, sf_dir):
+    """Same equivalence on the real synthetic corpus (natural-text
+    shapes: no planted structure, organic shingle repeats)."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    sa = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_sa_span_rewrite"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    cs = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_span_rewrite_capsort"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    assert cs == sa
