@@ -155,6 +155,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         dedup,
         embed,
         incremental,
+        layout,
         linalg,
         multimodal,
         pipeline,

@@ -101,6 +101,7 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         # round-10 fourth session
         "dedup_span_rewrite_capsort",
         "docs_logreg_classifier",
+        "events_zorder_skipping",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
