@@ -99,3 +99,51 @@ def attach_vector_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def probe_fresh(
+    spark,
+    base_rows: DataFrame,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Freshness-aware retrieval serving — the OTHER half of the
+    ingest stream: answer vector queries over the batch index UNION
+    the committed streamed tail, so a document ingested seconds ago is
+    retrievable without any index rebuild.
+
+    ``base_rows`` is the batch-built chunk index (``chunk_embed_rows``
+    of the base corpus, or the persisted artifact's rows);
+    ``index_path`` is the ``IdempotentParquetSink`` the ingest stream
+    lands in (only COMMITTED batches are visible — an in-flight or
+    replayed batch can never serve a phantom row); ``queries`` is
+    (q_id, q_emb). Exact cosine top-k per query with deterministic
+    (score desc, doc, chunk) tie-break: the tail is typically tiny
+    next to the base, so the union adds one scan of the tail to the
+    base probe — at scale the base leg rides the ANN artifact tiers
+    and this exact union leg covers only the not-yet-compacted tail
+    (operators/incremental.py folds the tail into the artifact under
+    frozen quantizers; compaction shrinks this leg, never changes its
+    answers)."""
+    from pyspark.sql import Window as W
+
+    from streamlit_flink_demo_spark.functions.vectors import dot
+
+    cols = ["doc_id", "chunk_id", "n_tokens", "bucket", "embedding"]
+    tail = IdempotentParquetSink(index_path).read_committed(spark)
+    index = base_rows.select(*cols).unionAll(tail.select(*cols))
+    scored = F.broadcast(queries).join(index, how="cross").select(
+        "q_id",
+        "doc_id",
+        "chunk_id",
+        dot(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "doc_id", "chunk_id", "cos_sim", "rk")
+    )

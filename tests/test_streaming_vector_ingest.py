@@ -130,3 +130,71 @@ def test_restart_replay_is_exactly_once(spark, tmp_path):
     assert committed.count() > n_rows_before  # _B1's chunks arrived
     ids = [s["batch_id"] for s in summaries]
     assert len(ids) == len(set(ids)), "summary re-fired on replay"
+
+
+def test_probe_fresh_serves_streamed_docs_and_matches_brute_force(
+    spark, tmp_path
+):
+    """End-to-end ingest → serve: stream docs B into the sink, probe
+    base(A) ∪ tail(B), and pin (1) exact equality with a brute-force
+    top-k over the full A∪B chunk index built in one batch, and (2)
+    freshness — a query vector taken FROM a streamed doc's chunk must
+    retrieve that chunk at rank 1."""
+    from streamlit_flink_demo_spark.streaming.vector_ingest import (
+        probe_fresh,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "vec")
+    q = attach_vector_ingest(
+        _stream(spark, spool), out, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        _write_batch(spark, spool, 0, _B1)  # doc 3 arrives by stream
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base_docs = spark.createDataFrame(_B0, "doc_id bigint, text string")
+    base_rows = chunk_embed_rows(base_docs)
+    # query = the embedding of streamed doc 3's first chunk
+    all_docs = spark.createDataFrame(
+        _B0 + _B1, "doc_id bigint, text string"
+    )
+    full = chunk_embed_rows(all_docs)
+    q3 = (
+        full.filter("doc_id = 3 AND chunk_id = 0")
+        .selectExpr("CAST(99 AS BIGINT) AS q_id", "embedding AS q_emb")
+    )
+    got = sorted(
+        tuple(r)
+        for r in probe_fresh(spark, base_rows, out, q3, k=3).collect()
+    )
+    # brute force over the one-shot batch index of A∪B
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.functions.vectors import dot
+
+    scored = F.broadcast(q3).join(full, how="cross").select(
+        "q_id",
+        "doc_id",
+        "chunk_id",
+        dot(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rk", F.row_number().over(w).cast("bigint")
+        )
+        .filter("rk <= 3")
+        .collect()
+    )
+    assert got == want
+    # freshness: the streamed chunk itself is the top hit
+    top = min(got, key=lambda t: t[4])
+    assert (top[1], top[2]) == (3, 0)
