@@ -1288,6 +1288,86 @@ def contamination_sa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contamination_capsort_exact",
+    oracle=_CONTAM_ORACLE,
+    tags=("pipeline", "contamination", "suffix"),
+    expose=False,
+)
+def contamination_capsort_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact train→eval contamination WITHOUT the suffix array — the
+    capped-sort tier (dedup_span_rewrite_capsort's argument, applied
+    to the cross-set query): the reported match length is capped at
+    64 (_LCP_CAP), so it is fully determined by the 64-char windows,
+    and in ANY lexicographic order of those windows the train suffix
+    maximizing the capped LCP with an eval suffix is one of its two
+    nearest TRAIN neighbors (sorted-strings property, restricted to
+    the train subset). One range-sort of the windows replaces the
+    prefix-doubling build; the nearest-other-set scan, the two LCPs
+    per eval position, and the per-doc aggregation are shared with
+    ``contamination_sa_exact`` — same oracle SQL, pinned row-identical
+    in pytest. Use the SA tier when the index must also serve
+    arbitrary-length/order queries; for a contamination pass alone
+    this is the production path (~10× cheaper construction at sf0.1,
+    SCALE.md)."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    is_train = (u60(F.col("doc_id").cast("string")) % 100) < 90
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    )
+    ranked = _global_group_rank(pos, ["s64", "doc_id", "p"]).select(
+        "doc_id",
+        "p",
+        "s64",
+        F.col("rank").alias("sa_rank"),
+        is_train.alias("is_train"),
+    )
+    ev = _nearest_train_scan(ranked)
+    tr = ranked.filter("is_train").select(
+        F.col("sa_rank").alias("tr_rank"), F.col("s64").alias("tr_s64")
+    )
+    cand = (
+        ev.select(
+            "doc_id",
+            "p",
+            "s64",
+            F.explode(F.array("prev_tr", "next_tr")).alias("nbr"),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .join(tr, F.col("nbr") == F.col("tr_rank"))
+        .select(
+            "doc_id", "p", _lcp_expr(F.col("s64"), F.col("tr_s64")).alias("lcp")
+        )
+    )
+    best = cand.groupBy("doc_id", "p").agg(F.max("lcp").alias("m"))
+    per_doc = best.groupBy("doc_id").agg(
+        F.max("m").cast("bigint").alias("max_train_match"),
+        F.sum(F.when(F.col("m") >= _CONTAM_T, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated_positions"),
+    )
+    ev_docs = docs.filter(~is_train).select("doc_id")
+    return ev_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_train_match", F.lit(0))
+        .cast("bigint")
+        .alias("max_train_match"),
+        F.coalesce("n_contaminated_positions", F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_positions"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact pattern-count lookup — the n-gram count API over the corpus
 # --------------------------------------------------------------------------

@@ -376,3 +376,77 @@ def test_capsort_rewrite_equals_sa_rewrite_on_corpus(spark, sf_dir):
         ).collect()
     )
     assert cs == sa
+
+
+def test_capsort_contamination_equals_sa_contamination(spark, sf_dir):
+    """contamination_capsort_exact (one 64-char-window sort) must be
+    row-identical to contamination_sa_exact (full SA tier) — the
+    nearest-train-neighbor property holds in the capped order because
+    the reported match length is itself capped at 64."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    sa = sorted(
+        tuple(r)
+        for r in REGISTRY["contamination_sa_exact"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    cs = sorted(
+        tuple(r)
+        for r in REGISTRY["contamination_capsort_exact"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    assert cs == sa
+    assert sa, "expected eval docs"
+
+
+def _credited_max_lcp(order_key, rows, cap):
+    """Per-position credited repeat length from adjacent pairs in the
+    given sort order: sort (key, doc, p), credit both endpoints of
+    every adjacent pair with their common-prefix length."""
+    seq = sorted(rows, key=order_key)
+    best: dict[tuple[int, int], int] = {}
+    for (k1, d1, p1), (k2, d2, p2) in zip(seq, seq[1:]):
+        cp = 0
+        for a, b in zip(k1[:cap], k2[:cap]):
+            if a != b:
+                break
+            cp += 1
+        for key in ((d1, p1), (d2, p2)):
+            best[key] = max(best.get(key, 0), cp)
+    return best
+
+
+def test_capped_order_equivalence_property():
+    """The mathematical core of the capsort tier, pinned by property
+    test: for random corpora over a tiny alphabet (maximally tied
+    suffixes), per-position max-LCP capped at C is IDENTICAL whether
+    adjacency comes from FULL suffix order or from the C-char-window
+    order. Tiny alphabet + short cap stresses ties, cap saturation,
+    and prefix-of-another suffixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cap = 4  # tiny cap => saturation is common
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=12),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(texts):
+        rows = [
+            (t[p:], d, p)
+            for d, t in enumerate(texts)
+            for p in range(len(t))
+        ]
+        full = _credited_max_lcp(lambda r: r, rows, cap)
+        capped_rows = [(s[:cap], d, p) for s, d, p in rows]
+        capped = _credited_max_lcp(lambda r: r, capped_rows, cap)
+        assert {k: min(v, cap) for k, v in full.items()} == capped
+
+    run()

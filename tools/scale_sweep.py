@@ -96,6 +96,7 @@ OPS = (
     "dedup_minhash_calibration",
     # leakage-safe split: cluster labels + one per-cluster agg
     "docs_leakage_safe_split",
+    "events_zorder_skipping",
 )
 
 
@@ -131,6 +132,17 @@ COPY (
   FROM read_parquet('{src}/embeddings.parquet'),
        (SELECT unnest(range({factor})) AS k) k
 ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+""")
+    # events: 10 user cohorts inside the SAME time window (new
+    # user_ids, fresh event_ids) — grows the user dimension the way a
+    # bigger deployment does, without stretching the clamped time axis
+    con.execute(f"""
+COPY (
+  SELECT event_id + k.k * 100000000 AS event_id,
+         ts, user_id + k.k * 10000 AS user_id, event_type, value, props
+  FROM read_parquet('{src}/events.parquet'),
+       (SELECT unnest(range({factor})) AS k) k
+) TO '{dst}/events.parquet' (FORMAT parquet)
 """)
 
 
