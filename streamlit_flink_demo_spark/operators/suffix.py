@@ -1289,6 +1289,73 @@ def contamination_sa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_rewrite_gramgroup",
+    oracle=_sa_rewrite_oracle(False),
+    tags=("dedup", "suffix", "span"),
+    expose=False,
+)
+def dedup_span_rewrite_gramgroup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL-exact span removal with NO global sort at all — the
+    third tier, and the plan a 100 TB run wants: hash-group positions
+    by their exact 24-char prefix (_MIN_REPEAT), sort only WITHIN each
+    group. Exact because the rewrite thresholds at lcp >= 24: any pair
+    achieving that shares the 24-prefix (same group), and within the
+    group — where every pair already agrees on >= 24 chars — the
+    in-group sorted neighbors attain each position's global max capped
+    LCP (sorted-strings property); a position whose group is a
+    singleton has max lcp < 24 and drops before the sort. Same oracle
+    as the SA and capsort tiers, pinned row-identical to both in
+    pytest.
+
+    Plan: ONE hash exchange (partition by the 24-gram) feeding a
+    single window stage — group count (singleton drop), in-group
+    row_number, prev/next via lag/lead, credited lcp =
+    greatest(lcp(prev), lcp(next)) — then the shared islands/cut.
+    No range sampling, no localCheckpoint, no driver collect: nothing
+    to pin, nothing to fail-stop, and group width is bounded by true
+    24-gram duplication (the same boundedness dedup_suffix_spans
+    rides), not by corpus size. Versus capsort's global range-sort
+    this trades the sampler + rank machinery for a plain hash
+    shuffle of the same ~88 B/char payload."""
+    from pyspark.sql import Window as W
+
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    ).withColumn("g", F.substring("s64", 1, _MIN_REPEAT)).filter(
+        F.length("g") >= _MIN_REPEAT
+    )
+    wg = W.partitionBy("g").orderBy("s64", "doc_id", "p")
+    wc = W.partitionBy("g")
+    sized = pos.withColumn("gsz", F.count("*").over(wc)).filter(
+        F.col("gsz") >= 2
+    )
+    with_nbr = sized.select(
+        "doc_id",
+        "p",
+        F.greatest(
+            F.coalesce(
+                _lcp_expr(F.col("s64"), F.lag("s64").over(wg)), F.lit(0)
+            ),
+            F.coalesce(
+                _lcp_expr(F.col("s64"), F.lead("s64").over(wg)), F.lit(0)
+            ),
+        ).alias("lcp"),
+    )
+    return _apply_span_cut(docs, _ranges_from_credited(with_nbr))
+
+
+@register(
     "contamination_capsort_exact",
     oracle=_CONTAM_ORACLE,
     tags=("pipeline", "contamination", "suffix"),

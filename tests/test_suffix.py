@@ -450,3 +450,116 @@ def test_capped_order_equivalence_property():
         assert {k: min(v, cap) for k, v in full.items()} == capped
 
     run()
+
+
+def test_gramgroup_rewrite_equals_both_exact_tiers(spark, tmp_path):
+    """The gram-group tier (hash-group by 24-prefix, in-group sort)
+    must match the SA tier row-for-row on the adversarial planted
+    corpus — cap-saturating repeats, shared-64-prefix divergent
+    tails, sub-threshold repeats, exact-suffix ties — plus a case the
+    other tiers' tests don't isolate: a repeat of EXACTLY 24 chars
+    (the group boundary itself)."""
+    import os
+
+    from streamlit_flink_demo_spark.operators.suffix import _LCP_CAP
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    long_block = "Z" * (_LCP_CAP + 30)
+    shared64 = "s" * (_LCP_CAP + 5)
+    exact24 = "q" * 23 + "X"  # 24-char block, nothing beyond
+    rows = [
+        (1, "intro " + long_block + " middle " + shared64 + "AAAA tail"),
+        (2, long_block + " other " + shared64 + "BBBB different end"),
+        (3, "short dup short dup"),
+        (4, "wholly unique document body with nothing repeated at all"),
+        (5, shared64 + "AAAA tail"),
+        (6, "first copy " + exact24 + " here padding abcdef"),
+        (7, "second copy " + exact24 + " there padding ghijk"),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    sa = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_sa_span_rewrite"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    )
+    gg = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_span_rewrite_gramgroup"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    )
+    assert gg == sa
+    by_doc = {t[0]: t for t in gg}
+    assert by_doc[6][4] >= 24 and by_doc[7][4] >= 24  # exact-24 cut
+    assert by_doc[3][3] == 0 and by_doc[4][3] == 0
+
+
+def test_gramgroup_rewrite_equals_sa_rewrite_on_corpus(spark, sf_dir):
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    sa = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_sa_span_rewrite"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    gg = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_span_rewrite_gramgroup"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    assert gg == sa
+
+
+def test_gramgroup_threshold_equivalence_property():
+    """The gram-group tier's claim, property-tested without Spark:
+    crediting ONLY within exact T-char-prefix groups (in-group sorted
+    adjacency) recovers exactly the positions whose global capped
+    max-LCP >= T, with exactly that max value. Random two-letter
+    corpora; T=2, cap=4 make group collisions and boundary hits
+    common."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cap, t = 4, 2
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=12),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(texts):
+        rows = [
+            (txt[p:], d, p)
+            for d, txt in enumerate(texts)
+            for p in range(len(txt))
+        ]
+        full = _credited_max_lcp(lambda r: r, rows, cap)
+        want = {k: v for k, v in full.items() if v >= t}
+        # gram-group: bucket by exact t-prefix (len >= t only), credit
+        # within each bucket's sorted order
+        groups: dict[str, list] = {}
+        for s, d, p in rows:
+            if len(s) >= t:
+                groups.setdefault(s[:t], []).append((s, d, p))
+        got = {}
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            for k, v in _credited_max_lcp(
+                lambda r: r, members, cap
+            ).items():
+                if v >= t:
+                    got[k] = max(got.get(k, 0), v)
+        assert got == want
+
+    run()
