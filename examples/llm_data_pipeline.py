@@ -83,15 +83,15 @@ def main() -> int:
     # 3b. exact repeated-SPAN removal (round 10): the suffix-array
     # tier cuts >=24-char corpus-repeated regions inside surviving
     # docs — doc-level dedup can't see these (Lee et al. 2022)
-    # (capped-sort tier: same rows as the SA tier, ~10x cheaper
-    # build — the production default when span removal is the only
+    # (gram-group tier: same rows as the SA tier from one hash
+    # exchange — the production default when span removal is the only
     # suffix-order consumer)
-    sa_rw = reg["dedup_span_rewrite_capsort"].fn(spark, sf_dir)
+    sa_rw = reg["dedup_span_rewrite_gramgroup"].fn(spark, sf_dir)
     cut = sa_rw.agg(
         F.sum("chars_removed").alias("chars"),
         F.sum("n_spans_removed").alias("spans"),
     ).first()
-    print(f"exact span removal (capped-sort): {cut['spans']} repeated "
+    print(f"exact span removal (gram-group): {cut['spans']} repeated "
           f"spans ({cut['chars']} chars) cut across the corpus")
 
     # 4-5. embed + semantic dedup summary (encoder runs inside both)

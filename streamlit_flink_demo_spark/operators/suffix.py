@@ -1355,6 +1355,81 @@ def dedup_span_rewrite_gramgroup(
     return _apply_span_cut(docs, _ranges_from_credited(with_nbr))
 
 
+_DELTA_RW_ORACLE = f"""
+WITH full_rw AS ({_sa_rewrite_oracle(False)})
+SELECT * FROM full_rw
+WHERE ({u60_sql("CAST(doc_id AS VARCHAR)")} % 100) >= 90
+"""
+
+
+@register(
+    "dedup_span_rewrite_delta",
+    oracle=_DELTA_RW_ORACLE,
+    tags=("dedup", "suffix", "span", "incremental"),
+    expose=False,
+)
+def dedup_span_rewrite_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact span removal — rewrite only the ARRIVING
+    slice (hash-mod 10%, the engine's delta convention) against the
+    full standing corpus, the daily-crawl form of the gram-group
+    tier: a delta document's spans must be detected against base AND
+    delta text, but base documents are not rewritten. Output rows are
+    exactly the delta rows of the global rewrite (the oracle replays
+    the global chain and filters — one template, no drift).
+
+    The gram-group structure is what makes the increment cheap: only
+    24-gram groups CONTAINING a delta position can credit a delta
+    position, so base positions are pruned by a semi-join on the gram
+    key before the window — the sort state is bounded by
+    delta-relevant groups, not the corpus. In this query form the
+    prune itself still exchanges the base grams once; the standing
+    artifact form (operators/incremental.py pattern) pre-buckets the
+    base gram table by g so a delta batch probes only matching
+    buckets and base text is never rescanned."""
+    from pyspark.sql import Window as W
+
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    is_delta = (u60(F.col("doc_id").cast("string")) % 100) >= 90
+    pos = docs.select(
+        "doc_id",
+        is_delta.alias("is_delta"),
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "is_delta",
+        "p",
+        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
+    ).withColumn("g", F.substring("s64", 1, _MIN_REPEAT)).filter(
+        F.length("g") >= _MIN_REPEAT
+    )
+    delta_grams = pos.filter("is_delta").select("g").distinct()
+    pruned = pos.join(delta_grams, "g", "leftsemi")
+    wg = W.partitionBy("g").orderBy("s64", "doc_id", "p")
+    wc = W.partitionBy("g")
+    sized = pruned.withColumn("gsz", F.count("*").over(wc)).filter(
+        F.col("gsz") >= 2
+    )
+    credited = sized.select(
+        "doc_id",
+        "is_delta",
+        "p",
+        F.greatest(
+            F.coalesce(
+                _lcp_expr(F.col("s64"), F.lag("s64").over(wg)), F.lit(0)
+            ),
+            F.coalesce(
+                _lcp_expr(F.col("s64"), F.lead("s64").over(wg)), F.lit(0)
+            ),
+        ).alias("lcp"),
+    ).filter("is_delta").drop("is_delta")
+    return _apply_span_cut(
+        docs.filter(is_delta), _ranges_from_credited(credited)
+    )
+
+
 @register(
     "contamination_capsort_exact",
     oracle=_CONTAM_ORACLE,

@@ -35,7 +35,7 @@ def test_llm_pipeline_demo_runs_end_to_end(spark, tmp_path):
     for marker in (
         "after quality gate:",
         "ccnet perplexity gate",
-        "exact span removal (capped-sort):",
+        "exact span removal (gram-group):",
         "hybrid RRF top-3",
         "k-center diversity picks",
         "contamination gate:",

@@ -104,6 +104,7 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         "events_zorder_skipping",
         "contamination_capsort_exact",
         "dedup_span_rewrite_gramgroup",
+        "dedup_span_rewrite_delta",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):

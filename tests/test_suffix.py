@@ -563,3 +563,69 @@ def test_gramgroup_threshold_equivalence_property():
         assert got == want
 
     run()
+
+
+def test_delta_rewrite_is_the_delta_slice_of_the_global_rewrite(
+    spark, sf_dir
+):
+    """dedup_span_rewrite_delta's rows must equal the global
+    gram-group rewrite restricted to the delta (hash >= 90) docs —
+    i.e. the pruned increment loses nothing the full pass would
+    find."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    full = REGISTRY["dedup_span_rewrite_gramgroup"].fn.__wrapped__(
+        spark, sf_dir
+    )
+    is_delta = (u60(F.col("doc_id").cast("string")) % 100) >= 90
+    want = sorted(tuple(r) for r in full.filter(is_delta).collect())
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_span_rewrite_delta"].fn.__wrapped__(
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want
+    assert got, "expected delta docs"
+
+
+def test_delta_rewrite_sees_base_repeats(spark, tmp_path):
+    """A delta doc sharing a >=24-char block ONLY with a BASE doc must
+    still have it cut — the semi-join prune keeps whole groups, so
+    base partners stay visible to delta positions."""
+    import os
+
+    from streamlit_flink_demo_spark.functions.hashing import u60
+    from streamlit_flink_demo_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    block = "the shared thirty-char block!!!!"  # 32 chars
+    # find ids on each side of the hash split
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1, 200)], "doc_id bigint"
+    ).select(
+        "doc_id", ((u60(F.col("doc_id").cast("string")) % 100) >= 90).alias("d")
+    )
+    ids = {r.doc_id: r.d for r in probe.collect()}
+    base_id = next(i for i, d in sorted(ids.items()) if not d)
+    delta_id = next(i for i, d in sorted(ids.items()) if d)
+    rows = [
+        (base_id, "base text holds " + block + " and more words"),
+        (delta_id, "delta arrival with " + block + " trailing text"),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_span_rewrite_delta"].fn.__wrapped__(
+            spark, d
+        ).collect()
+    }
+    assert set(out) == {delta_id}  # only the arriving doc is rewritten
+    assert out[delta_id].chars_removed >= len(block)
