@@ -54,7 +54,8 @@ def _dims_sql(spark_dialect: bool) -> tuple[str, str]:
     dv = "div" if spark_dialect else "//"
     return (
         "user_id % 256 AS a",
-        f"least((({ep} - {_EPOCH0}) {dv} 3600) {dv} 3, 255) AS b",
+        f"least(greatest((({ep} - {_EPOCH0}) {dv} 3600) {dv} 3, 0), 255)"
+        " AS b",
     )
 
 

@@ -34,7 +34,6 @@ persisted index unpersists on query termination.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -156,10 +155,8 @@ def attach_span_rewrite_stream(
         status = sink(rows, batch_id)
         if on_summary is None or status != "committed":
             return
-        bdir = os.path.join(out_path, f"batch_id={batch_id}")
         d = (
-            batch_df.sparkSession.read.parquet(bdir)
-            .agg(
+            rows.agg(
                 F.count("*").alias("n_docs"),
                 F.sum((F.col("n_spans_removed") > 0).cast("int")).alias(
                     "n_rewritten"

@@ -131,8 +131,15 @@ def probe_fresh(
     from streamlit_flink_demo_spark.functions.vectors import dot
 
     cols = ["doc_id", "chunk_id", "n_tokens", "bucket", "embedding"]
-    tail = IdempotentParquetSink(index_path).read_committed(spark)
-    index = base_rows.select(*cols).unionAll(tail.select(*cols))
+    index = base_rows.select(*cols)
+    try:
+        tail = IdempotentParquetSink(index_path).read_committed(spark)
+    except ValueError:
+        # No committed batches yet (stream attached but nothing landed):
+        # serve the base index alone instead of crashing the probe.
+        tail = None
+    if tail is not None:
+        index = index.unionAll(tail.select(*cols))
     scored = F.broadcast(queries).join(index, how="cross").select(
         "q_id",
         "doc_id",
