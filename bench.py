@@ -160,6 +160,7 @@ def main() -> int:
     # would.
     artifacts: dict[str, float] = {}
     from streamlit_flink_demo_spark.operators import embed as _emb
+    from streamlit_flink_demo_spark.operators import retrieval as _ret
     from streamlit_flink_demo_spark.operators import similarity as _sim
 
     for label, builder, users in (
@@ -191,6 +192,14 @@ def main() -> int:
             "embed_encode_sec",
             _emb.build_embed_encode,
             ("embed_pipeline_suite",),
+        ),
+        # chunk-granularity retrieval index (round 11): the chunk
+        # encode is paid here once; docs_chunk_ann_search then probes
+        # the bucket-partitioned artifact at index cost
+        (
+            "chunk_embed_index_build_sec",
+            _ret.build_chunk_embed_index,
+            ("docs_chunk_ann_search",),
         ),
     ):
         if only is None or any(u in only for u in users):

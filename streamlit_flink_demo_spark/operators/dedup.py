@@ -853,6 +853,12 @@ LEFT JOIN clean c ON t.doc_id = c.doc_id
 LEFT JOIN ranges r ON t.doc_id = r.doc_id
 """,
     tags=("dedup", "span"),
+    # un-exposed round 11: the driver slot now goes to
+    # span_rewrite_suite (the EXACT capsort+gramgroup tiers,
+    # plans/suites.py), which strictly subsumes this approximate
+    # token-window form; still oracle-checked per round by
+    # tests/test_oracle_parity.py.
+    expose=False,
 )
 def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rewrite for exact duplicated spans — the cleanup pass

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,9 +51,12 @@ from pyspark.sql import Window as W
 
 from streamlit_flink_demo_spark.functions.vectors import dot, dot_sql
 from streamlit_flink_demo_spark.operators.embed import (
+    _BKT_BITS,
     _EMB_DIM,
     _embed_ctes,
     _embed_frame,
+    embed_columns,
+    sign_bucket_col,
 )
 from streamlit_flink_demo_spark.operators.text import (
     _BM25_TERMS,
@@ -585,3 +589,212 @@ def docs_chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _CHK_TOPK)
         .select("q_id", "doc_id", "chunk_id", "cos_sim", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-embedding artifact + ANN-ladder chunk search
+# --------------------------------------------------------------------------
+# docs_chunk_embed_search above is the EXACT baseline and re-encodes
+# the whole chunk corpus per run — linear, but not the plan you want
+# at 100x. The production form materializes the chunk encode ONCE as
+# a fingerprinted artifact partitioned by the sign-LSH bucket (the
+# SAME rows streaming/vector_ingest.py lands for the delta — batch
+# artifact and streamed tail share one schema and one bucketing, so
+# compaction is a fold, not a re-encode) and answers queries with a
+# bucket-pruned probe: partition-pruned scan + broadcast join + rank,
+# index cost instead of encode cost.
+
+_CHUNK_IDX_KIND = "chunk_embed"
+
+
+def chunk_embed_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, bucket, embedding) for every chunk
+    of every nonempty document — the batch artifact's rows AND the
+    streaming vector-ingest projection (stateless, so the identical
+    call serves both; streaming/vector_ingest.py re-exports it)."""
+    keyed = chunk_columns(docs).select(
+        (F.col("doc_id") * _CHUNK_KEYBASE + F.col("chunk_id")).alias(
+            "doc_id"
+        ),
+        F.col("chunk").alias("text"),
+    )
+    emb = embed_columns(keyed)
+    return emb.select(
+        (F.col("doc_id") / _CHUNK_KEYBASE).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % _CHUNK_KEYBASE).cast("bigint").alias("chunk_id"),
+        "n_tokens",
+        sign_bucket_col().alias("bucket"),
+        "embedding",
+    )
+
+
+def build_chunk_embed_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Materialize the chunk-embedding index for ``sf_dir``: one
+    chunk+encode pass over documents, landed as parquet PARTITIONED BY
+    the sign-LSH bucket (2^_BKT_BITS = 256 directories, each sorted by
+    (doc_id, chunk_id)) — the 100 TB shape: the encode runs once, and
+    every probe after it is a bucket-pruned scan. Fingerprinted on the
+    source documents table plus every layout parameter (chunk width /
+    stride / embedding dim / bucket bits), atomically published via
+    symlink swap (similarity._publish_artifact), skipped when fresh.
+    Timed in the bench artifacts ledger as chunk_embed_index_build_sec.
+    """
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _artifact_is_fresh,
+        _index_dir,
+        _publish_artifact,
+        _write_meta,
+        table_fingerprint,
+    )
+
+    out = _index_dir(_CHUNK_IDX_KIND, sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    params = {
+        "chunk_w": _CHUNK_W,
+        "stride": _CHUNK_STRIDE,
+        "emb_dim": _EMB_DIM,
+        "bkt_bits": _BKT_BITS,
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
+    rows = chunk_embed_rows(d)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        rows.repartition("bucket")
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
+    _publish_artifact(tmp, out)
+    return out
+
+
+def chunk_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk index as a DataFrame (doc_id, chunk_id, n_tokens,
+    bucket, embedding), building the artifact first if absent/stale."""
+    return spark.read.parquet(
+        os.path.join(build_chunk_embed_index(spark, sf_dir), "data")
+    )
+
+
+def chunk_ann_probe_topk(
+    q: DataFrame, index_df: DataFrame, k: int = _CHK_TOPK
+) -> DataFrame:
+    """Shared bucket-probe → score → rank block: broadcast queries
+    (q_id, q_emb, q_bucket) against any (doc_id, chunk_id, bucket,
+    embedding) chunk index frame — the build-once artifact path
+    (docs_chunk_ann_search) and a base+tail freshness path probe
+    through ONE definition so tie-breaking cannot fork. The join key
+    is the artifact's PARTITION column, so the tiny broadcast side
+    dynamic-partition-prunes the scan to the ≤|q| touched buckets;
+    own-document chunks are excluded; exact cosine re-rank inside the
+    bucket (embeddings are L2-normalized, so dot = cosine) with
+    deterministic (score desc, doc, chunk) tie-break."""
+    cand = F.broadcast(q).join(
+        index_df,
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("doc_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        "doc_id",
+        "chunk_id",
+        dot(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "doc_id", "chunk_id", "cos_sim", "rk")
+    )
+
+
+def _chunk_ann_oracle_sql() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_BKT_BITS)
+    )
+    steps = [_CHUNKS_CTE]
+    steps.append(
+        f"""chunk_src AS (
+  SELECT doc_id * {_CHUNK_KEYBASE} + chunk_id AS doc_id, chunk AS text
+  FROM chunks
+)"""
+    )
+    steps.extend(_embed_ctes(src="chunk_src", prefix="c"))
+    steps.extend(_embed_ctes())  # query side over documents -> eemb
+    steps.append(
+        f"""cidx AS (
+  SELECT doc_id // {_CHUNK_KEYBASE} AS doc_id,
+         doc_id % {_CHUNK_KEYBASE} AS chunk_id,
+         CAST({bucket} AS BIGINT) AS bucket,
+         embedding
+  FROM cemb
+)"""
+    )
+    steps.append(
+        f"""cq AS (
+  SELECT doc_id AS q_id, embedding AS q_emb,
+         CAST({bucket} AS BIGINT) AS q_bucket
+  FROM eemb WHERE doc_id < {_CHK_N_QUERIES}
+)"""
+    )
+    cos = dot_sql("q.q_emb", "c.embedding", _EMB_DIM)
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT q_id, doc_id, chunk_id, cos_sim, rk FROM (
+  SELECT q.q_id, c.doc_id, c.chunk_id,
+         {cos} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY {cos} DESC, c.doc_id, c.chunk_id)
+           AS rk
+  FROM cq q JOIN cidx c
+    ON c.bucket = q.q_bucket AND c.doc_id <> q.q_id
+) WHERE rk <= {_CHK_TOPK}
+"""
+    )
+
+
+@register(
+    "docs_chunk_ann_search",
+    oracle=_chunk_ann_oracle_sql(),
+    tags=("embed", "retrieval", "chunk", "ann"),
+)
+def docs_chunk_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN chunk retrieval over the build-once chunk-embedding
+    artifact: document-level query embeddings probe ONLY their
+    sign-LSH bucket's partition of the prebuilt chunk index
+    (build_chunk_embed_index — parquet partitioned by bucket, built on
+    miss, fingerprint-checked), then exact cosine re-rank inside the
+    bucket, top-5 chunks per query, own-document chunks excluded.
+
+    This is the scale path above docs_chunk_embed_search's exact
+    baseline: that query re-encodes every chunk per run (its honest
+    disclosure); this one pays the encode once in the artifact ledger
+    and each probe is a partition-pruned scan + broadcast join — probe
+    cost ∝ bucket size, not corpus size. The bucketing is the SAME
+    sign-LSH the streaming vector ingest stamps on its rows
+    (streaming/vector_ingest.py), so the streamed tail folds into
+    this artifact without re-encoding. Deterministic hyperplane-free
+    signs (the fold vector's own bits) make the whole build+probe
+    SQL-expressible — the oracle replays chunking, encode, bucketing,
+    and the bucket-join bit-for-bit."""
+    q = (
+        _embed_frame(spark, sf_dir)
+        .filter(F.col("doc_id") < _CHK_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            sign_bucket_col().alias("q_bucket"),
+        )
+    )
+    return chunk_ann_probe_topk(q, chunk_embed_index(spark, sf_dir))

@@ -31,35 +31,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamlit_flink_demo_spark.operators.embed import (
-    embed_columns,
-    sign_bucket_col,
-)
 from streamlit_flink_demo_spark.operators.retrieval import (
-    _CHUNK_KEYBASE,
-    chunk_columns,
+    chunk_embed_rows,  # noqa: F401 — re-export; shared batch/stream rows
 )
 from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
-
-
-def chunk_embed_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunk_id, n_tokens, bucket, embedding) for every chunk
-    of every nonempty document — the batch twin AND the streaming
-    projection (stateless, so the identical call serves both)."""
-    keyed = chunk_columns(docs).select(
-        (F.col("doc_id") * _CHUNK_KEYBASE + F.col("chunk_id")).alias(
-            "doc_id"
-        ),
-        F.col("chunk").alias("text"),
-    )
-    emb = embed_columns(keyed)
-    return emb.select(
-        (F.col("doc_id") / _CHUNK_KEYBASE).cast("bigint").alias("doc_id"),
-        (F.col("doc_id") % _CHUNK_KEYBASE).cast("bigint").alias("chunk_id"),
-        "n_tokens",
-        sign_bucket_col().alias("bucket"),
-        "embedding",
-    )
 
 
 def attach_vector_ingest(

@@ -579,3 +579,14 @@ def test_suffix_spans_two_hash_exchanges_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "Join" not in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_chunk_ann_probe_is_partition_pruned_broadcast(spark, sf_dir):
+    """docs_chunk_ann_search's scale contract: the chunk-index scan is
+    DYNAMIC-PARTITION-PRUNED on the bucket column by the broadcast
+    query side — probe cost ∝ touched buckets, not corpus size — and
+    the join is a broadcast hash join, never a cartesian product."""
+    p = plan_str(fresh("docs_chunk_ann_search")(spark, sf_dir))
+    assert "dynamicpruning" in p, "bucket scan must be DPP-pruned"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -263,3 +263,116 @@ def test_chunking_equals_pure_python_on_arbitrary_texts(spark):
             assert sorted(got.get(i, [])) == brute(t), (i, t)
 
     check()
+
+
+# --------------------------------------------------------------------------
+# Chunk-embedding artifact + ANN chunk search (round 11)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def chunk_artifact_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    import streamlit_flink_demo_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", root)
+    return root
+
+
+def test_chunk_index_build_skips_when_fresh(
+    spark, sf_dir, chunk_artifact_root
+):
+    import os
+
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        build_chunk_embed_index,
+    )
+
+    out = build_chunk_embed_index(spark, sf_dir)
+    v1 = os.path.realpath(out)
+    assert build_chunk_embed_index(spark, sf_dir) == out
+    assert os.path.realpath(out) == v1  # same published version: skipped
+    out2 = build_chunk_embed_index(spark, sf_dir, force=True)
+    assert os.path.realpath(out2) != v1  # force republishes
+
+
+def test_chunk_index_is_bucket_partitioned(
+    spark, sf_dir, chunk_artifact_root
+):
+    import os
+
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        build_chunk_embed_index,
+    )
+
+    data = os.path.join(build_chunk_embed_index(spark, sf_dir), "data")
+    parts = [d for d in os.listdir(data) if d.startswith("bucket=")]
+    assert parts, "artifact must be partitioned by the sign-LSH bucket"
+    # every partition value is a valid _BKT_BITS bucket id
+    from streamlit_flink_demo_spark.operators.embed import _BKT_BITS
+
+    for d in parts:
+        b = int(d.split("=", 1)[1])
+        assert 0 <= b < (1 << _BKT_BITS)
+
+
+def test_chunk_ann_artifact_path_equals_direct(
+    spark, sf_dir, chunk_artifact_root
+):
+    """The artifact probe must return exactly what the same bucketed
+    probe computes directly from a fresh chunk encode — the artifact
+    is a cache, never a semantic fork."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.embed import sign_bucket_col
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        _CHK_N_QUERIES,
+        chunk_ann_probe_topk,
+        chunk_embed_index,
+        chunk_embed_rows,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    q = (
+        _embed_frame_for_tests(spark, sf_dir)
+        .filter(F.col("doc_id") < _CHK_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            sign_bucket_col().alias("q_bucket"),
+        )
+    )
+    direct_idx = chunk_embed_rows(load_table(spark, sf_dir, "documents"))
+    direct = sorted(
+        map(tuple, chunk_ann_probe_topk(q, direct_idx).collect())
+    )
+    via_artifact = sorted(
+        map(
+            tuple,
+            chunk_ann_probe_topk(
+                q, chunk_embed_index(spark, sf_dir)
+            ).collect(),
+        )
+    )
+    assert direct == via_artifact
+    assert direct  # nonempty at every SF
+
+
+def _embed_frame_for_tests(spark, sf_dir):
+    from streamlit_flink_demo_spark.operators.embed import _embed_frame
+
+    return _embed_frame(spark, sf_dir)
+
+
+def test_chunk_index_schema_matches_vector_ingest_rows(spark, sf_dir):
+    """The batch artifact's rows and the streaming vector-ingest rows
+    are the SAME projection — compaction can fold the streamed tail
+    into the artifact without re-encoding."""
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        chunk_embed_rows as batch_rows,
+    )
+    from streamlit_flink_demo_spark.streaming.vector_ingest import (
+        chunk_embed_rows as stream_rows,
+    )
+
+    assert batch_rows is stream_rows
