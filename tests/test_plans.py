@@ -590,3 +590,14 @@ def test_chunk_ann_probe_is_partition_pruned_broadcast(spark, sf_dir):
     assert "dynamicpruning" in p, "bucket scan must be DPP-pruned"
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_gram_index_probe_is_partition_pruned(spark, sf_dir):
+    """dedup_span_rewrite_delta_gramidx's scale contract: the
+    persisted gram-index scan is dynamic-partition-pruned on the
+    gb = hash(24-gram) bucket by the delta's broadcast gram set —
+    base text is never rescanned at delta time."""
+    p = plan_str(fresh("dedup_span_rewrite_delta_gramidx")(spark, sf_dir))
+    assert "dynamicpruning" in p, "gram bucket scan must be DPP-pruned"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
