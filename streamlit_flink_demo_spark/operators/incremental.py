@@ -108,6 +108,7 @@ def commit_delta(
     path: str,
     delta_key: str,
     write_fn,
+    extra: dict | None = None,
 ) -> bool:
     """Idempotently append one delta to the live artifact version:
     ``write_fn(staging_dir)`` materializes the delta's parquet into a
@@ -132,7 +133,9 @@ def commit_delta(
             staging = os.path.join(live, f".tmp-{name}-{os.getpid()}")
             write_fn(staging)
             os.rename(staging, os.path.join(live, name))
-            deltas.append({"dir": name, "key": delta_key})
+            # ``extra`` rides the delta entry (e.g. compaction's
+            # folded_batches ledger) — JSON-serializable only.
+            deltas.append({"dir": name, "key": delta_key, **(extra or {})})
             _rewrite_meta_atomic(live, meta)
             return True
         finally:

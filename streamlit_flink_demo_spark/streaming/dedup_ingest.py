@@ -105,16 +105,41 @@ def near_dup_flags_batch(
         sigs.unpersist()
 
 
+def init_minhash_index(corpus_docs: DataFrame, path: str) -> str:
+    """Publish the standing MinHash signature artifact for a corpus
+    frame: minhash_signatures rows under data/, atomically published
+    (similarity._publish_artifact), delta-appendable via
+    operators/compaction.compact_dedup_ingest so the door-check
+    learns admitted documents without re-signing the corpus."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _publish_artifact,
+        _write_meta,
+    )
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    minhash_signatures(corpus_docs).write.mode("overwrite").parquet(
+        os.path.join(tmp, "data")
+    )
+    _write_meta(tmp, {})
+    _publish_artifact(tmp, path)
+    return path
+
+
 def attach_near_dup_stream(
     doc_stream: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     flags_path: str,
     on_summary: Callable[[dict], None] | None = None,
     checkpoint_dir: str | None = None,
+    sig_index_path: str | None = None,
 ):
     """Wire a (doc_id, text) document stream through per-batch near-dup
-    flagging. ``corpus_docs`` is signed ONCE and persisted (the
-    artifact role). Flag rows are written DISTRIBUTED to an
+    flagging. The standing signature state is either ``corpus_docs``
+    (signed ONCE and persisted in-session) or — the production form —
+    the persisted artifact at ``sig_index_path`` (init_minhash_index;
+    pass ``corpus_docs=None``), whose compaction deltas
+    (operators/compaction.compact_dedup_ingest) are picked up on the
+    next batch without reattaching. Flag rows are written DISTRIBUTED to an
     ``IdempotentParquetSink`` at ``flags_path`` (exactly-once by batch
     id — a replayed batch after restart rewrites nothing); the full
     flag stream never touches the driver. ``on_summary``, if given,
@@ -122,7 +147,7 @@ def attach_near_dup_stream(
 
         {"batch_id": int, "n_docs": int, "n_flagged": int}
 
-    computed from the DURABLE batch directory, and fires EXACTLY ONCE
+    aggregated from the batch's flag frame, and fires EXACTLY ONCE
     per batch id: a replayed already-committed batch (restart
     recovery) skips its summary entirely — the sink reports the
     replay, so a consumer accumulating counts across restarts never
@@ -131,31 +156,71 @@ def attach_near_dup_stream(
     terminates (a ``StreamingQueryListener`` keyed on the query id),
     so repeated attach/stop cycles in one session don't accumulate
     cached corpus-signature copies."""
-    corpus_sigs = minhash_signatures(corpus_docs).persist()
-    corpus_bands = corpus_sigs.select(
-        F.col("doc_id").alias("old_doc"),
-        F.explode(_band_keys_col()).alias("band_key"),
-    ).persist()
-    corpus_bands.count()  # materialize both before the stream starts
+    if (corpus_docs is None) == (sig_index_path is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs / sig_index_path"
+        )
+    live_frames: list = []  # mutated on re-resolve; cleaned at stop
+
+    def _persist_pair(sigs_src: DataFrame):
+        sigs = sigs_src.persist()
+        bands = sigs.select(
+            F.col("doc_id").alias("old_doc"),
+            F.explode(_band_keys_col()).alias("band_key"),
+        ).persist()
+        bands.count()  # materialize before serving batches
+        return sigs, bands
+
+    if sig_index_path is None:
+        corpus_sigs, corpus_bands = _persist_pair(
+            minhash_signatures(corpus_docs)
+        )
+        live_frames.extend([corpus_sigs, corpus_bands])
+        state = None
+    else:
+        # Artifact mode: persisted copies are re-resolved whenever the
+        # artifact's delta count changes (one driver-side meta read
+        # per batch), so a compaction fold committed mid-stream serves
+        # the NEXT batch without reattaching.
+        state = {"n_deltas": -1, "sigs": None, "bands": None}
+
+    def _resolve(spark):
+        if state is None:
+            return corpus_sigs, corpus_bands
+        from streamlit_flink_demo_spark.operators.incremental import (
+            _read_meta,
+            read_index_data,
+        )
+
+        n = len(
+            _read_meta(os.path.realpath(sig_index_path)).get("deltas", [])
+        )
+        if n != state["n_deltas"]:
+            for f in live_frames:
+                f.unpersist()
+            live_frames.clear()
+            sigs, bands = _persist_pair(
+                read_index_data(spark, sig_index_path)
+            )
+            live_frames.extend([sigs, bands])
+            state.update(n_deltas=n, sigs=sigs, bands=bands)
+        return state["sigs"], state["bands"]
+
     sink = IdempotentParquetSink(flags_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        flags = near_dup_flags_batch(batch_df, corpus_sigs, corpus_bands)
+        sigs, bands = _resolve(batch_df.sparkSession)
+        flags = near_dup_flags_batch(batch_df, sigs, bands)
         status = sink(flags, batch_id)
         if on_summary is None or status != "committed":
             # replays are already durable AND already summarized by
             # the run that committed them — exactly-once, not
             # at-least-once, for the digest too.
             return
-        bdir = os.path.join(flags_path, f"batch_id={batch_id}")
-        row = (
-            batch_df.sparkSession.read.parquet(bdir)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.count("dup_of").alias("n_flagged"),
-            )
-            .first()
-        )
+        row = flags.agg(
+            F.count("*").alias("n_docs"),
+            F.count("dup_of").alias("n_flagged"),
+        ).first()
         on_summary(
             {
                 "batch_id": batch_id,
@@ -170,9 +235,9 @@ def attach_near_dup_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
-    _unpersist_on_termination(
-        doc_stream.sparkSession, query.id, [corpus_sigs, corpus_bands]
-    )
+    # live_frames is the LIVE list (artifact-mode re-resolves swap its
+    # contents); the listener unpersists whatever is cached at stop.
+    _unpersist_on_termination(doc_stream.sparkSession, query.id, live_frames)
     return query
 
 
@@ -293,15 +358,10 @@ def attach_semantic_dedup_stream(
         status = sink(flags, batch_id)
         if on_summary is None or status != "committed":
             return
-        bdir = os.path.join(flags_path, f"batch_id={batch_id}")
-        row = (
-            batch_df.sparkSession.read.parquet(bdir)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.count("dup_of").alias("n_flagged"),
-            )
-            .first()
-        )
+        row = flags.agg(
+            F.count("*").alias("n_docs"),
+            F.count("dup_of").alias("n_flagged"),
+        ).first()
         on_summary(
             {
                 "batch_id": batch_id,
