@@ -86,13 +86,17 @@ def _rewrite_meta_atomic(path: str, meta: dict) -> None:
 
 
 def read_index_data(spark: SparkSession, path: str) -> DataFrame:
-    """Base ``data/`` plus every COMMITTED delta, as one frame.
-    Partition pruning applies per directory root, so probes stay
-    bucket-pruned across base and deltas alike."""
+    """Base ``data/`` plus every COMMITTED data delta, as one frame
+    (tombstone deltas carry deleted KEYS, not rows — excluded here;
+    ``read_live_index`` additionally subtracts them). Partition
+    pruning applies per directory root, so probes stay bucket-pruned
+    across base and deltas alike."""
     live = os.path.realpath(path)
     meta = _read_meta(live)
     dirs = [os.path.join(live, "data")] + [
-        os.path.join(live, d["dir"]) for d in meta.get("deltas", [])
+        os.path.join(live, d["dir"])
+        for d in meta.get("deltas", [])
+        if not d.get("tombstone")
     ]
     # one scan per root, unioned: a multi-root read would make Spark
     # infer partitioning from the paths' common prefix and reject
@@ -102,6 +106,71 @@ def read_index_data(spark: SparkSession, path: str) -> DataFrame:
     for d in dirs[1:]:
         out = out.unionByName(spark.read.parquet(d))
     return out
+
+
+def tombstone_keys(
+    path: str,
+    delta_key: str,
+    ids: DataFrame,
+    key_col: str = "vec_id",
+) -> bool:
+    """Commit a DELETION to the live artifact version: ``ids`` (a
+    one-column frame of ``key_col`` values) lands as a tombstone
+    delta — takedowns are as real as appends at 100 TB, and a
+    corpus-wide rebuild per deletion is exactly the cost appends
+    already avoid. Probes subtract tombstones via ``read_live_index``
+    (broadcast anti-join — the tombstone set is small next to the
+    index); ``compact_index`` physically drops the rows and clears
+    the tombstones. Same idempotency as appends: a replayed
+    ``delta_key`` is a no-op (returns False), so a crashed-and-retried
+    takedown never stacks."""
+
+    def write(staging: str) -> None:
+        ids.select(F.col(key_col)).write.mode("overwrite").parquet(
+            staging
+        )
+
+    return commit_delta(
+        path,
+        delta_key,
+        write,
+        extra={"tombstone": True, "key_col": key_col},
+    )
+
+
+def read_tombstones(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame | None, str | None]:
+    """(deleted-keys frame, key_col) across the live version's
+    tombstone deltas, or (None, None) when there are none. One
+    key_col per artifact — mixing is a caller bug and asserts."""
+    live = os.path.realpath(path)
+    meta = _read_meta(live)
+    entries = [d for d in meta.get("deltas", []) if d.get("tombstone")]
+    if not entries:
+        return None, None
+    key_cols = {d["key_col"] for d in entries}
+    assert len(key_cols) == 1, f"mixed tombstone key_cols: {key_cols}"
+    key_col = key_cols.pop()
+    out = spark.read.parquet(os.path.join(live, entries[0]["dir"]))
+    for d in entries[1:]:
+        out = out.unionByName(
+            spark.read.parquet(os.path.join(live, d["dir"]))
+        )
+    return out.distinct(), key_col
+
+
+def read_live_index(spark: SparkSession, path: str) -> DataFrame:
+    """The SERVING view: base + data deltas MINUS tombstoned keys
+    (broadcast left-anti join; a no-op plan when no tombstones
+    exist). This is what tombstone-aware probes read — bit-identical
+    to a fresh build over the undeleted rows, which is the oracle
+    (ann_lsh_tombstone_topk)."""
+    data = read_index_data(spark, path)
+    ts, key_col = read_tombstones(spark, path)
+    if ts is None:
+        return data
+    return data.join(F.broadcast(ts), key_col, "left_anti")
 
 
 def commit_delta(
@@ -161,7 +230,10 @@ def compact_index(
     meta = _read_meta(live)
     if not meta.get("deltas"):
         return False
-    merged = read_index_data(spark, path)
+    # read_live_index, not read_index_data: compaction is where
+    # tombstoned rows are PHYSICALLY dropped (the fresh version has
+    # no tombstone entries, so probes stop paying the anti-join).
+    merged = read_live_index(spark, path)
     tmp = f"{path}.tmp-compact-{os.getpid()}"
     (
         merged.repartition(*partition_cols)
@@ -533,3 +605,105 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return _ivf_probe(q, cents, inv, _IVF_NPROBE, _TOPK)
+
+
+# --------------------------------------------------------------------------
+# Tombstone deletion: takedowns without rebuild
+# --------------------------------------------------------------------------
+
+
+def build_lsh_full_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Full-corpus (A∪B) LSH signature artifact under its own kind —
+    the deletion scenario's starting state, isolated from the
+    append-path artifacts so tombstones never leak into their
+    queries."""
+    out = _index_dir("lsh_topk_ts", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "n_bands": _N_BANDS,
+        "planes_per_band": _PLANES_PER_BAND,
+        "slice": "full",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    sigs = _banded_sigs_arrow(e, _N_BANDS, _PLANES_PER_BAND)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        sigs.repartition("band", "bsig")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "bsig")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
+    _publish_artifact(tmp, out)
+    return out
+
+
+def tombstone_new_slice(spark: SparkSession, sf_dir: str) -> str:
+    """Tombstone the 10% hash-slice (the 'taken down' set B) in the
+    full-corpus artifact — idempotent per (fingerprint, slice) key,
+    the ids land distributed (no driver collect)."""
+    path = build_lsh_full_index(spark, sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    ids = (
+        load_spread(spark, sf_dir, "embeddings")
+        .filter(_split_col() >= _NEW_PCT)
+        .select("vec_id")
+    )
+    tombstone_keys(path, f"del:new{_NEW_PCT}:{fp}", ids)
+    return path
+
+
+@register(
+    "ann_lsh_tombstone_topk",
+    # probe-parity oracle: the A∪B build with B tombstoned must
+    # hash-match ONE fresh A-only build — signatures are per-row, so
+    # subtracting B's rows is exactly rebuilding without B.
+    oracle=f"""
+WITH emb_live AS (
+  SELECT * FROM embeddings WHERE {_BASE_WHERE_SQL}
+),
+sigs AS (
+{_sigs_sql(_N_BANDS, _PLANES_PER_BAND, src="emb_live")}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, band, bsig
+  FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, s.vec_id,
+         MAX({cosine_sql('q.q_emb', 's.embedding', _DIM)}) AS cos_sim
+  FROM q JOIN sigs s
+    ON s.band = q.band AND s.bsig = q.bsig AND s.vec_id <> q.q_id
+  GROUP BY q.q_id, s.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+""",
+    tags=("similarity", "ann", "lsh", "incremental", "tombstone"),
+    expose=False,
+)
+def ann_lsh_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k probed against the full-corpus artifact AFTER the 10%
+    slice is TOMBSTONED (takedown without rebuild): the probe reads
+    ``read_live_index`` — base rows minus the deleted keys via a
+    broadcast anti-join — and must hash-match the oracle's fresh
+    build over the surviving 90% alone. Queries are drawn from the
+    live slice (a deleted document cannot query its own index).
+    ``compact_index`` later drops the rows physically and retires the
+    anti-join; tests pin that the probe is identical before and after
+    (tests/test_incremental.py)."""
+    path = tombstone_new_slice(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        _split_col() < _NEW_PCT
+    )
+    return lsh_probe_topk(e, read_live_index(spark, path))

@@ -147,7 +147,11 @@ _PLANES_PER_BAND = _N_PLANES // _N_BANDS
 
 
 def _sigs_sql(
-    n_bands: int, planes_per_band: int, salt: str = "", extra: str = ""
+    n_bands: int,
+    planes_per_band: int,
+    salt: str = "",
+    extra: str = "",
+    src: str = "embeddings",
 ) -> str:
     """DuckDB CTE body producing (vec_id, embedding, band, bsig) —
     the exact banded signatures of ``_banded_sigs_arrow``. The ±1
@@ -170,7 +174,7 @@ def _sigs_sql(
         bsig = " + ".join(terms)
         branches.append(
             f"SELECT vec_id, embedding{extra}, {band} AS band, "
-            f"({bsig}) AS bsig FROM embeddings"
+            f"({bsig}) AS bsig FROM {src}"
         )
     return "\nUNION ALL\n".join(branches)
 

@@ -2004,13 +2004,16 @@ def build_gram_index(
 
 
 def read_gram_index(spark: SparkSession, path: str) -> DataFrame:
-    """Base data/ plus committed compaction deltas, partition pruning
-    intact per root (incremental.read_index_data)."""
+    """Base data/ plus committed compaction deltas MINUS tombstoned
+    documents (incremental.read_live_index — takedown of a corpus
+    document removes its positions from every later rewrite's view;
+    compaction drops them physically), partition pruning intact per
+    root."""
     from streamlit_flink_demo_spark.operators.incremental import (
-        read_index_data,
+        read_live_index,
     )
 
-    return read_index_data(spark, path)
+    return read_live_index(spark, path)
 
 
 def span_rewrite_batch(

@@ -161,3 +161,130 @@ def test_pq_append_codes_match_fresh_encode(spark, sf_dir, artifact_root):
         for r in _pq_encode_arrow(e, books).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# Tombstone deletion (round 11): takedowns without rebuild
+# --------------------------------------------------------------------------
+
+
+def test_tombstone_probe_matches_fresh_live_build(
+    spark, sf_dir, artifact_root
+):
+    """A∪B build + tombstone(B) probed == fresh build over A alone —
+    the probe-parity contract (the SQL oracle proves the same against
+    DuckDB)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _banded_sigs_arrow,
+        _N_BANDS,
+        _PLANES_PER_BAND,
+        lsh_probe_topk,
+    )
+
+    path = inc.tombstone_new_slice(spark, sf_dir)
+    e_live = load_table(spark, sf_dir, "embeddings").filter(
+        inc._split_col() < inc._NEW_PCT
+    )
+    got = sorted(
+        map(
+            tuple,
+            lsh_probe_topk(
+                e_live, inc.read_live_index(spark, path)
+            ).collect(),
+        )
+    )
+    fresh = _banded_sigs_arrow(e_live, _N_BANDS, _PLANES_PER_BAND)
+    want = sorted(map(tuple, lsh_probe_topk(e_live, fresh).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_tombstone_replay_is_noop(spark, sf_dir, artifact_root):
+    path = inc.tombstone_new_slice(spark, sf_dir)
+    m1 = _live_meta(path)
+    assert len(m1["deltas"]) == 1 and m1["deltas"][0]["tombstone"]
+    inc.tombstone_new_slice(spark, sf_dir)  # replayed takedown
+    assert _live_meta(path)["deltas"] == m1["deltas"]
+
+
+def test_compaction_drops_tombstoned_rows_probe_identical(
+    spark, sf_dir, artifact_root
+):
+    """compact_index physically removes tombstoned rows and clears
+    the tombstone entries; the live probe is bit-identical before and
+    after, and the deleted keys are GONE from the data files (not
+    just masked)."""
+    path = inc.tombstone_new_slice(spark, sf_dir)
+    ts, key_col = inc.read_tombstones(spark, path)
+    assert key_col == "vec_id"
+    dead = {r["vec_id"] for r in ts.collect()}
+    assert dead  # the 10% slice is non-empty at every SF
+    before = sorted(
+        map(tuple, inc.read_live_index(spark, path).collect())
+    )
+
+    assert inc.compact_index(spark, path, ("band", "bsig")) is True
+    meta = _live_meta(path)
+    assert meta.get("deltas", []) == []
+    after_all = inc.read_index_data(spark, path)
+    assert (
+        after_all.filter(F.col("vec_id").isin(list(dead))).count() == 0
+    )  # physically dropped
+    after = sorted(
+        map(tuple, inc.read_live_index(spark, path).collect())
+    )
+    assert after == before
+
+
+def test_gram_index_doc_takedown(spark, artifact_root, tmp_path):
+    """Deleting a corpus document from the gram index removes its
+    positions from every later rewrite's view: rewrite against
+    (A∪B index with B tombstoned) == rewrite against an A-only
+    index."""
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        read_gram_index,
+        span_rewrite_batch,
+    )
+
+    block = "TAKEDOWN-REPEATED-BLOCK-9876543210-FEDCBA"  # 41 chars
+    a = spark.createDataFrame(
+        [(1, "document a with only unshared words")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, f"document b carrying {block} in the body")],
+        "doc_id bigint, text string",
+    )
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(a.unionByName(b), art)
+    batch = spark.createDataFrame(
+        [(10, f"arrival that reuses {block} verbatim")],
+        "doc_id bigint, text string",
+    )
+    # pre-takedown: the block is cut (doc 2 holds it)
+    pre = span_rewrite_batch(batch, read_gram_index(spark, art)).collect()
+    assert pre[0]["chars_removed"] >= len(block) - 1
+
+    inc.tombstone_keys(
+        art,
+        "del:doc2",
+        spark.createDataFrame([(2,)], "doc_id bigint"),
+        key_col="doc_id",
+    )
+    got = sorted(
+        map(
+            tuple,
+            span_rewrite_batch(
+                batch, read_gram_index(spark, art)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            span_rewrite_batch(batch, gram_index_rows(a)).collect(),
+        )
+    )
+    assert got == want
+    assert got[0][3] == 0  # n_spans_removed: nothing left to credit
