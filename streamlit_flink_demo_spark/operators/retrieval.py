@@ -228,42 +228,68 @@ def docs_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KC_K = 8  # selected subset size
+_KC_SAMPLE_MOD = 4  # sampled variant: greedy over a 1/4 hash-sample
 
 
-def _kcenter_oracle_sql() -> str:
+def u60_sql_kc(col: str) -> str:
+    """DuckDB image of the k-center sample hash (u60 of 'kc:'||id)."""
+    from streamlit_flink_demo_spark.functions.hashing import u60_sql
+
+    return u60_sql(f"'kc:' || CAST({col} AS VARCHAR)")
+
+
+def _kc_sample_col() -> F.Column:
+    from streamlit_flink_demo_spark.functions.hashing import u60
+
+    return u60(F.concat(F.lit("kc:"), F.col("doc_id").cast("string")))
+
+
+def _kcenter_oracle_sql(sampled: bool = False) -> str:
     """Replay the greedy traversal as k-1 chained CTE steps (each:
     argmax of the running min-dist, then fold the new center into the
     min), then the one-scan assignment — structurally the exact SQL
     image of the Spark loop, so every selection decision AND the final
-    assignment partition are value-checked."""
+    assignment partition are value-checked. ``sampled`` draws the
+    greedy CANDIDATE POOL from the deterministic 1/_KC_SAMPLE_MOD
+    hash-sample (assignment stays full-corpus) — the scale variant's
+    replay."""
     steps = _embed_ctes()
     steps.append(
         """kc0 AS (
   SELECT doc_id, embedding FROM eemb WHERE l2_norm > 0
 )"""
     )
+    pool = "kc0"
+    if sampled:
+        pred = (
+            f"{u60_sql_kc('doc_id')} % {_KC_SAMPLE_MOD} = 0"
+        )
+        steps.append(
+            f"kpool AS (SELECT * FROM kc0 WHERE {pred})"
+        )
+        pool = "kpool"
     # DuckDB forbids scalar subqueries INSIDE lambda/list-comprehension
     # bodies, so every center embedding is CROSS JOINed in as a plain
     # column before the dot-product comprehension references it.
-    c1 = "(SELECT MIN(doc_id) FROM kc0)"
+    c1 = f"(SELECT MIN(doc_id) FROM {pool})"
     steps.append(
-        f"""kd1 AS (
+        f"""kd1 AS MATERIALIZED (
   SELECT k.doc_id, k.embedding,
          1.0 - {dot_sql("k.embedding", "c.cemb", _EMB_DIM)} AS md
-  FROM kc0 k CROSS JOIN
+  FROM {pool} k CROSS JOIN
        (SELECT embedding AS cemb FROM kc0 WHERE doc_id = {c1}) c
 )"""
     )
     for i in range(2, _KC_K + 1):
         steps.append(
-            f"""ks{i} AS (
+            f"""ks{i} AS MATERIALIZED (
   SELECT doc_id AS c_id, md AS sel_md
   FROM kd{i - 1} ORDER BY md DESC, doc_id LIMIT 1
 )"""
         )
         if i < _KC_K:
             steps.append(
-                f"""kd{i} AS (
+                f"""kd{i} AS MATERIALIZED (
   SELECT k.doc_id, k.embedding,
          LEAST(k.md, 1.0 - {dot_sql("k.embedding", "c.cemb", _EMB_DIM)}) AS md
   FROM kd{i - 1} k CROSS JOIN
@@ -340,14 +366,50 @@ def docs_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius; distance ties assign to the earliest-selected center on
     both engines). Driver state: 8 rows of 16 doubles; per round the
     corpus never shuffles — only per-partition top-1 candidates move
-    (TakeOrderedAndProject)."""
+    (TakeOrderedAndProject). The k-1 argmax rounds each scan the full
+    corpus — fine for a registered query at k=8; a production run at
+    scale uses ``docs_kcenter_sampled`` (greedy over a deterministic
+    hash-sample, assignment full-corpus), which retires this
+    full-scan cost."""
+    return _kcenter_run(spark, sf_dir, sampled=False)
+
+
+@register(
+    "docs_kcenter_sampled",
+    oracle=_kcenter_oracle_sql(sampled=True),
+    tags=("embed", "similarity", "diversity"),
+    expose=False,
+)
+def docs_kcenter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE variant of greedy k-center (the IVF-training
+    discipline): the k-1 greedy argmax rounds run over a DETERMINISTIC
+    1/4 hash-sample of the corpus (u60('kc:'||doc_id) %
+    _KC_SAMPLE_MOD), so the iterative phase scans the sample, not the
+    corpus; only the final nearest-center assignment is one
+    full-corpus pass. Gonzalez's guarantee degrades gracefully under
+    sampling (the chosen centers 2-approximate the SAMPLE's k-center
+    objective, and the full assignment reports true coverage) — this
+    is the form a 100 TB run uses, retiring docs_kcenter_diverse's
+    8-sequential-full-scan caveat. Same oracle template with the pool
+    CTE sampled; assignment value-checked full-corpus."""
+    return _kcenter_run(spark, sf_dir, sampled=True)
+
+
+def _kcenter_run(
+    spark: SparkSession, sf_dir: str, sampled: bool
+) -> DataFrame:
     emb = (
         _embed_frame(spark, sf_dir)
         .filter(F.col("l2_norm") > 0)
         .select("doc_id", "embedding")
     )
+    pool = (
+        emb.filter(_kc_sample_col() % _KC_SAMPLE_MOD == 0)
+        if sampled
+        else emb
+    )
     seed = (
-        emb.orderBy("doc_id")
+        pool.orderBy("doc_id")
         .limit(1)
         .select("doc_id", "embedding")
         .collect()[0]
@@ -367,7 +429,7 @@ def docs_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcols = dists_to([ce for _, ce, _ in centers])
         md = dcols[0] if len(dcols) == 1 else F.least(*dcols)
         nxt = (
-            emb.select("doc_id", "embedding", md.alias("md"))
+            pool.select("doc_id", "embedding", md.alias("md"))
             .orderBy(F.col("md").desc(), F.col("doc_id"))
             .limit(1)
             .collect()[0]
