@@ -97,6 +97,14 @@ OPS = (
     # leakage-safe split: cluster labels + one per-cluster agg
     "docs_leakage_safe_split",
     "events_zorder_skipping",
+    # round 11: build-once artifacts probed bucket-pruned (best-of-2
+    # reports the probe floor — the build is ledgered in bench.py /
+    # disclosed in SCALE.md), the sampled k-center twin, and the
+    # tombstone-probe parity path
+    "docs_chunk_ann_search",
+    "dedup_span_rewrite_delta_gramidx",
+    "docs_kcenter_sampled",
+    "ann_lsh_tombstone_topk",
 )
 
 
