@@ -98,6 +98,20 @@ def fold_sink_into_index(
     m = sink._read_manifest()  # ONE snapshot drives the whole fold
     fb, fc = folded_ids(artifact_path)
     dirs, new_b, new_c = _unfolded_dirs(sink, m, fb, fc)
+    if new_c and (fb or fc):
+        # A sink-level compaction (sinks.compact_sink) folds EVERY
+        # live directory — including batches/generations this artifact
+        # already absorbed — into one new generation, so an unfolded
+        # generation appearing AFTER any artifact fold cannot be
+        # attributed: folding it would duplicate rows, skipping it
+        # would lose the new ones. Run fold_sink_into_index before
+        # compact_sink on a fold-managed tail (or let the fold's own
+        # truncate reclaim the vector tail).
+        raise ValueError(
+            f"unattributable sink generation(s) {new_c} under "
+            f"{sink_path}: sink-level compaction ran after an artifact "
+            "fold — fold before compact_sink on a fold-managed tail"
+        )
     if dirs:
         rows = spark.read.parquet(*dirs)
         if rows_fn is not None:

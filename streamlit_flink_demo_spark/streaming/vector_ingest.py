@@ -101,10 +101,6 @@ def probe_fresh(
     (operators/incremental.py folds the tail into the artifact under
     frozen quantizers; compaction shrinks this leg, never changes its
     answers)."""
-    from pyspark.sql import Window as W
-
-    from streamlit_flink_demo_spark.functions.vectors import dot
-
     cols = ["doc_id", "chunk_id", "n_tokens", "bucket", "embedding"]
     index = base_rows.select(*cols)
     try:
@@ -115,6 +111,44 @@ def probe_fresh(
         tail = None
     if tail is not None:
         index = index.unionAll(tail.select(*cols))
+    return _exact_chunk_topk(queries, index, k)
+
+
+def probe_fresh_compacted(
+    spark,
+    artifact_path: str,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """``probe_fresh`` for the COMPACTED deployment: the base is the
+    chunk-embedding ARTIFACT (base + folded deltas,
+    operators/retrieval.build_chunk_embed_index grown by
+    operators/compaction.compact_vector_ingest) and the tail leg is
+    only the committed batches NOT yet folded — the reconciling
+    reader, so the answer is identical at every instant of the fold
+    cycle (mid-fold, post-fold, post-truncate; pinned in
+    tests/test_compaction.py)."""
+    from streamlit_flink_demo_spark.operators.compaction import (
+        read_index_with_tail,
+    )
+
+    cols = ["doc_id", "chunk_id", "n_tokens", "bucket", "embedding"]
+    index = read_index_with_tail(spark, artifact_path, index_path).select(
+        *cols
+    )
+    return _exact_chunk_topk(queries, index, k)
+
+
+def _exact_chunk_topk(
+    queries: DataFrame, index: DataFrame, k: int
+) -> DataFrame:
+    """Shared scoring block: broadcast queries × index exact cosine,
+    deterministic (score desc, doc, chunk) tie-break, top-k."""
+    from pyspark.sql import Window as W
+
+    from streamlit_flink_demo_spark.functions.vectors import dot
+
     scored = F.broadcast(queries).join(index, how="cross").select(
         "q_id",
         "doc_id",

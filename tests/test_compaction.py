@@ -382,3 +382,92 @@ def test_fold_key_and_ledger_recorded_in_artifact_meta(
     (entry,) = meta["deltas"]
     assert entry["folded_batches"] == [7]
     assert entry["key"].startswith("span:b[7]")
+
+
+def test_probe_fresh_compacted_identical_across_fold_cycle(
+    spark, sf_dir, artifact_root, tmp_path
+):
+    """Serving parity: probe_fresh_compacted answers identically at
+    every instant of the fold cycle — before the fold (artifact +
+    tail), mid-crash (delta committed, tail not truncated), and after
+    truncation — and equals probe_fresh over the direct base ∪ tail."""
+    from streamlit_flink_demo_spark.operators.retrieval import (
+        build_chunk_embed_index,
+        chunk_embed_rows,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+    from streamlit_flink_demo_spark.streaming.vector_ingest import (
+        probe_fresh,
+        probe_fresh_compacted,
+    )
+
+    art = build_chunk_embed_index(spark, sf_dir)
+    sink_path = str(tmp_path / "vec_tail")
+    sink = IdempotentParquetSink(sink_path)
+    d1 = _new_docs(spark, [(900004, "serving parity document " * 13)])
+    sink(chunk_embed_rows(d1), 0)
+
+    base_docs = load_table(spark, sf_dir, "documents")
+    base_rows = chunk_embed_rows(base_docs)
+    q = spark.createDataFrame(
+        [(1,)], "q_id bigint"
+    ).crossJoin(
+        chunk_embed_rows(d1)
+        .limit(1)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    want = _rowset(probe_fresh(spark, base_rows, sink_path, q))
+
+    def got():
+        return _rowset(probe_fresh_compacted(spark, art, sink_path, q))
+
+    assert got() == want  # pre-fold
+
+    def write(rows, staging):
+        (
+            rows.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+
+    fold_sink_into_index(
+        spark, sink_path, art, write, key_prefix="vec", truncate=False
+    )
+    assert got() == want  # mid-crash: delta + unfolded tail, no double
+    truncate_folded_tail(sink_path, art)
+    assert got() == want  # post-truncate
+    # the freshly-ingested chunk is retrievable (top hit for its own
+    # embedding as the query)
+    top = probe_fresh_compacted(spark, art, sink_path, q).collect()[0]
+    assert top["doc_id"] == 900004 and top["rk"] == 1
+
+
+def test_fold_refuses_unattributable_sink_generation(
+    spark, artifact_root, tmp_path
+):
+    """sinks.compact_sink after an artifact fold smuggles already-
+    folded rows into a fresh generation dir; the fold must refuse
+    (duplicating or dropping rows are the only other options)."""
+    import pytest as _pytest
+
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        span_rewrite_batch,
+    )
+    from streamlit_flink_demo_spark.sinks import compact_sink
+
+    corpus = _new_docs(spark, [(1, "guard corpus words entirely own")])
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(corpus, art)
+    sink_path = str(tmp_path / "span_tail")
+    sink = IdempotentParquetSink(sink_path)
+    b0 = _new_docs(spark, [(2, "first landed arrival text body")])
+    sink(span_rewrite_batch(b0, gram_index_rows(corpus)), 0)
+    compact_span_ingest(spark, art, sink_path)  # fold batch 0
+    b1 = _new_docs(spark, [(3, "second landed arrival text body")])
+    sink(span_rewrite_batch(b1, gram_index_rows(corpus)), 1)
+    compact_sink(spark, sink_path)  # folds 0 AND 1 into compact=0
+    with _pytest.raises(ValueError, match="unattributable"):
+        compact_span_ingest(spark, art, sink_path)
