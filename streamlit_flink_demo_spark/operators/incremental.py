@@ -43,6 +43,7 @@ from streamlit_flink_demo_spark.operators.similarity import (
     _index_dir,
     _ivf_assign_arrow,
     _ivf_centroids_np,
+    _ivf_oracle_sql,
     _ivf_probe,
     _publish_artifact,
     _write_meta,
@@ -707,3 +708,92 @@ def ann_lsh_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _split_col() < _NEW_PCT
     )
     return lsh_probe_topk(e, read_live_index(spark, path))
+
+
+def build_ivf_full_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Full-corpus IVF artifact under its own kind ('ivf_ts') — the
+    deletion scenario's starting state, isolated from the shared
+    probe artifact. Quantizer trained on the full-corpus sample and
+    recorded frozen in meta.json (deletion never retrains)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _ivf_centroids_np as _cents,
+    )
+
+    out = _index_dir("ivf_ts", sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    params = {
+        "n_clusters": _IVF_CLUSTERS,
+        "train_sample": _IVF_TRAIN_SAMPLE,
+        "slice": "full",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    e = load_spread(spark, sf_dir, "embeddings")
+    cents_np = _cents(e, _IVF_CLUSTERS)
+    inv = _ivf_assign_arrow(e, cents_np, with_embedding=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        inv.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(
+        tmp,
+        {
+            "fingerprint": fp,
+            **params,
+            "centroids": [[float(v) for v in row] for row in cents_np],
+        },
+    )
+    _publish_artifact(tmp, out)
+    return out
+
+
+@register(
+    "ann_ivf_tombstone_topk",
+    # deletion under a FROZEN quantizer: unlike LSH (where tombstone ≡
+    # fresh rebuild, signatures being per-row), an IVF rebuild on the
+    # survivors would RETRAIN and reassign everything — the correct
+    # takedown semantics is "same centroids, B's rows gone", and the
+    # oracle replays exactly that: full-corpus training, live-only
+    # assignment and queries.
+    oracle=_ivf_oracle_sql(live_where=_BASE_WHERE_SQL),
+    tags=("similarity", "ann", "ivf", "incremental", "tombstone"),
+    expose=False,
+)
+def ann_ivf_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probed after the 10% slice is TOMBSTONED in the
+    full-corpus inverted list: probes read ``read_live_index`` (base
+    rows minus deleted keys) under the artifact's FROZEN centroids —
+    deletion must never retrain, or every surviving vector's cell
+    assignment silently shifts. The oracle replays the full-corpus
+    quantizer with live-only assignment/queries; a hash match proves
+    tombstone ≡ remove-rows-keep-quantizer, the takedown invariant
+    incremental IVF maintenance rests on."""
+    path = build_ivf_full_index(spark, sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    ids = (
+        load_spread(spark, sf_dir, "embeddings")
+        .filter(_split_col() >= _NEW_PCT)
+        .select("vec_id")
+    )
+    tombstone_keys(path, f"del:new{_NEW_PCT}:{fp}", ids)
+    meta = _read_meta(os.path.realpath(path))
+    cents_np = np.array(meta["centroids"], dtype=np.float64)
+    cents = _cents_df(spark, cents_np)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(_split_col() < _NEW_PCT)
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    return _ivf_probe(
+        q, cents, read_live_index(spark, path), _IVF_NPROBE, _TOPK
+    )

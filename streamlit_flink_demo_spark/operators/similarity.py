@@ -940,7 +940,7 @@ def ivf_topk(
     return _ivf_probe(q, cents, inv, nprobe, topk)
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(live_where: str | None = None) -> str:
     """DuckDB replay of the ENTIRE deterministic IVF pipeline —
     training (first-k seeds over the bounded sample, one Lloyd step of
     cosine-assign → per-dim mean), corpus assignment, nprobe centroid
@@ -952,6 +952,15 @@ def _ivf_oracle_sql() -> str:
     for float embeddings; swept clean at sf0.001/0.01/0.1)."""
     cos = lambda a, b: cosine_sql(a, b, _DIM)
     train_n = _IVF_CLUSTERS * _IVF_TRAIN_SAMPLE
+    # ``live_where`` restricts the ASSIGNED corpus and the query set
+    # (the tombstone-deletion replay: training/centroids stay frozen
+    # on the FULL corpus — deletion never retrains).
+    live = (
+        f"(SELECT * FROM embeddings WHERE {live_where})"
+        if live_where
+        else "embeddings"
+    )
+    q_and = f" AND ({live_where})" if live_where else ""
     return f"""
 WITH train AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {train_n}
@@ -993,12 +1002,12 @@ inv AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos('e.embedding', 'c.c_emb')} DESC,
                                        c.c_id) AS rk
-    FROM embeddings e CROSS JOIN cmeans c
+    FROM {live} e CROSS JOIN cmeans c
   ) WHERE rk = 1
 ),
 q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id < {_N_QUERIES}
+  WHERE vec_id < {_N_QUERIES}{q_and}
 ),
 probes AS (
   SELECT q_id, q_emb, c_id FROM (

@@ -471,3 +471,62 @@ def test_fold_refuses_unattributable_sink_generation(
     compact_sink(spark, sink_path)  # folds 0 AND 1 into compact=0
     with _pytest.raises(ValueError, match="unattributable"):
         compact_span_ingest(spark, art, sink_path)
+
+
+def test_batch_committed_mid_fold_survives_truncation(
+    spark, artifact_root, tmp_path
+):
+    """A batch the live sink commits BETWEEN the fold's manifest
+    snapshot and the truncation must be neither folded nor truncated:
+    it stays in the tail, is served by the reconciling reader, and the
+    NEXT fold picks it up exactly once."""
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        span_rewrite_batch,
+    )
+
+    corpus = _new_docs(spark, [(1, "race corpus words all its own")])
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(corpus, art)
+    sink_path = str(tmp_path / "span_tail")
+    sink = IdempotentParquetSink(sink_path)
+    idx = gram_index_rows(corpus)
+    sink(span_rewrite_batch(_new_docs(spark, [(2, "first race arrival text")]), idx), 0)
+
+    def write(rows, staging):
+        (
+            rows.repartition("gb")
+            .write.mode("overwrite")
+            .partitionBy("gb")
+            .parquet(staging)
+        )
+
+    from pyspark.sql import functions as F2
+
+    def rows_fn(tail):
+        return gram_index_rows(
+            tail.select("doc_id", F2.col("clean_text").alias("text"))
+        )
+
+    # fold batch 0 WITHOUT truncation (the snapshot point), then the
+    # "live stream" commits batch 1 before truncation runs
+    fold_sink_into_index(
+        spark, sink_path, art, write, rows_fn=rows_fn,
+        key_prefix="span", truncate=False,
+    )
+    sink(span_rewrite_batch(_new_docs(spark, [(3, "second race arrival text")]), idx), 1)
+    truncate_folded_tail(sink_path, art)
+
+    # batch 1 survived: still committed, not folded
+    assert sink.committed_ids() == [1]
+    fb, _ = folded_ids(art)
+    assert fb == {0}
+    # next fold picks up exactly batch 1
+    digest = fold_sink_into_index(
+        spark, sink_path, art, write, rows_fn=rows_fn,
+        key_prefix="span", truncate=False,
+    )
+    assert digest["folded_batches"] == [1]
+    fb2, _ = folded_ids(art)
+    assert fb2 == {0, 1}

@@ -288,3 +288,58 @@ def test_gram_index_doc_takedown(spark, artifact_root, tmp_path):
     )
     assert got == want
     assert got[0][3] == 0  # n_spans_removed: nothing left to credit
+
+
+def test_ivf_tombstone_frozen_quantizer_survives_compaction(
+    spark, sf_dir, artifact_root
+):
+    """IVF deletion semantics: the probe after tombstoning equals the
+    probe over live rows under the SAME centroids, and compaction
+    drops the rows physically while the frozen quantizer carries over
+    verbatim (retraining on the survivors would shift every surviving
+    vector's cell — the bug the frozen contract prevents)."""
+    import json as _json
+
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    before = sorted(
+        map(
+            tuple,
+            REGISTRY["ann_ivf_tombstone_topk"]
+            .fn.__wrapped__(spark, sf_dir)
+            .collect(),
+        )
+    )
+    path = inc._index_dir("ivf_ts", sf_dir)
+    cents_before = _live_meta(path)["centroids"]
+    assert inc.compact_index(spark, path, ("cluster",)) is True
+    meta = _live_meta(path)
+    assert meta.get("deltas", []) == []
+    assert meta["centroids"] == cents_before  # frozen, verbatim
+    ts, _ = inc.read_tombstones(spark, path)
+    assert ts is None  # tombstones retired
+    import numpy as _np
+
+    cents = _cents_df(spark, _np.array(cents_before, dtype=_np.float64))
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(inc._split_col() < inc._NEW_PCT)
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    after = sorted(
+        map(
+            tuple,
+            _ivf_probe(
+                q,
+                cents,
+                inc.read_live_index(spark, path),
+                _IVF_NPROBE,
+                _TOPK,
+            ).collect(),
+        )
+    )
+    assert after == before and len(after) > 0
