@@ -1967,3 +1967,119 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("bigint").alias("docs_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: shift-invariant chunk dedup
+# --------------------------------------------------------------------------
+# Fixed-window passage dedup breaks when one byte is inserted — every
+# later window shifts. CDC (the LBFS/storage-dedup discipline) cuts
+# where a hash of the LOCAL window hits a target residue, so chunk
+# boundaries re-synchronize right after any edit and duplicated
+# content reappears under the SAME chunk hashes regardless of offset.
+# Spark shape: boundary discovery and chunk slicing are ONE map-only
+# projection built from higher-order functions (sequence → transform →
+# filter — no per-position explode, no shuffle until the final
+# chunk-hash aggregation), then a single hash exchange groups equal
+# chunks corpus-wide. At 100 TB that is the minimum possible: one scan
+# + one combine-enabled aggregation on the chunk digest.
+
+_CDC_W = 16  # rolling-window width (chars)
+_CDC_D = 64  # boundary divisor -> expected chunk length ~64 chars
+
+
+def cdc_chunks_col() -> F.Column:
+    """Array of this document's CDC chunks: cut AFTER any 16-char
+    window whose u60 ≡ 0 (mod 64); slices between consecutive cuts
+    (document start/end are always boundaries)."""
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.length("text") - _CDC_W),
+            lambda p: F.when(
+                u60(F.col("text").substr(p + 1, F.lit(_CDC_W))) % _CDC_D
+                == 0,
+                p + _CDC_W,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts, F.array(F.length("text"))
+    )
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(bounds) - 2),
+            lambda i: F.col("text").substr(
+                F.element_at(bounds, i + 1) + 1,
+                F.element_at(bounds, i + 2) - F.element_at(bounds, i + 1),
+            ),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+
+
+_CDC_ORACLE = f"""
+WITH cuts AS (
+  SELECT doc_id, text,
+         list_concat(list_concat(
+           [0::BIGINT],
+           list_filter(
+             list_transform(range(0, length(text) - {_CDC_W} + 1),
+               p -> CASE WHEN {u60_sql(f"substr(text, p + 1, {_CDC_W})")}
+                              % {_CDC_D} = 0
+                         THEN p + {_CDC_W} END),
+             x -> x IS NOT NULL)),
+           [length(text)::BIGINT]) AS b
+  FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT doc_id, chunk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(b) - 1),
+             i -> substr(text, b[i+1] + 1, b[i+2] - b[i+1]))) AS chunk
+    FROM cuts
+  ) WHERE length(chunk) > 0
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(length(MIN(chunk)) AS BIGINT) AS chunk_len,
+       COUNT(*)::BIGINT AS n_copies,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       MIN(doc_id)::BIGINT AS first_doc
+FROM chunks
+GROUP BY md5(chunk)
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_CDC_ORACLE,
+    tags=("dedup", "cdc", "chunk"),
+    expose=False,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: cut every document where the
+    16-char window hash hits residue 0 mod 64 (expected ~64-char
+    chunks, boundaries re-synchronize after any insertion — the
+    shift-invariance fixed windows lack, pinned in
+    tests/test_similarity.py), hash each chunk, report every chunk
+    content duplicated corpus-wide (copies, distinct docs, first
+    holder). Chunking is one map-only higher-order-function
+    projection; the only exchange is the final combine-enabled
+    group-by on the chunk digest."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chunks = d.select(
+        "doc_id", F.explode(cdc_chunks_col()).alias("chunk")
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.length(F.min("chunk")).cast("bigint").alias("chunk_len"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -857,3 +857,43 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     r1, r3 = recall(single), recall(multi)
     assert r3 >= r1, f"multi-probe recall {r3:.2f} < single {r1:.2f}"
     assert r3 >= 0.4
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The property that justifies CDC over fixed windows: inserting a
+    prefix shifts every fixed-window boundary, but CDC boundaries
+    re-synchronize after the edit — the shifted document shares almost
+    all its chunk hashes with the original (everything after the first
+    post-edit boundary is cut identically)."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.dedup import cdc_chunks_col
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders through seventeen additional sentences of filler "
+        "content that exists purely to give the chunker enough "
+        "characters to place several content-defined boundaries "
+        "inside this document body before it finally ends here"
+    ) * 3
+    shifted = "INSERTED-PREFIX-" + base
+
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id bigint, text string"
+    )
+    rows = df.select(
+        "doc_id", F.transform(cdc_chunks_col(), F.md5).alias("hs")
+    ).collect()
+    hs = {r["doc_id"]: r["hs"] for r in rows}
+    assert len(hs[1]) >= 4, "corpus too short to place boundaries"
+    shared = set(hs[1]) & set(hs[2])
+    # everything after the first re-synchronized boundary is shared:
+    # at most the first chunk of each differs
+    assert set(hs[1][1:]) <= shared
+    # reassembly sanity: chunks concatenate back to the document
+    joined = df.select(
+        "doc_id", F.concat_ws("", cdc_chunks_col()).alias("re")
+    ).collect()
+    for r in joined:
+        want = base if r["doc_id"] == 1 else shifted
+        assert r["re"] == want
