@@ -105,6 +105,12 @@ OPS = (
     "dedup_span_rewrite_delta_gramidx",
     "docs_kcenter_sampled",
     "ann_lsh_tombstone_topk",
+    # round 11 continuation: multiprobe fan-out over the same chunk
+    # artifact, CDC dedup (map-only chunking + one digest group-by),
+    # frozen-quantizer IVF deletion probe
+    "docs_chunk_ann_multiprobe",
+    "dedup_cdc_chunks",
+    "ann_ivf_tombstone_topk",
 )
 
 
