@@ -42,3 +42,32 @@ def test_llm_pipeline_demo_runs_end_to_end(spark, tmp_path):
         "shards written:",
     ):
         assert marker in text, f"demo stage missing: {marker}"
+
+
+def test_ingest_compact_serve_demo_runs_end_to_end(spark):
+    spec = importlib.util.spec_from_file_location(
+        "ingest_compact_serve",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "ingest_compact_serve.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv, out = sys.argv, io.StringIO()
+    sys.argv = ["ingest_compact_serve.py", "/root/testdata/sf0.001"]
+    try:
+        with redirect_stdout(out):
+            rc = mod.main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+    text = out.getvalue()
+    for marker in (
+        "artifacts built:",
+        "fresh probe top hit: doc 900001 (rk=1)",
+        "probe identical after compaction",
+        "batch 1 cleaned against ingested corpus:",
+    ):
+        assert marker in text, f"missing stage marker: {marker}"
