@@ -2083,3 +2083,61 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup yield curve: the tuning view over the near-dup threshold
+# --------------------------------------------------------------------------
+
+_YIELD_T16 = (8, 10, 12, 14, 16)  # thresholds in 16ths (est_jaccard*K)
+
+
+@register(
+    "dedup_minhash_yield_curve",
+    oracle=f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_ORACLE})
+SELECT CAST(t.t16 AS BIGINT) AS tau_16,
+       COUNT(p.doc_b)::BIGINT AS n_pairs,
+       COUNT(DISTINCT p.doc_b)::BIGINT AS n_docs_dropped,
+       COALESCE(SUM(DISTINCT p.doc_b), 0)::BIGINT AS dropped_checksum
+FROM (SELECT unnest({list(_YIELD_T16)}) AS t16) t
+LEFT JOIN pairs p
+  ON CAST(round(p.est_jaccard * {_K}) AS BIGINT) >= t.t16
+GROUP BY t.t16
+""",
+    tags=("dedup", "lsh", "eval"),
+    expose=False,
+)
+def dedup_minhash_yield_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curve a data engineer actually tunes with: for each
+    near-dup threshold tau (in exact 16ths of the K=16 MinHash
+    agreement count — integer comparisons, no float-boundary
+    hazards), how many candidate pairs survive and how many documents
+    keep-first dedup would drop (a document drops once no matter how
+    many pairs flag it; dropped = the larger doc_id, the engine's
+    keep-first convention). One pass over the already-registered pair
+    list joined to a 5-row threshold frame — the pairs are computed
+    once, the curve is a broadcast join + grouped count."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select(
+        "doc_b",
+        F.round(F.col("est_jaccard") * _K)
+        .cast("bigint")
+        .alias("eq16"),
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in _YIELD_T16], "t16 bigint"
+    )
+    j = F.broadcast(taus).join(
+        pairs, F.col("eq16") >= F.col("t16"), "left"
+    )
+    return j.groupBy(F.col("t16").alias("tau_16")).agg(
+        F.count("doc_b").cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+        F.coalesce(F.sum_distinct("doc_b"), F.lit(0))
+        .cast("bigint")
+        .alias("dropped_checksum"),
+    )

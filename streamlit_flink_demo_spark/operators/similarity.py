@@ -2572,3 +2572,99 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", F.col("q_label").alias("label"), "vec_id", "cos_sim", "rk"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Graded ranking quality: NDCG@k of the approximate tiers
+# --------------------------------------------------------------------------
+# recall@k (ann_recall_eval) treats every exact top-k member equally;
+# NDCG grades by position — missing the #1 neighbor hurts more than
+# missing #10, which is what a retrieval deployment actually cares
+# about. Gain of a candidate = k+1-rank in the EXACT ranking; DCG
+# terms are quantized to round(x * 2^30) BIGINT before summing (the
+# kmeans discipline: integer sums are exact and order-independent
+# under any partitioning, and both engines' round() is
+# half-away-from-zero for positive values), so the distributed sum is
+# deterministic and the SQL replay bit-matches.
+
+_NDCG_Q = 1 << 30
+
+
+def _ndcg_oracle_sql() -> str:
+    def dcg_terms(rk_col: str) -> str:
+        return (
+            f"CAST(round((({_TOPK} + 1 - br.rk)::DOUBLE"
+            f" / log2({rk_col} + 1)) * {_NDCG_Q}) AS BIGINT)"
+        )
+
+    tier = f"""
+SELECT '{{name}}' AS tier, br.q_id,
+       SUM(CASE WHEN {{cte}}.vec_id IS NOT NULL
+                THEN {dcg_terms(f"{{cte}}.rk")} ELSE 0 END)::BIGINT
+         AS dcg_q30,
+       ROUND(SUM(CASE WHEN {{cte}}.vec_id IS NOT NULL
+                 THEN {dcg_terms(f"{{cte}}.rk")} ELSE 0 END)::DOUBLE
+             / SUM({dcg_terms("br.rk")}), 6) AS ndcg_r
+FROM br LEFT JOIN {{cte}}
+  ON {{cte}}.q_id = br.q_id AND {{cte}}.vec_id = br.vec_id
+GROUP BY br.q_id"""
+    return (
+        f"WITH br AS MATERIALIZED ({_ANN_ORACLE}),\n"
+        f"lr AS MATERIALIZED ({_LSH_TOPK_ORACLE}),\n"
+        f"ir AS MATERIALIZED ({_ivf_oracle_sql()})\n"
+        + tier.format(name="lsh", cte="lr")
+        + "\nUNION ALL\n"
+        + tier.format(name="ivf", cte="ir")
+    )
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=_ndcg_oracle_sql(),
+    tags=("similarity", "ann", "eval"),
+    expose=False,
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@k of the LSH and IVF tiers against the exact
+    ranking: gain = k+1-exact_rank, DCG discounts by the APPROXIMATE
+    tier's position (log2(rank+1)), normalized by the exact ranking's
+    own DCG. Quantized-integer term sums keep the distributed
+    aggregation bit-deterministic (see module comment); all three
+    rankers ride their memoized registered plans."""
+    br = ann_cosine_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rk").alias("b_rk")
+    )
+    rel = F.lit(_TOPK) + 1 - F.col("b_rk")
+
+    def q30(rk_col: F.Column) -> F.Column:
+        return F.round(
+            rel.cast("double") / F.log2(rk_col + 1) * _NDCG_Q
+        ).cast("bigint")
+
+    def tier(name: str, approx: DataFrame) -> DataFrame:
+        ap = approx.select(
+            F.col("q_id").alias("a_q"),
+            F.col("vec_id").alias("a_v"),
+            F.col("rk").alias("a_rk"),
+        )
+        j = br.join(
+            ap,
+            (F.col("q_id") == F.col("a_q"))
+            & (F.col("vec_id") == F.col("a_v")),
+            "left",
+        )
+        hit_term = F.when(
+            F.col("a_v").isNotNull(), q30(F.col("a_rk"))
+        ).otherwise(F.lit(0))
+        return j.groupBy("q_id").agg(
+            F.sum(hit_term).cast("bigint").alias("dcg_q30"),
+            F.round(
+                F.sum(hit_term).cast("double")
+                / F.sum(q30(F.col("b_rk"))),
+                6,
+            ).alias("ndcg_r"),
+        ).select(F.lit(name).alias("tier"), "q_id", "dcg_q30", "ndcg_r")
+
+    return tier("lsh", ann_lsh_topk(spark, sf_dir)).unionAll(
+        tier("ivf", ann_ivf_topk(spark, sf_dir))
+    )
