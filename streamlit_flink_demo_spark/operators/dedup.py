@@ -2141,3 +2141,97 @@ def dedup_minhash_yield_curve(
         .cast("bigint")
         .alias("dropped_checksum"),
     )
+
+
+_CDC_INC_ORACLE = f"""
+WITH cuts AS (
+  SELECT doc_id, text,
+         ({u60_sql("CAST(doc_id AS VARCHAR)")} % 100) >= 90 AS is_new,
+         list_concat(list_concat(
+           [0::BIGINT],
+           list_filter(
+             list_transform(range(0, length(text) - {_CDC_W} + 1),
+               p -> CASE WHEN {u60_sql(f"substr(text, p + 1, {_CDC_W})")}
+                              % {_CDC_D} = 0
+                         THEN p + {_CDC_W} END),
+             x -> x IS NOT NULL)),
+           [length(text)::BIGINT]) AS b
+  FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT doc_id, is_new, chunk FROM (
+    SELECT doc_id, is_new,
+           unnest(list_transform(range(0, len(b) - 1),
+             i -> substr(text, b[i+1] + 1, b[i+2] - b[i+1]))) AS chunk
+    FROM cuts
+  ) WHERE length(chunk) > 0
+),
+base_hashes AS (
+  SELECT DISTINCT md5(chunk) AS h FROM chunks WHERE NOT is_new
+)
+SELECT c.doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       SUM(CASE WHEN bh.h IS NOT NULL THEN length(c.chunk)
+                ELSE 0 END)::BIGINT AS dup_chars,
+       ROUND(SUM(CASE WHEN bh.h IS NOT NULL THEN length(c.chunk)
+                 ELSE 0 END)::DOUBLE / SUM(length(c.chunk)), 6)
+         AS dup_frac_r
+FROM chunks c LEFT JOIN base_hashes bh ON md5(c.chunk) = bh.h
+WHERE c.is_new
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "dedup_cdc_incremental",
+    oracle=_CDC_INC_ORACLE,
+    tags=("dedup", "cdc", "chunk", "incremental"),
+    expose=False,
+)
+def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC coverage: how much of each ARRIVING document
+    (the 10% hash-slice, the engine's delta convention) is content the
+    standing corpus already stores, at content-defined-chunk
+    granularity — the dedup-storage question ('how many bytes of this
+    crawl are new?') that fixed windows can't answer under insertions.
+    Per new doc: chunk count, chunks whose exact content exists in the
+    base, duplicated characters, duplicated fraction. One CDC scan,
+    one distinct-hash projection of the base side, one hash join on
+    the digest — cost ∝ corpus chunks, never pairs."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    is_new = (u60(F.col("doc_id").cast("string")) % 100) >= 90
+    chunks = d.select(
+        "doc_id",
+        is_new.alias("is_new"),
+        F.explode(cdc_chunks_col()).alias("chunk"),
+    )
+    base_hashes = (
+        chunks.filter(~F.col("is_new"))
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+    )
+    nc = chunks.filter("is_new").select(
+        "doc_id", "chunk", F.md5("chunk").alias("h")
+    )
+    j = nc.join(
+        base_hashes.withColumnRenamed("h", "bh"),
+        F.col("h") == F.col("bh"),
+        "left",
+    )
+    dup_chars = F.sum(
+        F.when(F.col("bh").isNotNull(), F.length("chunk")).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.col("bh").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        dup_chars.cast("bigint").alias("dup_chars"),
+        F.round(
+            dup_chars.cast("double") / F.sum(F.length("chunk")), 6
+        ).alias("dup_frac_r"),
+    )
