@@ -897,3 +897,81 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     for r in joined:
         want = base if r["doc_id"] == 1 else shifted
         assert r["re"] == want
+
+
+def _py_u60_cdc(s: str) -> int:
+    import hashlib as _h
+
+    return int(_h.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cdc(text: str, w: int, d: int) -> list[str]:
+    """Engine-free replica of the CDC rule: cut after any w-char
+    window whose u60 ≡ 0 (mod d); doc start/end always bound."""
+    cuts = (
+        [0]
+        + [
+            p + w
+            for p in range(0, len(text) - w + 1)
+            if _py_u60_cdc(text[p : p + w]) % d == 0
+        ]
+        + [len(text)]
+    )
+    return [text[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+
+
+def test_cdc_resynchronization_property():
+    """Engine-free pin of the CDC math: for ANY text and ANY inserted
+    prefix, every chunk after the original's first boundary reappears
+    verbatim in the edited document's chunking (extra boundaries can
+    only appear in windows overlapping the insertion, all strictly
+    before the first mapped cut), and chunks always reassemble to the
+    document. Small w/d keep boundaries dense under hypothesis-sized
+    texts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    w, d = 4, 4
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abc ", min_size=8, max_size=200),
+        st.text(alphabet="xyz", min_size=1, max_size=40),
+    )
+    def run(t, s):
+        c_t = _py_cdc(t, w, d)
+        c_st = _py_cdc(s + t, w, d)
+        assert "".join(c_t) == t
+        assert "".join(c_st) == s + t
+        if len(c_t) >= 2:
+            # everything after the original's first chunk is shared
+            assert set(c_t[1:]) <= set(c_st)
+
+    run()
+
+
+def test_cdc_engine_matches_python_replica(spark, sf_dir):
+    """The engine's cdc_chunks_col must produce exactly the
+    pure-Python replica's chunk lists (same u60, same w=16/d=64 rule)
+    on real corpus documents — the cross-check that ties the
+    engine-free property pin to the registered operator."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.dedup import (
+        _CDC_D,
+        _CDC_W,
+        cdc_chunks_col,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .limit(20)
+    )
+    rows = docs.select(
+        "doc_id", "text", cdc_chunks_col().alias("chunks")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["chunks"]) == _py_cdc(r["text"], _CDC_W, _CDC_D)
