@@ -298,3 +298,37 @@ def compact_dedup_ingest(
         key_prefix="dedup",
         truncate=False,
     )
+
+
+def compact_cdc_ingest(
+    spark: SparkSession, cdc_index_path: str, docs_sink_path: str
+) -> dict:
+    """Fold the ADMITTED ingested documents' CDC chunk digests into
+    the standing chunk-digest index (streaming/cdc_ingest.py's probe
+    target): digest the unfolded committed documents with the batch
+    pipeline (operators/dedup.cdc_hash_rows — the same (hb, h) rows
+    the probe joins on) and commit them as a bucket-partitioned
+    delta. The docs sink is the landed-document store and is not
+    truncated."""
+    from streamlit_flink_demo_spark.operators.dedup import cdc_hash_rows
+
+    def write(rows: DataFrame, staging: str) -> None:
+        (
+            rows.repartition("hb")
+            .sortWithinPartitions("h")
+            .write.mode("overwrite")
+            .partitionBy("hb")
+            .parquet(staging)
+        )
+
+    return fold_sink_into_index(
+        spark,
+        docs_sink_path,
+        cdc_index_path,
+        write,
+        rows_fn=lambda tail: cdc_hash_rows(
+            tail.select("doc_id", "text")
+        ),
+        key_prefix="cdc",
+        truncate=False,
+    )

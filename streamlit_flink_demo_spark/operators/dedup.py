@@ -2235,3 +2235,101 @@ def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_chars.cast("double") / F.sum(F.length("chunk")), 6
         ).alias("dup_frac_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Standing CDC chunk-hash index: the artifact the coverage door-check
+# probes (and compaction grows)
+# --------------------------------------------------------------------------
+
+_CDC_HB_PARTS = 64  # hash-bucket partitions of the chunk-digest index
+
+
+def cdc_hash_rows(docs: DataFrame) -> DataFrame:
+    """(hb, h) distinct chunk digests of a corpus frame — the CDC
+    index's rows. hb = first bucket of the digest, the partition
+    column a batch's broadcast hash set prunes on."""
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(F.explode(cdc_chunks_col()).alias("chunk"))
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+        .withColumn(
+            "hb",
+            (F.conv(F.substring("h", 1, 4), 16, 10) % _CDC_HB_PARTS)
+            .cast("int"),
+        )
+    )
+
+
+def init_cdc_index(docs: DataFrame, path: str) -> str:
+    """Build and atomically publish the chunk-digest index for an
+    arbitrary corpus frame (the gram-index discipline: parquet
+    partitioned by hb, symlink publish, delta-appendable via
+    commit_delta / operators/compaction.py)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _publish_artifact,
+        _write_meta,
+    )
+    import os as _os
+
+    tmp = f"{path}.tmp-{_os.getpid()}"
+    (
+        cdc_hash_rows(docs)
+        .repartition("hb")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .partitionBy("hb")
+        .parquet(_os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"hb_parts": _CDC_HB_PARTS, "cdc_w": _CDC_W,
+                      "cdc_d": _CDC_D})
+    _publish_artifact(tmp, path)
+    return path
+
+
+def cdc_coverage_batch(
+    batch_docs: DataFrame, index_df: DataFrame
+) -> DataFrame:
+    """Per-document CDC coverage of one (micro-)batch against a
+    standing chunk-digest frame: (doc_id, n_chunks, n_dup_chunks,
+    dup_chars, dup_frac_r) — 'how many of this arrival's bytes does
+    the corpus already store'. The batch's digest set is small and
+    broadcast; joined on (hb, h) against the bucket-partitioned
+    artifact the scan dynamic-partition-prunes to the batch's hash
+    buckets, so per-batch cost ∝ batch + touched buckets."""
+    nc = (
+        batch_docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(cdc_chunks_col()).alias("chunk"))
+        .select(
+            "doc_id",
+            F.length("chunk").cast("bigint").alias("clen"),
+            F.md5("chunk").alias("h"),
+        )
+        .withColumn(
+            "hb",
+            (F.conv(F.substring("h", 1, 4), 16, 10) % _CDC_HB_PARTS)
+            .cast("int"),
+        )
+    )
+    hits = (
+        F.broadcast(nc.select("hb", "h").distinct())
+        .join(index_df.select("hb", "h"), ["hb", "h"])
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    j = nc.join(hits, "h", "left")
+    dup_chars = F.sum(
+        F.when(F.col("hit"), F.col("clen")).otherwise(F.lit(0))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        dup_chars.cast("bigint").alias("dup_chars"),
+        F.round(dup_chars.cast("double") / F.sum("clen"), 6).alias(
+            "dup_frac_r"
+        ),
+    )
