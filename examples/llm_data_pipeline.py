@@ -80,6 +80,21 @@ def main() -> int:
     kept_n = kept_e.join(near_dupes, "doc_id", "left_anti")
     print(f"after near-dup dedup: {kept_n.count()}")
 
+    # 3b. new-bytes monitor (round 11): how much of the arriving 10%
+    # slice is content the standing corpus already stores, at
+    # content-defined-chunk granularity (shift-invariant)
+    cdc = reg["dedup_cdc_incremental"].fn(spark, sf_dir)
+    agg = cdc.agg(
+        F.count("*").alias("n"),
+        F.sum("dup_chars").alias("dup"),
+        F.sum((F.col("dup_frac_r") >= 0.5).cast("int")).alias("mostly"),
+    ).first()
+    print(
+        f"cdc new-bytes monitor: {agg['n']} arriving docs, "
+        f"{int(agg['dup'] or 0)} chars already stored, "
+        f"{int(agg['mostly'] or 0)} docs >=50% known content"
+    )
+
     # 3b. exact repeated-SPAN removal (round 10): the suffix-array
     # tier cuts >=24-char corpus-repeated regions inside surviving
     # docs — doc-level dedup can't see these (Lee et al. 2022)

@@ -34,6 +34,7 @@ def test_llm_pipeline_demo_runs_end_to_end(spark, tmp_path):
     text = out.getvalue()
     for marker in (
         "after quality gate:",
+        "cdc new-bytes monitor:",
         "ccnet perplexity gate",
         "exact span removal (gram-group):",
         "hybrid RRF top-3",

@@ -105,6 +105,18 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         "contamination_capsort_exact",
         "dedup_span_rewrite_gramgroup",
         "dedup_span_rewrite_delta",
+        # round 11
+        "docs_chunk_ann_search",
+        "docs_chunk_ann_multiprobe",
+        "docs_chunk_ann_recall",
+        "dedup_span_rewrite_delta_gramidx",
+        "ann_lsh_tombstone_topk",
+        "ann_ivf_tombstone_topk",
+        "docs_kcenter_sampled",
+        "dedup_cdc_chunks",
+        "dedup_cdc_incremental",
+        "dedup_minhash_yield_curve",
+        "ann_ndcg_eval",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
