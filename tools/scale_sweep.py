@@ -165,6 +165,7 @@ def main() -> int:
     dst = os.environ.get("SCALE_SWEEP_DIR", "/tmp/scale10")
     # reuse existing replicas (SCALE_SWEEP_REUSE=1) so a sweep can be
     # split across invocations; SCALE_SWEEP_OPS=a,b,c narrows the set
+    tag_hi = os.environ.get("SCALE_SWEEP_TAG", "x10")
     ops = tuple(
         o.strip()
         for o in os.environ.get("SCALE_SWEEP_OPS", "").split(",")
@@ -192,7 +193,7 @@ def main() -> int:
     out = {}
     for name in ops:
         row = {}
-        for tag, d in (("base", src), ("x10", dst)):
+        for tag, d in (("base", src), (tag_hi, dst)):
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -203,10 +204,16 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
             row[tag] = round(best, 2)
             spark.catalog.clearCache()
-        row["ratio"] = round(row["x10"] / row["base"], 1) if row["base"] else None
+        row["ratio"] = (
+            round(row[tag_hi] / row["base"], 1) if row["base"] else None
+        )
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
-    print(json.dumps({"metric": "scale_sweep_10x", "operators": out}))
+    print(
+        json.dumps(
+            {"metric": f"scale_sweep_{tag_hi}", "operators": out}
+        )
+    )
     return 0
 
 
