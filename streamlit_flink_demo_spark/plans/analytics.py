@@ -792,3 +792,84 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.last("sum_value", ignorenulls=True).over(win).alias("carry_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts (the classic product-analytics shape)
+# --------------------------------------------------------------------------
+
+_RET_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z — the corpus origin
+_RET_WEEK = 7 * 24 * 3600
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) - {_RET_EPOCH0})
+           // {_RET_WEEK} AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+  FROM cohort GROUP BY cohort_week
+)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT w.user_id)::BIGINT AS n_active,
+       s.cohort_size,
+       ROUND(COUNT(DISTINCT w.user_id)::DOUBLE / s.cohort_size, 6)
+         AS retention_r
+FROM wk w
+JOIN cohort c USING (user_id)
+JOIN sizes s ON s.cohort_week = c.cohort_week
+GROUP BY c.cohort_week, w.week - c.cohort_week, s.cohort_size
+""",
+    tags=("events", "window", "analytics"),
+    expose=False,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    each later week's active share of the cohort — the triangle every
+    product dashboard draws. Plan shape: one distinct (user, week)
+    projection feeds BOTH the cohort min and the activity join (Spark
+    reuses the exchange — the aggregations share the user_id
+    partitioning), then one grouped count per (cohort, offset);
+    fractions are exact integer ratios rounded once."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        (
+            (F.unix_timestamp("ts") - F.lit(_RET_EPOCH0))
+            / _RET_WEEK
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        wk.join(cohort, "user_id")
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention_r"),
+        )
+    )
