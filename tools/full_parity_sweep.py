@@ -71,7 +71,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{table_path(sf, t)}')"
         )
-    names = sorted(n for n, rq in reg.items() if rq.oracle)
+    only = {
+        n.strip()
+        for n in os.environ.get("SWEEP_ONLY", "").split(",")
+        if n.strip()
+    }
+    names = sorted(
+        n
+        for n, rq in reg.items()
+        if rq.oracle and (not only or n in only)
+    )
     n_fail = 0
     for name in names:
         if name in done:
