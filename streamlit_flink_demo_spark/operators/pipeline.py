@@ -1404,3 +1404,120 @@ def docs_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN ({s_fin}) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("pred"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-level n-gram contamination (the GPT-3 appendix-C methodology)
+# --------------------------------------------------------------------------
+# The char-exact tiers (contamination_sa_exact / _capsort) answer
+# ">=24 shared characters"; the published eval-decontamination recipe
+# most labs run is TOKEN-level — GPT-3 flagged eval examples sharing a
+# 13-gram (13 consecutive tokens) with training data. Distinct
+# semantics (token boundaries absorb whitespace/punctuation
+# differences the char tier counts), so both belong in the engine.
+# Plan shape: grams are a map-only higher-order projection per doc
+# (slice + join + one u60 per gram), the train side reduces to a
+# distinct gram-hash set, eval grams hash-join it — never doc×doc.
+
+_NG13 = 13
+
+
+def _gram13_col() -> F.Column:
+    """Array of u60 digests of each 13-token window (engine
+    tokenization: lowercase, [^a-z0-9]+ splits)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _NG13),
+        lambda i: u60(F.array_join(F.slice(toks, i + 1, _NG13), " ")),
+    )
+    # sequence(0, negative) counts DOWN in Spark — guard short docs
+    # with an explicit empty array instead.
+    return F.when(F.size(toks) >= _NG13, grams).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+
+
+_NG13_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> '')"
+)
+
+_NG13_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         ({u60_sql("CAST(doc_id AS VARCHAR)")} % 100) < 90 AS is_train,
+         unnest(
+           list_transform(
+             range(0, greatest(len({_NG13_TOKS_SQL}) - {_NG13} + 1, 0)),
+             i -> {u60_sql(
+                 f"array_to_string(({_NG13_TOKS_SQL})[i+1:i+{_NG13}], ' ')"
+             )})) AS h,
+         generate_subscripts(
+           list_transform(
+             range(0, greatest(len({_NG13_TOKS_SQL}) - {_NG13} + 1, 0)),
+             i -> i), 1) - 1 AS p
+  FROM documents WHERE length(text) > 0
+),
+train_h AS (
+  SELECT DISTINCT h FROM g WHERE is_train
+)
+SELECT e.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hits,
+       MIN(CASE WHEN t.h IS NOT NULL THEN e.p END)::BIGINT
+         AS first_hit_pos,
+       (SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         AS contaminated
+FROM g e LEFT JOIN train_h t ON e.h = t.h
+WHERE NOT e.is_train
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "contamination_ngram13",
+    oracle=_NG13_ORACLE,
+    tags=("pipeline", "contamination", "ngram"),
+    expose=False,
+)
+def contamination_ngram13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style token-level decontamination screen: an eval doc
+    (the 10% hash slice) is contaminated if ANY of its 13-token
+    n-grams appears in the train slice. Per eval doc: gram count,
+    contaminated-gram count, earliest contaminated position, flag.
+    Complements the char-exact suffix tiers — token boundaries make
+    this robust to whitespace/punctuation drift that shifts character
+    offsets. One map-only gram projection, a distinct train-hash set,
+    one hash join; eval docs with fewer than 13 tokens have no grams
+    and drop (they cannot be flagged under this rule, matching the
+    published methodology)."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    is_train = (u60(F.col("doc_id").cast("string")) % 100) < 90
+    g = d.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.posexplode(_gram13_col()).alias("p", "h"),
+    )
+    train_h = (
+        g.filter("is_train").select("h").distinct().withColumnRenamed(
+            "h", "th"
+        )
+    )
+    ev = g.filter(~F.col("is_train")).join(
+        train_h, F.col("h") == F.col("th"), "left"
+    )
+    hit = F.col("th").isNotNull()
+    return ev.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_hits"),
+        F.min(F.when(hit, F.col("p"))).cast("bigint").alias(
+            "first_hit_pos"
+        ),
+        (F.sum(hit.cast("int")) > 0).alias("contaminated"),
+    )
