@@ -111,6 +111,10 @@ OPS = (
     "docs_chunk_ann_multiprobe",
     "dedup_cdc_chunks",
     "ann_ivf_tombstone_topk",
+    # round 11 late additions: retention is two shared-exchange aggs;
+    # the 13-gram screen is one gram projection + one hash join
+    "events_retention_cohorts",
+    "contamination_ngram13",
 )
 
 
