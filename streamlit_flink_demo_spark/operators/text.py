@@ -829,3 +829,121 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_w2").cast("bigint").alias("c_w2"),
         F.round(F.col("pmi_q") / float(_COLLOC_SCALE), 6).alias("pmi_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-fit corpus diagnostics
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPN = 256
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           t -> t <> '')) AS t
+  FROM documents WHERE length(text) > 0
+),
+cnt AS (
+  SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY t
+),
+topn AS (
+  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk
+  FROM cnt QUALIFY rk <= {_ZIPF_TOPN}
+),
+arr AS (
+  SELECT list(ln(rk::DOUBLE) ORDER BY rk) AS xs,
+         list(ln(c::DOUBLE) ORDER BY rk) AS ys,
+         COUNT(*)::BIGINT AS n
+  FROM topn
+)
+SELECT n,
+       ROUND(
+         (n * list_aggregate(
+                [xs[i+1] * ys[i+1] for i in range(len(xs))], 'sum')
+          - list_aggregate(xs, 'sum') * list_aggregate(ys, 'sum'))
+         / (n * list_aggregate(
+                  [xs[i+1] * xs[i+1] for i in range(len(xs))], 'sum')
+            - list_aggregate(xs, 'sum') * list_aggregate(xs, 'sum')),
+         6) AS slope_r,
+       ROUND(
+         (list_aggregate(ys, 'sum')
+          - ((n * list_aggregate(
+                    [xs[i+1] * ys[i+1] for i in range(len(xs))], 'sum')
+              - list_aggregate(xs, 'sum') * list_aggregate(ys, 'sum'))
+             / (n * list_aggregate(
+                      [xs[i+1] * xs[i+1] for i in range(len(xs))], 'sum')
+                - list_aggregate(xs, 'sum')
+                  * list_aggregate(xs, 'sum')))
+            * list_aggregate(xs, 'sum')) / n,
+         6) AS intercept_r
+FROM arr
+""",
+    tags=("text", "stats", "eval"),
+    expose=False,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares fit of ln(freq) ~
+    a + b·ln(rank) over the top-256 tokens — a healthy natural-language
+    corpus sits near the Zipf slope b ≈ -1; boilerplate/spam floods
+    flatten or steepen it, which is why corpus monitors graph it. The
+    token count is one combine-enabled aggregation ending in
+    TakeOrderedAndProject; the 256-row fit folds xs/ys SEQUENTIALLY
+    (F.aggregate over rank-ordered arrays, matching DuckDB's
+    list_aggregate fold order) so every sum — and therefore the
+    closed-form slope/intercept — is bit-identical across engines."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t")
+    )
+    cnt = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    topn = (
+        cnt.orderBy(F.col("c").desc(), F.col("t"))
+        .limit(_ZIPF_TOPN)
+        .select(
+            "t",
+            "c",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), F.col("t")))
+            .alias("rk"),
+        )
+    )
+    arr = topn.agg(
+        F.sort_array(
+            F.collect_list(F.struct("rk", F.log(F.col("rk").cast("double")).alias("x")))
+        ).alias("xs_s"),
+        F.sort_array(
+            F.collect_list(F.struct("rk", F.log(F.col("c").cast("double")).alias("y")))
+        ).alias("ys_s"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        "n",
+        F.transform(F.col("xs_s"), lambda s: s["x"]).alias("xs"),
+        F.transform(F.col("ys_s"), lambda s: s["y"]).alias("ys"),
+    )
+
+    def fsum(col):
+        return F.aggregate(col, F.lit(0.0), lambda a, v: a + v)
+
+    sx = fsum(F.col("xs"))
+    sy = fsum(F.col("ys"))
+    sxy = fsum(F.zip_with(F.col("xs"), F.col("ys"), lambda a, b: a * b))
+    sxx = fsum(F.zip_with(F.col("xs"), F.col("xs"), lambda a, b: a * b))
+    n = F.col("n").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return arr.select(
+        "n",
+        F.round(slope, 6).alias("slope_r"),
+        F.round(intercept, 6).alias("intercept_r"),
+    )
