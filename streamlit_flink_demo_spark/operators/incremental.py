@@ -236,13 +236,21 @@ def compact_index(
     # no tombstone entries, so probes stop paying the anti-join).
     merged = read_live_index(spark, path)
     tmp = f"{path}.tmp-compact-{os.getpid()}"
-    (
-        merged.repartition(*partition_cols)
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(os.path.join(tmp, "data"))
-    )
+    if partition_cols:
+        out_df = merged.repartition(*partition_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        writer = out_df.write.mode("overwrite").partitionBy(
+            *partition_cols
+        )
+    else:
+        # unpartitioned artifacts (e.g. the rank-contiguous suffix
+        # index) keep their range layout on the sort key instead
+        out_df = merged.repartitionByRange(*sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        writer = out_df.write.mode("overwrite")
+    writer.parquet(os.path.join(tmp, "data"))
     new_meta = {k: v for k, v in meta.items() if k != "deltas"}
     _write_meta(tmp, new_meta)
     _publish_artifact(tmp, path)

@@ -391,12 +391,23 @@ def load_suffix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the persisted suffix-array artifact (building it first if
     absent or stale): the disk-backed equivalent of
     ``_suffix_ranks_cached(spark, sf_dir, None)`` — bit-identical
-    ranks, pinned by tests/test_suffix.py's artifact-parity test."""
-    import os
+    ranks, pinned by tests/test_suffix.py's artifact-parity test.
 
-    return spark.read.parquet(
-        os.path.join(build_suffix_index(spark, sf_dir), "data")
+    Served through ``incremental.read_live_index``, so DOCUMENT
+    TAKEDOWNS apply here too: ``tombstone_keys(path, key, ids,
+    key_col="doc_id")`` removes a document's suffix rows from every
+    later read (a no-op anti-join when no tombstones exist). Rank
+    VALUES keep their gaps — sound for every adjacency consumer
+    (LCP / repeats / nearest-train scan rely on rank ORDER, and
+    filtering preserves the relative order of the surviving
+    suffixes, exactly the order a fresh build over the survivors
+    yields); ``compact_index`` drops the rows physically (pinned in
+    tests/test_suffix.py)."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        read_live_index,
     )
+
+    return read_live_index(spark, build_suffix_index(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

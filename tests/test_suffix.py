@@ -629,3 +629,45 @@ def test_delta_rewrite_sees_base_repeats(spark, tmp_path):
     }
     assert set(out) == {delta_id}  # only the arriving doc is rewritten
     assert out[delta_id].chars_removed >= len(block)
+
+
+def test_suffix_artifact_document_takedown(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Deleting a document from the persisted SA artifact removes its
+    suffix rows from every later read, and the SURVIVING rows' rank
+    ORDER equals a fresh build over the survivors (values keep gaps —
+    sound for adjacency consumers); compaction drops the rows
+    physically with the order preserved."""
+    from streamlit_flink_demo_spark.operators import incremental as inc
+    from streamlit_flink_demo_spark.operators import similarity as sim
+    from streamlit_flink_demo_spark.operators.suffix import (
+        build_suffix_index,
+        load_suffix_index,
+        suffix_ranks,
+    )
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", str(tmp_path))
+    path = build_suffix_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    victim = docs.select(F.min("doc_id").alias("doc_id"))
+    victim_id = victim.collect()[0]["doc_id"]
+
+    inc.tombstone_keys(path, "del:victim", victim, key_col="doc_id")
+
+    def order_of(df):
+        return [
+            (r.doc_id, r.p)
+            for r in df.orderBy("sa_rank", "doc_id", "p").collect()
+        ]
+
+    live = order_of(load_suffix_index(spark, sf_dir))
+    assert all(d != victim_id for d, _ in live)
+    fresh = order_of(
+        suffix_ranks(docs.filter(F.col("doc_id") != victim_id), spark)
+    )
+    assert live == fresh  # relative order == fresh survivors' build
+
+    assert inc.compact_index(spark, path, (), ("sa_rank",)) is True
+    assert order_of(load_suffix_index(spark, sf_dir)) == fresh
