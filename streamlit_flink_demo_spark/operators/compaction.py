@@ -55,12 +55,18 @@ from streamlit_flink_demo_spark.operators.incremental import (
 from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
 
 
-def folded_ids(artifact_path: str) -> tuple[set[int], set[int]]:
+def folded_ids(
+    artifact_path: str, meta: dict | None = None
+) -> tuple[set[int], set[int]]:
     """(folded streaming batch ids, folded sink-compaction gens)
-    recorded across the live artifact version's delta entries."""
-    meta = _read_meta(os.path.realpath(artifact_path))
-    fb: set[int] = set()
-    fc: set[int] = set()
+    recorded across the live artifact version's delta entries PLUS
+    the top-level ledger a major compaction (compact_index) carries
+    forward when it folds those deltas away. ``meta`` lets a caller
+    pass its own single meta.json snapshot (read_index_with_tail)."""
+    if meta is None:
+        meta = _read_meta(os.path.realpath(artifact_path))
+    fb: set[int] = set(meta.get("folded_batches", []))
+    fc: set[int] = set(meta.get("folded_compactions", []))
     for d in meta.get("deltas", []):
         fb.update(d.get("folded_batches", []))
         fc.update(d.get("folded_compactions", []))
@@ -184,11 +190,17 @@ def read_index_with_tail(
     cycle. Read order matters: the tail manifest is snapshotted FIRST,
     so a fold landing between the two reads can only move rows from
     the tail set into the artifact's folded ledger (subtracted below),
-    never drop them from both."""
+    never drop them from both — and the artifact's meta.json is read
+    exactly ONCE, with both the delta-dir enumeration and the
+    folded-id sets derived from that single snapshot (a fold landing
+    between two separate meta reads would otherwise subtract the new
+    batches from the tail while the base enumeration predates the
+    new delta, dropping the rows from both legs)."""
     sink = IdempotentParquetSink(sink_path)
     m = sink._read_manifest()
-    base = read_index_data(spark, artifact_path)
-    fb, fc = folded_ids(artifact_path)
+    meta = _read_meta(os.path.realpath(artifact_path))
+    base = read_index_data(spark, artifact_path, meta=meta)
+    fb, fc = folded_ids(artifact_path, meta=meta)
     dirs, _, _ = _unfolded_dirs(sink, m, fb, fc)
     if not dirs:
         return base

@@ -86,14 +86,19 @@ def _rewrite_meta_atomic(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, "meta.json"))
 
 
-def read_index_data(spark: SparkSession, path: str) -> DataFrame:
+def read_index_data(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> DataFrame:
     """Base ``data/`` plus every COMMITTED data delta, as one frame
     (tombstone deltas carry deleted KEYS, not rows — excluded here;
     ``read_live_index`` additionally subtracts them). Partition
     pruning applies per directory root, so probes stay bucket-pruned
-    across base and deltas alike."""
+    across base and deltas alike. ``meta`` lets a caller that must
+    see ONE consistent artifact state (compaction.read_index_with_tail)
+    pass its own meta.json snapshot instead of re-reading it here."""
     live = os.path.realpath(path)
-    meta = _read_meta(live)
+    if meta is None:
+        meta = _read_meta(live)
     dirs = [os.path.join(live, "data")] + [
         os.path.join(live, d["dir"])
         for d in meta.get("deltas", [])
@@ -235,6 +240,16 @@ def compact_index(
     # tombstoned rows are PHYSICALLY dropped (the fresh version has
     # no tombstone entries, so probes stop paying the anti-join).
     merged = read_live_index(spark, path)
+    # The fold ledger (compaction.py) rides delta entries; compaction
+    # folds those deltas away, so the accumulated ledger must carry
+    # forward at the TOP level of the fresh version's meta — otherwise
+    # folded_ids() goes empty and the next fold_sink_into_index
+    # re-folds every still-committed sink batch, duplicating rows.
+    fb: set = set(meta.get("folded_batches", []))
+    fc: set = set(meta.get("folded_compactions", []))
+    for d in meta.get("deltas", []):
+        fb.update(d.get("folded_batches", []))
+        fc.update(d.get("folded_compactions", []))
     tmp = f"{path}.tmp-compact-{os.getpid()}"
     if partition_cols:
         out_df = merged.repartition(*partition_cols).sortWithinPartitions(
@@ -252,6 +267,9 @@ def compact_index(
         writer = out_df.write.mode("overwrite")
     writer.parquet(os.path.join(tmp, "data"))
     new_meta = {k: v for k, v in meta.items() if k != "deltas"}
+    if fb or fc:
+        new_meta["folded_batches"] = sorted(fb)
+        new_meta["folded_compactions"] = sorted(fc)
     _write_meta(tmp, new_meta)
     _publish_artifact(tmp, path)
     return True

@@ -843,9 +843,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     wk = e.select(
         "user_id",
-        (
+        # floor, not truncate-toward-zero: the oracle's // floors, so
+        # a ts before _RET_EPOCH0 must land in week -1, not week 0.
+        F.floor(
             (F.unix_timestamp("ts") - F.lit(_RET_EPOCH0))
-            / _RET_WEEK
+            / F.lit(_RET_WEEK)
         )
         .cast("bigint")
         .alias("week"),

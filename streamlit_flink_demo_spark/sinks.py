@@ -158,6 +158,11 @@ class IdempotentParquetSink:
             )
         os.replace(tmp, self._manifest_path())
 
+    def batch_dir(self, batch_id: int) -> str:
+        """Durable directory of one committed batch — read THIS for
+        per-batch summaries instead of re-executing the batch plan."""
+        return os.path.join(self.path, f"batch_id={batch_id}")
+
     def committed_ids(self) -> list[int]:
         """Live streaming batch ids (excludes batches already folded
         into a compaction — those are covered by the watermark)."""

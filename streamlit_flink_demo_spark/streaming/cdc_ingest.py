@@ -74,7 +74,11 @@ def attach_cdc_coverage_stream(
         status = sink(rows, batch_id)
         if on_summary is None or status != "committed":
             return
-        d = rows.agg(
+        # summarize from the durable batch directory — re-aggregating
+        # `rows` would run the digest probe join a second time.
+        d = batch_df.sparkSession.read.parquet(
+            sink.batch_dir(batch_id)
+        ).agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chunks").alias("n_chunks"),
             F.sum("dup_chars").alias("dup_chars"),

@@ -217,7 +217,11 @@ def attach_near_dup_stream(
             # the run that committed them — exactly-once, not
             # at-least-once, for the digest too.
             return
-        row = flags.agg(
+        # summarize from the durable batch directory — re-aggregating
+        # `flags` would run the signature join a second time.
+        row = batch_df.sparkSession.read.parquet(
+            sink.batch_dir(batch_id)
+        ).agg(
             F.count("*").alias("n_docs"),
             F.count("dup_of").alias("n_flagged"),
         ).first()
@@ -358,7 +362,10 @@ def attach_semantic_dedup_stream(
         status = sink(flags, batch_id)
         if on_summary is None or status != "committed":
             return
-        row = flags.agg(
+        # summarize from the durable batch directory, not the plan
+        row = batch_df.sparkSession.read.parquet(
+            sink.batch_dir(batch_id)
+        ).agg(
             F.count("*").alias("n_docs"),
             F.count("dup_of").alias("n_flagged"),
         ).first()

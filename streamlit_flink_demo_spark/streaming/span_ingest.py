@@ -105,7 +105,13 @@ def attach_span_rewrite_stream(
         status = sink(rows, batch_id)
         if on_summary is None or status != "committed":
             return
-        d = rows.agg(
+        # Summarize from the just-committed durable batch directory,
+        # not the unmaterialized plan — re-aggregating `rows` would
+        # run the whole gram-join/window/LCP rewrite a second time.
+        committed = batch_df.sparkSession.read.parquet(
+            sink.batch_dir(batch_id)
+        )
+        d = committed.agg(
             F.count("*").alias("n_docs"),
             F.sum((F.col("n_spans_removed") > 0).cast("int")).alias(
                 "n_rewritten"

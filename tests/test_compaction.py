@@ -530,3 +530,70 @@ def test_batch_committed_mid_fold_survives_truncation(
     assert digest["folded_batches"] == [1]
     fb2, _ = folded_ids(art)
     assert fb2 == {0, 1}
+
+
+# --------------------------------------------------------------------------
+# Major compaction must carry the fold ledger forward (r11 ADVICE high)
+# --------------------------------------------------------------------------
+
+
+def test_compact_index_preserves_fold_ledger(
+    spark, artifact_root, tmp_path
+):
+    """compact_index folds delta entries away — including the entries
+    whose folded_batches/folded_compactions ARE the fold ledger for
+    never-truncated tails (gram/sig/cdc). The compacted version must
+    carry the accumulated ledger at top level, so a post-compaction
+    re-fold is a no-op instead of silently duplicating rows."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        compact_index,
+        read_index_data,
+    )
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        span_rewrite_batch,
+    )
+
+    corpus = _new_docs(
+        spark, [(101, "standing corpus doc with only its own words")]
+    )
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(corpus, art)
+    sink_path = str(tmp_path / "span_tail")
+    sink = IdempotentParquetSink(sink_path)
+    b0 = _new_docs(spark, [(1, f"first arrival with {_BLOCK} inside")])
+    sink(span_rewrite_batch(b0, gram_index_rows(corpus)), 0)
+    compact_span_ingest(spark, art, sink_path)
+    pre = _rowset(read_index_data(spark, art))
+    assert folded_ids(art)[0] == {0}
+
+    # the documented maintenance sequence: major compaction of the
+    # fold-managed artifact
+    assert compact_index(
+        spark, art, partition_cols=("gb",),
+        sort_cols=("g", "s64", "doc_id", "p"),
+    )
+    assert folded_ids(art)[0] == {0}  # ledger survived the compaction
+    assert _rowset(read_index_data(spark, art)) == pre
+
+    # re-fold after compaction: batch 0 must NOT fold again (the tail
+    # is never truncated — only the ledger prevents duplication)
+    digest = compact_span_ingest(spark, art, sink_path)
+    assert digest["folded_batches"] == []
+    assert _rowset(read_index_data(spark, art)) == pre
+
+    # a LATER batch still folds normally, and a second compaction
+    # accumulates both ledgers
+    b1 = _new_docs(spark, [(2, "later arrival with its own words too")])
+    sink(span_rewrite_batch(b1, gram_index_rows(corpus)), 1)
+    digest = compact_span_ingest(spark, art, sink_path)
+    assert digest["folded_batches"] == [1]
+    assert compact_index(
+        spark, art, partition_cols=("gb",),
+        sort_cols=("g", "s64", "doc_id", "p"),
+    )
+    assert folded_ids(art)[0] == {0, 1}
+    assert compact_span_ingest(spark, art, sink_path)[
+        "folded_batches"
+    ] == []

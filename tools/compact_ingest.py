@@ -4,6 +4,7 @@ the standing index artifacts (operators/compaction.py).
     python tools/compact_ingest.py vector  ARTIFACT_PATH SINK_PATH
     python tools/compact_ingest.py span    ARTIFACT_PATH SINK_PATH
     python tools/compact_ingest.py dedup   ARTIFACT_PATH DOCS_SINK_PATH
+    python tools/compact_ingest.py cdc     ARTIFACT_PATH DOCS_SINK_PATH
 
 Idempotent and crash-safe: re-running from any point folds each
 committed batch exactly once (the artifact's delta ledger records
@@ -21,6 +22,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from streamlit_flink_demo_spark.operators.compaction import (  # noqa: E402
+    compact_cdc_ingest,
     compact_dedup_ingest,
     compact_span_ingest,
     compact_vector_ingest,
@@ -30,6 +32,7 @@ _ADAPTERS = {
     "vector": compact_vector_ingest,
     "span": compact_span_ingest,
     "dedup": compact_dedup_ingest,
+    "cdc": compact_cdc_ingest,
 }
 
 
