@@ -41,6 +41,7 @@ FROM documents
 GROUP BY md5(text)
 """,
     tags=("dedup",),
+    expose=False,  # exposed via dedup_family_suite
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content digest; keeper = min id.
@@ -321,7 +322,12 @@ SELECT doc_id, ({_sig_sql})::BIGINT AS simhash FROM votes
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    tags=("dedup", "simhash"),
+    expose=False,  # exposed via dedup_family_suite
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token 60-bit hash votes on 32 signature bits.
     One explode + one groupBy(doc_id) with 32 conditional sums (all
@@ -386,7 +392,12 @@ WHERE i / (na.n + nb.n - i)::DOUBLE >= 0.3
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "jaccard"),
+    expose=False,  # exposed via dedup_family_suite
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard ≥ 0.3 via inverted index:
     |A∩B| from a self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
@@ -786,6 +797,7 @@ WITH {_SPAN_CTES}
 SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
 """,
     tags=("dedup", "span"),
+    expose=False,  # exposed via dedup_family_suite
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated-coverage regions (>= {W} tokens) per
@@ -2262,11 +2274,15 @@ def cdc_hash_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def init_cdc_index(docs: DataFrame, path: str) -> str:
+def init_cdc_index(
+    docs: DataFrame, path: str, meta: dict | None = None
+) -> str:
     """Build and atomically publish the chunk-digest index for an
     arbitrary corpus frame (the gram-index discipline: parquet
     partitioned by hb, symlink publish, delta-appendable via
-    commit_delta / operators/compaction.py)."""
+    commit_delta / operators/compaction.py). ``meta`` (optional)
+    merges into the artifact meta — the fingerprinted sf_dir wrapper
+    ``build_cdc_base_index`` records freshness keys through it."""
     from streamlit_flink_demo_spark.operators.similarity import (
         _publish_artifact,
         _write_meta,
@@ -2283,9 +2299,41 @@ def init_cdc_index(docs: DataFrame, path: str) -> str:
         .parquet(_os.path.join(tmp, "data"))
     )
     _write_meta(tmp, {"hb_parts": _CDC_HB_PARTS, "cdc_w": _CDC_W,
-                      "cdc_d": _CDC_D})
+                      "cdc_d": _CDC_D, **(meta or {})})
     _publish_artifact(tmp, path)
     return path
+
+
+def build_cdc_base_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Fingerprinted CDC chunk-digest artifact over the BASE
+    (hash-mod < 90) document slice — the standing corpus of the
+    incremental convention, persisted once and probed per delta
+    (the build_gram_index discipline applied to CDC digests)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _artifact_is_fresh,
+        _index_dir,
+        table_fingerprint,
+    )
+
+    out = _index_dir("cdc_base", sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    params = {
+        "hb_parts": _CDC_HB_PARTS,
+        "cdc_w": _CDC_W,
+        "cdc_d": _CDC_D,
+        "slice": "base90",
+    }
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    docs = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .filter((u60(F.col("doc_id").cast("string")) % 100) < 90)
+    )
+    init_cdc_index(docs, out, meta={"fingerprint": fp, **params})
+    return out
 
 
 def cdc_coverage_batch(
@@ -2333,3 +2381,39 @@ def cdc_coverage_batch(
             "dup_frac_r"
         ),
     )
+
+
+@register(
+    "dedup_cdc_incremental_idx",
+    # same oracle as the query form: the artifact stores exactly the
+    # distinct base-slice chunk digests, so probe ≡ full recompute —
+    # a hash match proves the persisted index serves the identical
+    # coverage answer the corpus rescan produces.
+    oracle=_CDC_INC_ORACLE,
+    tags=("dedup", "cdc", "chunk", "incremental", "artifact"),
+    expose=False,
+)
+def dedup_cdc_incremental_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC coverage riding the PERSISTED bucket-partitioned
+    chunk-digest artifact — the batch twin of the streaming door-check
+    (streaming/cdc_ingest.py probes this same artifact family per
+    batch): the base slice is digested ONCE (build_cdc_base_index,
+    parquet partitioned by hb = digest bucket), and the arriving 10%
+    slice probes it via a broadcast digest set that dynamic-partition-
+    prunes the artifact scan to the delta's own buckets
+    (cdc_coverage_batch — plan-asserted in tests/test_plans.py). Base
+    text is never rescanned at delta time; per-delta cost ∝ delta +
+    touched buckets, the 100 TB posture the full-scan query form
+    (dedup_cdc_chunks / dedup_cdc_incremental) lacks."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        read_live_index,
+    )
+
+    path = build_cdc_base_index(spark, sf_dir)
+    idx = read_live_index(spark, path)
+    delta = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .filter((u60(F.col("doc_id").cast("string")) % 100) >= 90)
+    )
+    return cdc_coverage_batch(delta, idx)

@@ -667,7 +667,12 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_DUP_COS}
 """
 
 
-@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE, tags=("dedup", "similarity"))
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_DUP_ORACLE,
+    tags=("dedup", "similarity"),
+    expose=False,  # exposed via dedup_family_suite
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: banded LSH buckets → exact cosine
     threshold verification inside buckets only (sub-quadratic candidate

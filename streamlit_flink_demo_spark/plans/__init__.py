@@ -154,6 +154,7 @@ def load_all(exposed_only: bool = True) -> dict[str, RegisteredQuery]:
         bpe,
         dedup,
         embed,
+        extract,
         incremental,
         layout,
         linalg,

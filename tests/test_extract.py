@@ -1,0 +1,118 @@
+"""HTML → text extraction (operators/extract.py): each rule pinned on
+hand-built HTML, plus the env-gate and the UDF-free plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_flink_demo_spark.operators.extract import (
+    extract_text,
+    extract_text_trafilatura,
+    html_to_lines,
+    keep_content_lines,
+)
+
+
+def _extract(spark, html: str) -> dict:
+    df = extract_text(
+        spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    )
+    return df.collect()[0].asDict()
+
+
+def test_script_and_style_subtrees_dropped(spark):
+    r = _extract(
+        spark,
+        "<p>keep these actual real content words here</p>"
+        "<script>var secret = 'leak';</script>"
+        "<style>p { color: red }</style>"
+        "<p>also keep these other real content words</p>",
+    )
+    assert r["extract_text"] == (
+        "keep these actual real content words here\n"
+        "also keep these other real content words"
+    )
+    assert "leak" not in r["extract_text"]
+    assert r["n_lines_raw"] == 2 and r["n_lines_kept"] == 2
+
+
+def test_entities_decode_after_tag_strip(spark):
+    # '&lt;section&gt;' is TEXT — decoding before stripping would
+    # turn it into a tag and swallow it.
+    r = _extract(
+        spark,
+        "<p>alpha &lt;section&gt; beta &amp; gamma &quot;quoted&quot;"
+        " delta</p>",
+    )
+    assert r["extract_text"] == 'alpha <section> beta & gamma "quoted" delta'
+
+
+def test_boilerplate_lines_dropped(spark):
+    html = (
+        "<nav><a href='/'>Home</a> | <a href='/x'>About</a></nav>"
+        "<p>this paragraph carries enough real words to keep</p>"
+        "<p>Sponsored: click here to subscribe right now today</p>"
+        "<div>Share</div>"
+        "<footer>Copyright 2099 Nobody | Privacy</footer>"
+    )
+    r = _extract(spark, html)
+    assert r["extract_text"] == (
+        "this paragraph carries enough real words to keep"
+    )
+    assert r["n_lines_raw"] == 5 and r["n_lines_kept"] == 1
+
+
+def test_whitespace_collapsed_and_blank_lines_dropped(spark):
+    r = _extract(
+        spark,
+        "<p>  spaced   words   collapse   into  single  gaps </p><p>   </p>",
+    )
+    assert r["extract_text"] == "spaced words collapse into single gaps"
+    assert r["n_lines_raw"] == 1
+
+
+def test_block_closers_break_lines_inline_tags_do_not(spark):
+    r = _extract(
+        spark,
+        "<p>first block of plenty real words here</p>"
+        "<p>second <b>block</b> of plenty real words here</p>",
+    )
+    assert r["extract_text"].split("\n") == [
+        "first block of plenty real words here",
+        "second block of plenty real words here",
+    ]
+
+
+def test_plan_is_jvm_only(spark):
+    """No Python UDF / eval node anywhere in the extraction plan —
+    the 100 TB contract (module docstring)."""
+    df = extract_text(
+        spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_helpers_compose(spark):
+    df = spark.createDataFrame(
+        [("<p>one two three four five six</p><div>x | y</div>",)],
+        "html string",
+    )
+    out = df.select(
+        keep_content_lines(html_to_lines(F.col("html"))).alias("k")
+    ).collect()[0]["k"]
+    assert out == ["one two three four five six"]
+
+
+def test_trafilatura_tier_env_gated(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+    try:
+        import trafilatura  # noqa: F401
+
+        pytest.skip("trafilatura installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="trafilatura"):
+        extract_text_trafilatura(df)

@@ -10,6 +10,8 @@ product, this file fails before the bench does.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from streamlit_flink_demo_spark.plans import load_all
@@ -601,3 +603,48 @@ def test_gram_index_probe_is_partition_pruned(spark, sf_dir):
     assert "dynamicpruning" in p, "gram bucket scan must be DPP-pruned"
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_cdc_idx_probe_is_partition_pruned_broadcast(spark, sf_dir):
+    """dedup_cdc_incremental_idx's scale contract: the persisted
+    chunk-digest artifact scan is dynamic-partition-pruned on the
+    hb = digest bucket by the delta's broadcast digest set — base
+    text is never re-chunked at delta time, probe cost ∝ delta +
+    touched buckets."""
+    p = plan_str(fresh("dedup_cdc_incremental_idx")(spark, sf_dir))
+    assert "dynamicpruning" in p, "digest bucket scan must be DPP-pruned"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_longest_repeat_indexed_reads_artifact_no_python(spark, sf_dir):
+    """corpus_longest_repeat_indexed's serving contract: ranks come
+    from the persisted suffix artifact's parquet scan (no iterative
+    construction in the plan — no checkpoint scans, no Python eval),
+    and the only joins are the rank-adjacency self-join plus the
+    documents text attach."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _index_dir,
+    )
+
+    df = fresh("corpus_longest_repeat_indexed")(spark, sf_dir)
+    p = plan_str(df)
+    art = _index_dir("suffix", sf_dir)
+    assert os.path.basename(art) in p, "must scan the suffix artifact"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_extract_text_single_scan_no_python_no_shuffle(spark, sf_dir):
+    """docs_extract_text is ONE map-only projection over the
+    documents scan: no Python UDF, no exchange at all — extraction
+    scales with scan bandwidth."""
+    p = plan_str(fresh("docs_extract_text")(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the only exchange allowed is load_spread's round-robin scatter
+    # (parallelism over a small file count) — never a HASH shuffle:
+    # extraction has no keys to move data by.
+    assert "hashpartitioning" not in p.lower(), (
+        "extraction must not hash-shuffle"
+    )
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
