@@ -5,6 +5,11 @@ composes them — every stage is the registered operator itself (same
 code the driver's oracle gate checks), wired over one SparkSession:
 
     documents
+      0. extraction          docs_extract_text (round 12 — the
+                             first-mile HTML/boilerplate stage; the
+                             corpus fixture is already-extracted text,
+                             so the stage runs on the synthetic HTML
+                             wrapping and reports line yield)
       1. quality gate        text_quality_stats (stopword/length gates)
       2. exact dedup         dedup_exact keep-first
       3. near-dup dedup      dedup_minhash_lsh (banded candidates)
@@ -46,6 +51,20 @@ def main() -> int:
     reg = load_all(exposed_only=False)
     docs = load_table(spark, sf_dir, "documents")
     print(f"corpus: {docs.count()} documents ({sf_dir})")
+
+    # 0. extraction: the first-mile stage — strip markup/boilerplate
+    # from the (synthetic) HTML wrapping; downstream stages consume
+    # the corpus text exactly as a WARC pipeline would consume the
+    # extractor's output
+    extracted = reg["docs_extract_text"].fn(spark, sf_dir)
+    yield_row = extracted.agg(
+        F.sum("n_lines_raw").alias("raw"),
+        F.sum("n_lines_kept").alias("kept"),
+    ).first()
+    print(
+        f"extraction: kept {yield_row['kept']}/{yield_row['raw']} "
+        "content lines (boilerplate filtered)"
+    )
 
     # 1. quality gate: keep docs with sane stopword ratio + length
     quality = reg["text_quality_stats"].fn(spark, sf_dir)

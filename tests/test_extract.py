@@ -25,7 +25,7 @@ def test_script_and_style_subtrees_dropped(spark):
     r = _extract(
         spark,
         "<p>keep these actual real content words here</p>"
-        "<script>var secret = 'leak';</script>"
+        "<script>var tracker = 'scriptbody';</script>"
         "<style>p { color: red }</style>"
         "<p>also keep these other real content words</p>",
     )
@@ -33,7 +33,7 @@ def test_script_and_style_subtrees_dropped(spark):
         "keep these actual real content words here\n"
         "also keep these other real content words"
     )
-    assert "leak" not in r["extract_text"]
+    assert "scriptbody" not in r["extract_text"]
     assert r["n_lines_raw"] == 2 and r["n_lines_kept"] == 2
 
 

@@ -376,3 +376,23 @@ def test_chunk_index_schema_matches_vector_ingest_rows(spark, sf_dir):
     )
 
     assert batch_rows is stream_rows
+
+
+def test_multiprobe_recall_floor_pinned(spark, sf_dir):
+    """The fan-out IS the product (VERDICT r11 item 6, decision
+    documented in SCALE.md round-12): the Hamming-1 multiprobe's
+    9/256 scanned fraction buys mean recall@5 >= 0.8 versus the exact
+    chunk search — pinned here so a bucketing/probe regression that
+    silently trades recall for speed fails loudly. The single-bucket
+    tier's recall is pinned LOWER (its point is the latency floor);
+    both means come from the oracle-checked docs_chunk_ann_recall."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    reg = load_all(exposed_only=False)
+    rows = reg["docs_chunk_ann_recall"].fn(spark, sf_dir).collect()
+    by_tier: dict[str, list[float]] = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r["recall_r"])
+    mean = {t: sum(v) / len(v) for t, v in by_tier.items()}
+    assert mean["multiprobe"] >= 0.8, mean
+    assert mean["bucket"] < mean["multiprobe"]
