@@ -2030,6 +2030,21 @@ def cdc_chunks_col() -> F.Column:
     )
 
 
+def _cdc_chunks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk): the exploded CDC chunks of every nonempty
+    document — ONE chunking pass (one u60 per character position, the
+    family's dominant cost) shared by dedup_cdc_chunks and
+    dedup_cdc_incremental via track_persist, so cdc_suite chunks the
+    corpus once instead of once per branch (the _minhash_frame
+    discipline)."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    return track_persist(
+        d.select("doc_id", F.explode(cdc_chunks_col()).alias("chunk"))
+    )
+
+
 _CDC_ORACLE = f"""
 WITH cuts AS (
   SELECT doc_id, text,
@@ -2078,13 +2093,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     content duplicated corpus-wide (copies, distinct docs, first
     holder). Chunking is one map-only higher-order-function
     projection; the only exchange is the final combine-enabled
-    group-by on the chunk digest."""
-    d = load_spread(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
-    chunks = d.select(
-        "doc_id", F.explode(cdc_chunks_col()).alias("chunk")
-    )
+    group-by on the chunk digest. The chunking pass itself is shared
+    with dedup_cdc_incremental via ``_cdc_chunks_frame`` (the
+    _minhash_frame persist discipline) — inside cdc_suite the corpus
+    is chunked ONCE, not once per branch."""
+    chunks = _cdc_chunks_frame(spark, sf_dir)
     return (
         chunks.groupBy(F.md5("chunk").alias("chunk_md5"))
         .agg(
@@ -2211,15 +2224,10 @@ def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per new doc: chunk count, chunks whose exact content exists in the
     base, duplicated characters, duplicated fraction. One CDC scan,
     one distinct-hash projection of the base side, one hash join on
-    the digest — cost ∝ corpus chunks, never pairs."""
-    d = load_spread(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
-    is_new = (u60(F.col("doc_id").cast("string")) % 100) >= 90
-    chunks = d.select(
-        "doc_id",
-        is_new.alias("is_new"),
-        F.explode(cdc_chunks_col()).alias("chunk"),
+    the digest — cost ∝ corpus chunks, never pairs. The chunking pass
+    is shared with dedup_cdc_chunks (``_cdc_chunks_frame``)."""
+    chunks = _cdc_chunks_frame(spark, sf_dir).withColumn(
+        "is_new", (u60(F.col("doc_id").cast("string")) % 100) >= 90
     )
     base_hashes = (
         chunks.filter(~F.col("is_new"))
