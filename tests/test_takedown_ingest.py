@@ -173,3 +173,62 @@ def test_restart_replay_tombstones_exactly_once(
     live = read_live_index(spark, path)
     gone = live.filter(F.col("vec_id").isin([int(i) for i in ids[:4]]))
     assert gone.count() == 0
+
+
+def test_streamed_takedown_reaches_gram_index_span_rewrite(
+    spark, artifact_root, tmp_path
+):
+    """Cross-family integration: a takedown key stream pointed at the
+    GRAM index (key_col='doc_id') removes the corpus document's
+    positions from every later span rewrite — the arriving batch that
+    WOULD have been cut against it lands uncut, exactly as if the
+    document had never been indexed."""
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        read_gram_index,
+        span_rewrite_batch,
+    )
+
+    block = "A-REPEATED-CORPUS-SPAN-0123456789-ABCDEFGHIJ"  # 44 chars
+    corpus = spark.createDataFrame(
+        [
+            (101, f"corpus document carrying {block} inside it"),
+            (102, "another corpus document with only its own words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(corpus, art)
+    batch = spark.createDataFrame(
+        [(7, f"arrival that reuses {block} verbatim")],
+        "doc_id bigint, text string",
+    )
+    # before the takedown: the arrival is cut against doc 101
+    pre = span_rewrite_batch(batch, read_gram_index(spark, art)).collect()
+    assert pre[0]["chars_removed"] >= len(block) - 1
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    q = attach_takedown_stream(
+        _key_stream(spark, spool).withColumnRenamed("vec_id", "doc_id"),
+        art,
+        str(tmp_path / "ledger"),
+        key_col="doc_id",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        _write_key_batch(spark, spool, 0, [101])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # after: rewrite against the live index ≡ rewrite against a fresh
+    # index built without doc 101 — the arrival lands uncut
+    post = span_rewrite_batch(batch, read_gram_index(spark, art)).collect()
+    want = span_rewrite_batch(
+        batch, gram_index_rows(corpus.filter("doc_id <> 101"))
+    ).collect()
+    assert post[0]["chars_removed"] == 0
+    assert post[0]["clean_text"] == want[0]["clean_text"]
+    assert post[0]["n_spans_removed"] == want[0]["n_spans_removed"]
