@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from streamlit_flink_demo_spark.operators.incremental import (
     _read_meta,
     commit_delta,
+    maintenance_lock,
     read_index_data,
 )
 from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
@@ -99,7 +100,26 @@ def fold_sink_into_index(
     ``write_rows(rows, staging_dir)`` materializes them in the
     artifact's layout (partitioning is the artifact family's choice).
     Returns a digest {"folded_batches", "folded_compactions",
-    "truncated"}; a tail with nothing new is a no-op."""
+    "truncated"}; a tail with nothing new is a no-op.
+
+    Runs under the artifact's ``maintenance_lock`` (incremental.py):
+    a major compaction (compact_index) publishing a fresh version
+    mid-fold would silently drop this fold's delta rows and ledger
+    entries in its version swap — with a truncating tail that is data
+    loss. Maintenance operations on one artifact are serialized;
+    live-stream appends (commit_delta's own short lock) still
+    interleave freely."""
+    with maintenance_lock(artifact_path):
+        return _fold_sink_into_index_locked(
+            spark, sink_path, artifact_path, write_rows, rows_fn,
+            key_prefix, truncate,
+        )
+
+
+def _fold_sink_into_index_locked(
+    spark, sink_path, artifact_path, write_rows, rows_fn,
+    key_prefix, truncate,
+) -> dict:
     sink = IdempotentParquetSink(sink_path)
     m = sink._read_manifest()  # ONE snapshot drives the whole fold
     fb, fc = folded_ids(artifact_path)
@@ -137,7 +157,7 @@ def fold_sink_into_index(
         )
     truncated = 0
     if truncate:
-        truncated = truncate_folded_tail(sink_path, artifact_path)
+        truncated = _truncate_folded_tail_locked(sink_path, artifact_path)
     return {
         "folded_batches": new_b,
         "folded_compactions": new_c,
@@ -151,7 +171,14 @@ def truncate_folded_tail(sink_path: str, artifact_path: str) -> int:
     checkpoint replay of a truncated batch id still short-circuits —
     the rows are durable inside the artifact delta), directories are
     removed only after the atomic manifest replace. Idempotent; safe
-    to re-run from any crash point."""
+    to re-run from any crash point. Takes the artifact's maintenance
+    lock (a compaction publishing mid-truncation could drop the very
+    delta that makes the truncated rows durable)."""
+    with maintenance_lock(artifact_path):
+        return _truncate_folded_tail_locked(sink_path, artifact_path)
+
+
+def _truncate_folded_tail_locked(sink_path: str, artifact_path: str) -> int:
     sink = IdempotentParquetSink(sink_path)
     fb, fc = folded_ids(artifact_path)
     with sink._manifest_lock():
@@ -198,9 +225,14 @@ def read_index_with_tail(
     new delta, dropping the rows from both legs)."""
     sink = IdempotentParquetSink(sink_path)
     m = sink._read_manifest()
-    meta = _read_meta(os.path.realpath(artifact_path))
-    base = read_index_data(spark, artifact_path, meta=meta)
-    fb, fc = folded_ids(artifact_path, meta=meta)
+    # resolve the live version ONCE and read everything from it —
+    # resolving again inside read_index_data could land on a version
+    # published mid-call and mix version A's delta list with version
+    # B's directory root.
+    live = os.path.realpath(artifact_path)
+    meta = _read_meta(live)
+    base = read_index_data(spark, live, meta=meta)
+    fb, fc = folded_ids(live, meta=meta)
     dirs, _, _ = _unfolded_dirs(sink, m, fb, fc)
     if not dirs:
         return base

@@ -65,9 +65,14 @@ _BLOCK_CLOSERS = "(title|h1|h2|h3|p|div|nav|footer|li|tr)"
 def html_to_lines(html: Column) -> Column:
     """Array of cleaned, nonempty text lines extracted from ``html``
     — stages 1-5 of the module pipeline, entirely JVM built-ins."""
-    x = F.regexp_replace(html, r"<script[^>]*>.*?</script>", " ")
-    x = F.regexp_replace(x, r"<style[^>]*>.*?</style>", " ")
-    x = F.regexp_replace(x, f"</{_BLOCK_CLOSERS}>", "\n")
+    # (?is): real crawl HTML carries multi-line and uppercase
+    # <SCRIPT>/<Style> blocks — Java regex '.' does not cross
+    # newlines without (?s), and both engines (Java regex / RE2)
+    # support the inline flags, so the pattern strings stay identical
+    # to the oracle's.
+    x = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, f"(?i)</{_BLOCK_CLOSERS}>", "\n")
     x = F.regexp_replace(x, r"<[^>]*>", "")
     # entity decode AFTER tag stripping: '&lt;b&gt;' is text, not a tag
     for ent, ch in (
@@ -170,9 +175,10 @@ stripped AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
-               '<style[^>]*>.*?</style>', ' ', 'g'),
-             '</{_BLOCK_CLOSERS}>', chr(10), 'g'),
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                              ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?i)</{_BLOCK_CLOSERS}>', chr(10), 'g'),
            '<[^>]*>', '', 'g') AS x
   FROM htmlized
 ),

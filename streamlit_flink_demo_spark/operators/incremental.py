@@ -114,6 +114,32 @@ def read_index_data(
     return out
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def maintenance_lock(path: str):
+    """Serialize MAINTENANCE operations (fold_sink_into_index,
+    compact_index, standalone tail truncation) on one artifact: a
+    fold landing between a compaction's meta snapshot and its publish
+    would have its delta rows and fold-ledger entries silently
+    dropped by the version swap (lost update) — with a truncating
+    tail that is data loss, not just re-fold work. Readers stay
+    lock-free (they get snapshot semantics from the single meta read);
+    commit_delta's own short lock (``path + ".lock"``) is a different
+    file, so appends from the live stream still interleave with a
+    long-running compaction's Spark job — only maintenance/maintenance
+    overlap is excluded."""
+    import fcntl
+
+    with open(path + ".maint.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
 def tombstone_keys(
     path: str,
     delta_key: str,
@@ -145,13 +171,16 @@ def tombstone_keys(
 
 
 def read_tombstones(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, meta: dict | None = None
 ) -> tuple[DataFrame | None, str | None]:
     """(deleted-keys frame, key_col) across the live version's
     tombstone deltas, or (None, None) when there are none. One
-    key_col per artifact — mixing is a caller bug and asserts."""
+    key_col per artifact — mixing is a caller bug and asserts.
+    ``meta`` lets a caller share ONE meta.json snapshot with its
+    other reads (read_live_index)."""
     live = os.path.realpath(path)
-    meta = _read_meta(live)
+    if meta is None:
+        meta = _read_meta(live)
     entries = [d for d in meta.get("deltas", []) if d.get("tombstone")]
     if not entries:
         return None, None
@@ -166,14 +195,20 @@ def read_tombstones(
     return out.distinct(), key_col
 
 
-def read_live_index(spark: SparkSession, path: str) -> DataFrame:
+def read_live_index(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> DataFrame:
     """The SERVING view: base + data deltas MINUS tombstoned keys
     (broadcast left-anti join; a no-op plan when no tombstones
     exist). This is what tombstone-aware probes read — bit-identical
     to a fresh build over the undeleted rows, which is the oracle
-    (ann_lsh_tombstone_topk)."""
-    data = read_index_data(spark, path)
-    ts, key_col = read_tombstones(spark, path)
+    (ann_lsh_tombstone_topk). The version's meta.json is read ONCE
+    and drives both the data-delta and tombstone enumeration (or pass
+    ``meta`` to share an even wider snapshot, as compact_index does)."""
+    if meta is None:
+        meta = _read_meta(os.path.realpath(path))
+    data = read_index_data(spark, path, meta=meta)
+    ts, key_col = read_tombstones(spark, path, meta=meta)
     if ts is None:
         return data
     return data.join(F.broadcast(ts), key_col, "left_anti")
@@ -231,48 +266,58 @@ def compact_index(
     and open cost grows with delta count; compaction restores the
     build-once layout without retraining anything (meta.json — and
     with it the frozen quantizer — carries over verbatim, minus the
-    folded deltas). Returns False when there is nothing to fold."""
-    live = os.path.realpath(path)
-    meta = _read_meta(live)
-    if not meta.get("deltas"):
-        return False
-    # read_live_index, not read_index_data: compaction is where
-    # tombstoned rows are PHYSICALLY dropped (the fresh version has
-    # no tombstone entries, so probes stop paying the anti-join).
-    merged = read_live_index(spark, path)
-    # The fold ledger (compaction.py) rides delta entries; compaction
-    # folds those deltas away, so the accumulated ledger must carry
-    # forward at the TOP level of the fresh version's meta — otherwise
-    # folded_ids() goes empty and the next fold_sink_into_index
-    # re-folds every still-committed sink batch, duplicating rows.
-    fb: set = set(meta.get("folded_batches", []))
-    fc: set = set(meta.get("folded_compactions", []))
-    for d in meta.get("deltas", []):
-        fb.update(d.get("folded_batches", []))
-        fc.update(d.get("folded_compactions", []))
-    tmp = f"{path}.tmp-compact-{os.getpid()}"
-    if partition_cols:
-        out_df = merged.repartition(*partition_cols).sortWithinPartitions(
-            *sort_cols
-        )
-        writer = out_df.write.mode("overwrite").partitionBy(
-            *partition_cols
-        )
-    else:
-        # unpartitioned artifacts (e.g. the rank-contiguous suffix
-        # index) keep their range layout on the sort key instead
-        out_df = merged.repartitionByRange(*sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-        writer = out_df.write.mode("overwrite")
-    writer.parquet(os.path.join(tmp, "data"))
-    new_meta = {k: v for k, v in meta.items() if k != "deltas"}
-    if fb or fc:
-        new_meta["folded_batches"] = sorted(fb)
-        new_meta["folded_compactions"] = sorted(fc)
-    _write_meta(tmp, new_meta)
-    _publish_artifact(tmp, path)
-    return True
+    folded deltas). Returns False when there is nothing to fold.
+
+    Runs under the artifact's ``maintenance_lock``: the whole
+    operation works from ONE meta.json snapshot (both the merged rows
+    and the carried fold ledger derive from it), and a concurrent
+    fold is excluded for the duration — a fold landing between
+    snapshot and publish would otherwise have its delta rows and
+    ledger entries silently dropped by the version swap."""
+    with maintenance_lock(path):
+        live = os.path.realpath(path)
+        meta = _read_meta(live)
+        if not meta.get("deltas"):
+            return False
+        # read_live_index on the SAME snapshot, not a re-read:
+        # compaction is where tombstoned rows are PHYSICALLY dropped
+        # (the fresh version has no tombstone entries, so probes stop
+        # paying the anti-join).
+        merged = read_live_index(spark, path, meta=meta)
+        # The fold ledger (compaction.py) rides delta entries;
+        # compaction folds those deltas away, so the accumulated
+        # ledger must carry forward at the TOP level of the fresh
+        # version's meta — otherwise folded_ids() goes empty and the
+        # next fold_sink_into_index re-folds every still-committed
+        # sink batch, duplicating rows.
+        fb: set = set(meta.get("folded_batches", []))
+        fc: set = set(meta.get("folded_compactions", []))
+        for d in meta.get("deltas", []):
+            fb.update(d.get("folded_batches", []))
+            fc.update(d.get("folded_compactions", []))
+        tmp = f"{path}.tmp-compact-{os.getpid()}"
+        if partition_cols:
+            out_df = merged.repartition(*partition_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = out_df.write.mode("overwrite").partitionBy(
+                *partition_cols
+            )
+        else:
+            # unpartitioned artifacts (e.g. the rank-contiguous suffix
+            # index) keep their range layout on the sort key instead
+            out_df = merged.repartitionByRange(*sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = out_df.write.mode("overwrite")
+        writer.parquet(os.path.join(tmp, "data"))
+        new_meta = {k: v for k, v in meta.items() if k != "deltas"}
+        if fb or fc:
+            new_meta["folded_batches"] = sorted(fb)
+            new_meta["folded_compactions"] = sorted(fc)
+        _write_meta(tmp, new_meta)
+        _publish_artifact(tmp, path)
+        return True
 
 
 # --------------------------------------------------------------------------

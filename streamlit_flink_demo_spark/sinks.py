@@ -163,6 +163,18 @@ class IdempotentParquetSink:
         per-batch summaries instead of re-executing the batch plan."""
         return os.path.join(self.path, f"batch_id={batch_id}")
 
+    def committed_batch_or(
+        self, spark: SparkSession, batch_id: int, fallback: DataFrame
+    ) -> DataFrame:
+        """The just-committed batch's durable directory as a frame, or
+        ``fallback`` (the batch plan) when a concurrently scheduled
+        sink compaction/fold already truncated the directory — a
+        per-batch summary must never kill the stream over a
+        maintenance race; the rare fallback re-executes one batch
+        plan, nothing more."""
+        d = self.batch_dir(batch_id)
+        return spark.read.parquet(d) if os.path.isdir(d) else fallback
+
     def committed_ids(self) -> list[int]:
         """Live streaming batch ids (excludes batches already folded
         into a compaction — those are covered by the watermark)."""

@@ -76,8 +76,8 @@ def attach_cdc_coverage_stream(
             return
         # summarize from the durable batch directory — re-aggregating
         # `rows` would run the digest probe join a second time.
-        d = batch_df.sparkSession.read.parquet(
-            sink.batch_dir(batch_id)
+        d = sink.committed_batch_or(
+            batch_df.sparkSession, batch_id, rows
         ).agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chunks").alias("n_chunks"),

@@ -219,8 +219,8 @@ def attach_near_dup_stream(
             return
         # summarize from the durable batch directory — re-aggregating
         # `flags` would run the signature join a second time.
-        row = batch_df.sparkSession.read.parquet(
-            sink.batch_dir(batch_id)
+        row = sink.committed_batch_or(
+            batch_df.sparkSession, batch_id, flags
         ).agg(
             F.count("*").alias("n_docs"),
             F.count("dup_of").alias("n_flagged"),
@@ -363,8 +363,8 @@ def attach_semantic_dedup_stream(
         if on_summary is None or status != "committed":
             return
         # summarize from the durable batch directory, not the plan
-        row = batch_df.sparkSession.read.parquet(
-            sink.batch_dir(batch_id)
+        row = sink.committed_batch_or(
+            batch_df.sparkSession, batch_id, flags
         ).agg(
             F.count("*").alias("n_docs"),
             F.count("dup_of").alias("n_flagged"),

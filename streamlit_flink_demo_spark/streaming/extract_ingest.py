@@ -71,7 +71,7 @@ def attach_extract_stream(
         if on_summary is None or status != "committed":
             return
         d = (
-            batch_df.sparkSession.read.parquet(sink.batch_dir(batch_id))
+            sink.committed_batch_or(batch_df.sparkSession, batch_id, rows)
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum((F.col("n_lines_kept") == 0).cast("int")).alias(

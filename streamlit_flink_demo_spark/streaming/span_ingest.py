@@ -108,8 +108,8 @@ def attach_span_rewrite_stream(
         # Summarize from the just-committed durable batch directory,
         # not the unmaterialized plan — re-aggregating `rows` would
         # run the whole gram-join/window/LCP rewrite a second time.
-        committed = batch_df.sparkSession.read.parquet(
-            sink.batch_dir(batch_id)
+        committed = sink.committed_batch_or(
+            batch_df.sparkSession, batch_id, rows
         )
         d = committed.agg(
             F.count("*").alias("n_docs"),

@@ -65,6 +65,8 @@ def attach_takedown_stream(
     sink = IdempotentParquetSink(ledger_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         ids = batch_df.select(F.col(key_col)).distinct()
         status = sink(ids, batch_id)
         # The tombstone commit reads the DURABLE ledger directory, so
@@ -72,9 +74,14 @@ def attach_takedown_stream(
         # the ledger commit and the tombstone commit replays into the
         # identical delta content. Run it on replays too — that replay
         # IS the crash-recovery path; an already-committed delta key
-        # is a no-op.
+        # is a no-op. If a ledger compaction (sinks.compact_sink)
+        # already folded this batch's directory away, fall back to the
+        # replayed batch plan — Spark's replay contract delivers the
+        # identical content, and the delta-key dedup makes a doubly
+        # recovered batch a no-op either way.
         spark = batch_df.sparkSession
-        rows = spark.read.parquet(sink.batch_dir(batch_id))
+        bdir = sink.batch_dir(batch_id)
+        rows = spark.read.parquet(bdir) if os.path.isdir(bdir) else ids
         tombstoned = tombstone_keys(
             artifact_path,
             f"takedown:b{batch_id}",

@@ -116,3 +116,21 @@ def test_trafilatura_tier_env_gated(spark):
         pass
     with pytest.raises(NotImplementedError, match="trafilatura"):
         extract_text_trafilatura(df)
+
+
+def test_multiline_and_uppercase_markup(spark):
+    """Real crawl HTML: multi-line script bodies and uppercase tags —
+    the (?is) flags on both engines' patterns (code-review r12)."""
+    r = _extract(
+        spark,
+        "<SCRIPT type='text/javascript'>\nvar t = 1;\ntrack();\n</SCRIPT>"
+        "<P>uppercase paragraph with enough real words kept</P>"
+        "<Style>\np { color: red }\n</Style>"
+        "<p>lowercase paragraph with enough real words kept</p>",
+    )
+    assert r["extract_text"] == (
+        "uppercase paragraph with enough real words kept\n"
+        "lowercase paragraph with enough real words kept"
+    )
+    assert "track" not in r["extract_text"]
+    assert "color" not in r["extract_text"]

@@ -173,10 +173,17 @@ COPY (
 
 def main() -> int:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dst = os.environ.get("SCALE_SWEEP_DIR", "/tmp/scale10")
     # reuse existing replicas (SCALE_SWEEP_REUSE=1) so a sweep can be
-    # split across invocations; SCALE_SWEEP_OPS=a,b,c narrows the set
-    tag_hi = os.environ.get("SCALE_SWEEP_TAG", "x10")
+    # split across invocations; SCALE_SWEEP_OPS=a,b,c narrows the set.
+    # The replica dir and metric tag DEFAULT from the factor so a
+    # SCALE_SWEEP_FACTOR=100 run can't silently overwrite /tmp/scale10
+    # or label its rows scale_sweep_x10 (code-review r12).
+    try:
+        factor = int(os.environ.get("SCALE_SWEEP_FACTOR", "10"))
+    except ValueError:
+        factor = 10
+    dst = os.environ.get("SCALE_SWEEP_DIR", f"/tmp/scale{factor}")
+    tag_hi = os.environ.get("SCALE_SWEEP_TAG", f"x{factor}")
     ops = tuple(
         o.strip()
         for o in os.environ.get("SCALE_SWEEP_OPS", "").split(",")
@@ -188,10 +195,6 @@ def main() -> int:
         # BENCH_QUERIES guard
         print(f"unknown SCALE_SWEEP_OPS: {sorted(unknown)}", file=sys.stderr)
         return 2
-    try:
-        factor = int(os.environ.get("SCALE_SWEEP_FACTOR", "10"))
-    except ValueError:
-        factor = 10
     if not (
         os.environ.get("SCALE_SWEEP_REUSE") == "1"
         and os.path.exists(os.path.join(dst, "embeddings.parquet"))
