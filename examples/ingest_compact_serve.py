@@ -25,6 +25,10 @@ the pytest crash-matrix pins (streaming/*, operators/compaction.py):
                              and after the fold, and the NEXT batch's
                              span cleanup sees earlier ingested docs
                              as corpus
+      6. takedown            attach_takedown_stream (round 12): a
+                             streamed deletion request tombstones the
+                             ingested document, and later cleanup
+                             batches treat it as never indexed
 
 Run:  python examples/ingest_compact_serve.py [sf_dir]
 (defaults to /root/testdata/sf0.001; prints each phase's counts)
@@ -205,6 +209,55 @@ def main() -> int:
         assert rows[900002]["chars_removed"] >= len(_BLOCK) - 1
         q1.stop()
         q2.stop()
+
+        # 7. takedown closes the loop (round 12): a streamed deletion
+        # request tombstones doc 900001 in the gram artifact, and the
+        # NEXT cleanup batch treats it as never indexed — the block it
+        # carried is no longer corpus, so a re-arrival lands uncut.
+        from streamlit_flink_demo_spark.streaming.takedown_ingest import (
+            attach_takedown_stream,
+        )
+
+        td_spool = os.path.join(work, "td_spool")
+        os.makedirs(td_spool)
+        q3 = attach_takedown_stream(
+            spark.readStream.schema("doc_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td_spool),
+            gram_art,
+            os.path.join(work, "td_ledger"),
+            key_col="doc_id",
+            checkpoint_dir=os.path.join(work, "ck_td"),
+        )
+        df_td = spark.createDataFrame([(900001,)], "doc_id bigint")
+        stage = os.path.join(td_spool, "_s0")
+        df_td.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(stage, part), os.path.join(td_spool, "b0.parquet")
+        )
+        q3.processAllAvailable()
+        q3.stop()
+        from streamlit_flink_demo_spark.operators.suffix import (
+            read_gram_index,
+            span_rewrite_batch,
+        )
+
+        reprobe = span_rewrite_batch(
+            spark.createDataFrame(
+                [(900003, f"re-arrival with {_BLOCK} after takedown")],
+                "doc_id bigint, text string",
+            ),
+            read_gram_index(spark, gram_art),
+        ).collect()[0]
+        print(
+            "after streamed takedown of doc 900001: re-arrival "
+            f"chars_removed={reprobe['chars_removed']} (0 -> the "
+            "taken-down document no longer cuts anyone)"
+        )
+        assert reprobe["chars_removed"] == 0
         return 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
