@@ -134,3 +134,91 @@ def test_multiline_and_uppercase_markup(spark):
     )
     assert "track" not in r["extract_text"]
     assert "color" not in r["extract_text"]
+
+
+# --------------------------------------------------------------------------
+# Property test: engine extraction ≡ a pure-Python reference extractor
+# over hypothesis-generated markup (the CDC-resync rigor pattern)
+# --------------------------------------------------------------------------
+
+import re as _re
+
+
+def _py_extract(html: str) -> tuple[int, int, str]:
+    """Pure-Python mirror of the 6-stage pipeline (module docstring) —
+    an independent implementation, not a transliteration of the Spark
+    expressions: Python re with the same (?is) semantics."""
+    x = _re.sub(r"(?is)<script[^>]*>.*?</script>", " ", html)
+    x = _re.sub(r"(?is)<style[^>]*>.*?</style>", " ", x)
+    x = _re.sub(
+        r"(?i)</(title|h1|h2|h3|p|div|nav|footer|li|tr)>", "\n", x
+    )
+    x = _re.sub(r"<[^>]*>", "", x)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        x = x.replace(ent, ch)
+    lines = [
+        _re.sub(" +", " ", l).strip() for l in x.split("\n")
+    ]
+    raw = [l for l in lines if l]
+    kept = [
+        l
+        for l in raw
+        if len(l.split(" ")) >= 5
+        and "|" not in l
+        and not any(
+            m in l.lower()
+            for m in (
+                "copyright", "sponsored", "subscribe",
+                "all rights reserved",
+            )
+        )
+    ]
+    return len(raw), len(kept), "\n".join(kept)
+
+
+def test_extraction_equals_pure_python_on_random_markup(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(
+        "alpha beta gamma delta epsilon zeta Copyright sponsored"
+        " the quick brown fox".split()
+    )
+    text = st.lists(words, min_size=0, max_size=12).map(" ".join)
+    piece = st.one_of(
+        text.map(lambda t: f"<p>{t}</p>"),
+        text.map(lambda t: f"<DIV class='x'>{t}</DIV>"),
+        text.map(lambda t: f"<script>\n{t}\n</script>"),
+        text.map(lambda t: f"<b>{t}</b>"),
+        text.map(lambda t: t and f"{t} &amp; more &lt;tag&gt;" or t),
+        st.just("<nav>Home | About</nav>"),
+        st.just("<STYLE>p{x:1}\n.y{z:2}</STYLE>"),
+    )
+    docs = st.lists(
+        st.lists(piece, min_size=0, max_size=6).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs)
+    def run(htmls):
+        df = extract_text(
+            spark.createDataFrame(
+                [(i, h) for i, h in enumerate(htmls)],
+                "doc_id bigint, html string",
+            )
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_lines_raw"], r["n_lines_kept"], r["extract_text"]
+            )
+            for r in df.collect()
+        }
+        want = {i: _py_extract(h) for i, h in enumerate(htmls)}
+        assert got == want
+
+    run()
