@@ -145,8 +145,7 @@ def extract_text_trafilatura(df: DataFrame, html_col: str = "html"):
 # Registered query: synthesize HTML per document, extract it back
 # --------------------------------------------------------------------------
 
-_EXTRACT_ORACLE = f"""
-WITH third AS (
+_EXTRACT_CTES = f"""third AS (
   SELECT doc_id, text,
          CAST(ceil(length(text) / 3.0) AS BIGINT) AS l3
   FROM documents WHERE length(text) > 0
@@ -208,7 +207,10 @@ kept AS (
            AND NOT contains(lower(l), 'subscribe')
            AND NOT contains(lower(l), 'all rights reserved')) AS keep
   FROM lines
-)
+)"""
+
+_EXTRACT_ORACLE = f"""
+WITH {_EXTRACT_CTES}
 SELECT doc_id,
        len(raw)::BIGINT AS n_lines_raw,
        len(keep)::BIGINT AS n_lines_kept,
@@ -281,4 +283,94 @@ def docs_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         F.length("extract_text").cast("bigint").alias("extract_chars"),
         F.md5("extract_text").alias("extract_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extraction → quality gate, composed: the first two pipeline stages
+# as one oracle-checked chain
+# --------------------------------------------------------------------------
+
+_QUALITY_MIN_WORDS = 20
+_QUALITY_MIN_LINES = 2
+_QUALITY_MIN_UNIQ = 0.3
+
+_EXTRACT_QUALITY_ORACLE = f"""
+WITH {{_EXTRACT_CTES}},
+et AS (
+  SELECT doc_id,
+         len(keep)::BIGINT AS n_lines_kept,
+         list_filter(
+           string_split(replace(array_to_string(keep, chr(10)),
+                                chr(10), ' '), ' '),
+           w -> length(w) > 0) AS words
+  FROM kept
+)
+SELECT doc_id,
+       n_lines_kept,
+       len(words)::BIGINT AS n_words,
+       len(list_distinct(words))::BIGINT AS n_uniq_words,
+       ROUND(CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_distinct(words))::DOUBLE / len(words)
+             END, 6) AS uniq_ratio_r,
+       (CASE WHEN n_lines_kept >= {{_QUALITY_MIN_LINES}}
+              AND len(words) >= {{_QUALITY_MIN_WORDS}}
+              AND len(words) > 0
+              AND len(list_distinct(words))::DOUBLE / len(words)
+                    >= {{_QUALITY_MIN_UNIQ}}
+             THEN 1 ELSE 0 END)::BIGINT AS keep_i
+FROM et
+"""
+
+
+@register(
+    "docs_extract_quality",
+    oracle=_EXTRACT_QUALITY_ORACLE.format(
+        _EXTRACT_CTES=_EXTRACT_CTES,
+        _QUALITY_MIN_LINES=_QUALITY_MIN_LINES,
+        _QUALITY_MIN_WORDS=_QUALITY_MIN_WORDS,
+        _QUALITY_MIN_UNIQ=_QUALITY_MIN_UNIQ,
+    ),
+    tags=("text", "extract", "quality", "pipeline"),
+    expose=False,
+)
+def docs_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first TWO pipeline stages composed and value-checked as one
+    chain: extraction (docs_extract_text's exact rules) feeding the
+    quality gate's verdict over the EXTRACTED text — word count,
+    vocabulary-uniqueness ratio, kept-line floor. This is the shape a
+    production corpus run executes (CCNet gates on extractor output,
+    never raw HTML), and the oracle replays synthesis → extraction →
+    gating end to end, so the stage BOUNDARY (exactly which text the
+    gate sees) is hash-checked, not assumed. Still one map-only
+    projection — the gate adds zero exchanges."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    out = extract_text(d)
+    words = F.filter(
+        F.split(F.replace(F.col("extract_text"), F.lit("\n"), F.lit(" ")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    n_words = F.size(words).cast("bigint")
+    n_uniq = F.size(F.array_distinct(words)).cast("bigint")
+    uniq_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_uniq.cast("double") / n_words
+    )
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq_words"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio_r"),
+        (
+            (F.col("n_lines_kept") >= _QUALITY_MIN_LINES)
+            & (n_words >= _QUALITY_MIN_WORDS)
+            & (n_words > 0)
+            & (uniq_ratio >= _QUALITY_MIN_UNIQ)
+        )
+        .cast("bigint")
+        .alias("keep_i"),
     )
