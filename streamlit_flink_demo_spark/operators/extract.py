@@ -161,7 +161,8 @@ htmlized AS (
       || '<p>' || substr(text, 1, l3) || '</p>'
       || '<p class="ad">Sponsored: click here to subscribe to our'
       || ' newsletter now!</p>'
-      || '<p>' || substr(text, l3 + 1, l3) || '</p>'
+      || '<p>' || substr(text, l3 + 1, l3)
+      || ' <a href="/doc/' || (doc_id % 97) || '">related</a></p>'
       || '<div>Share</div>'
       || '<p>Q &amp; A &lt;section&gt; ' || substr(text, 2 * l3 + 1)
       || '</p>'
@@ -245,7 +246,9 @@ def _synth_html() -> Column:
         F.lit(" newsletter now!</p>"),
         F.lit("<p>"),
         t.substr(l3 + 1, l3),
-        F.lit("</p>"),
+        F.lit(' <a href="/doc/'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('">related</a></p>'),
         F.lit("<div>Share</div>"),
         F.lit("<p>Q &amp; A &lt;section&gt; "),
         t.substr(l3 * 2 + 1, F.length("text")),
@@ -373,4 +376,56 @@ def docs_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("keep_i"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Link extraction: the URL frontier (the crawler's next fetch list)
+# --------------------------------------------------------------------------
+
+_EXTRACT_LINKS_ORACLE = f"""
+WITH {_EXTRACT_CTES},
+links AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM htmlized
+)
+SELECT href,
+       COUNT(*)::BIGINT AS n_refs,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM links GROUP BY href
+"""
+
+
+@register(
+    "docs_extract_links",
+    oracle=_EXTRACT_LINKS_ORACLE,
+    tags=("text", "extract", "pipeline", "crawl"),
+    expose=False,
+)
+def docs_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-frontier extraction — the other half of the first-mile
+    stage: while extract_text keeps the CONTENT, the crawler needs the
+    href targets as its next fetch list (and the link-graph edges
+    host-level dedup and PageRank-style prioritization consume). One
+    regexp_extract_all projection + one combine-enabled group-by on
+    the target: per-target reference counts and distinct referencing
+    documents. The synthesis plants both corpus-wide nav links and a
+    doc-dependent /doc/<id%97> link, so the frontier has real shape
+    (a handful of hot targets + a spread of content links) and the
+    oracle hash-checks every count."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    links = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), F.lit(1))
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(
+        F.count("*").cast("bigint").alias("n_refs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )

@@ -597,3 +597,88 @@ def test_compact_index_preserves_fold_ledger(
     assert compact_span_ingest(spark, art, sink_path)[
         "folded_batches"
     ] == []
+
+
+def test_concurrent_fold_and_compact_lose_nothing(
+    spark, artifact_root, tmp_path
+):
+    """The maintenance lock's end-state guarantee (code-review r12):
+    a fold and a major compaction racing on one artifact serialize —
+    whichever interleaving the scheduler picks, the final artifact
+    holds the base rows plus the folded batch's rows exactly once,
+    and the fold ledger records the batch. Without the lock, a fold
+    landing between the compaction's meta snapshot and its publish
+    had its delta rows and ledger entries dropped by the version
+    swap."""
+    import threading
+
+    from streamlit_flink_demo_spark.operators.incremental import (
+        compact_index,
+        read_index_data,
+    )
+    from streamlit_flink_demo_spark.operators.suffix import (
+        gram_index_rows,
+        init_gram_index,
+        span_rewrite_batch,
+    )
+
+    corpus = _new_docs(
+        spark, [(101, "standing corpus doc with only its own words")]
+    )
+    art = str(tmp_path / "gram_idx")
+    init_gram_index(corpus, art)
+    sink_path = str(tmp_path / "span_tail")
+    sink = IdempotentParquetSink(sink_path)
+    idx = gram_index_rows(corpus)
+    # batch 0 folds FIRST (so the compaction has a delta to fold);
+    # batch 1 is the one that races the compaction
+    sink(span_rewrite_batch(_new_docs(
+        spark, [(1, "first landed arrival with its own words")]), idx), 0)
+    compact_span_ingest(spark, art, sink_path)
+    sink(span_rewrite_batch(_new_docs(
+        spark, [(2, "second landed arrival racing the compaction")]), idx), 1)
+
+    errs: list[Exception] = []
+
+    def compact():
+        try:
+            compact_index(
+                spark, art, partition_cols=("gb",),
+                sort_cols=("g", "s64", "doc_id", "p"),
+            )
+        except Exception as ex:  # surfaced below
+            errs.append(ex)
+
+    def fold():
+        try:
+            compact_span_ingest(spark, art, sink_path)
+        except Exception as ex:
+            errs.append(ex)
+
+    t1 = threading.Thread(target=compact)
+    t2 = threading.Thread(target=fold)
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errs, errs
+
+    # end state: every corpus + folded doc's positions present exactly
+    # once, ledger complete, and a re-fold is a no-op
+    fb, _ = folded_ids(art)
+    assert fb == {0, 1}
+    grown = corpus.unionByName(
+        _new_docs(
+            spark,
+            [
+                (1, "first landed arrival with its own words"),
+                (2, "second landed arrival racing the compaction"),
+            ],
+        )
+    )
+    want = _rowset(gram_index_rows(grown))
+    assert _rowset(read_index_data(spark, art)) == want
+    assert compact_span_ingest(spark, art, sink_path)[
+        "folded_batches"
+    ] == []
+    assert _rowset(read_index_data(spark, art)) == want

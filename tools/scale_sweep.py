@@ -119,6 +119,8 @@ OPS = (
     # suffix artifact probes report their post-build probe floor
     # (builds ledgered in bench.py, disclosed in SCALE.md)
     "docs_extract_text",
+    "docs_extract_quality",
+    "docs_extract_links",
     "dedup_cdc_incremental",
     "dedup_cdc_incremental_idx",
     "corpus_longest_repeat_indexed",
