@@ -2425,3 +2425,94 @@ def dedup_cdc_incremental_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((u60(F.col("doc_id").cast("string")) % 100) >= 90)
     )
     return cdc_coverage_batch(delta, idx)
+
+
+# --------------------------------------------------------------------------
+# Standing MinHash signature artifact: the batch probe form
+# (completes the artifact-probing trio: gram index, CDC digests, sigs)
+# --------------------------------------------------------------------------
+
+
+def build_sig_base_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Fingerprinted MinHash signature artifact over the BASE
+    (hash-mod < 90) document slice — the standing corpus the
+    incremental convention probes. Signing the corpus is the
+    expensive pass (one shingle hash per token window); this pays it
+    ONCE, exactly like build_gram_index / build_cdc_base_index for
+    their families. Delta-appendable and tombstone-aware via the
+    shared artifact machinery (operators/incremental.py)."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _artifact_is_fresh,
+        _index_dir,
+        _publish_artifact,
+        _write_meta,
+        table_fingerprint,
+    )
+    import os as _os
+
+    out = _index_dir("sig_base", sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    params = {"k": _K, "bands": _BANDS, "rows": _ROWS, "slice": "base90"}
+    if not force and _artifact_is_fresh(out, fp, params):
+        return out
+    base = load_spread(spark, sf_dir, "documents").filter(
+        (u60(F.col("doc_id").cast("string")) % 100) < 90
+    )
+    tmp = f"{out}.tmp-{_os.getpid()}"
+    (
+        minhash_signatures(base)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(tmp, "data"))
+    )
+    _write_meta(tmp, {"fingerprint": fp, **params})
+    _publish_artifact(tmp, out)
+    return out
+
+
+from streamlit_flink_demo_spark.plans import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "dedup_incremental_sigidx",
+    # the same oracle as the recompute form: the artifact stores
+    # exactly the base slice's signatures, so probe ≡ full recompute —
+    # a hash match proves the persisted signature index serves the
+    # identical incremental-dedup answer.
+    oracle=_REGISTRY["dedup_incremental"].oracle,
+    tags=("dedup", "lsh", "incremental", "artifact"),
+    expose=False,
+)
+def dedup_incremental_sigidx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup riding the PERSISTED signature
+    artifact — the batch twin of streaming/dedup_ingest.py's artifact
+    mode, completing the probe-form trio (dedup_span_rewrite_delta_
+    gramidx, dedup_cdc_incremental_idx, and now the MinHash family):
+    the base slice is signed ONCE (build_sig_base_index), and the
+    arriving 10% slice is signed at batch size and broadcast-probed
+    against the standing band keys (near_dup_flags_batch — the exact
+    code the door-check runs per micro-batch). Base text is never
+    re-shingled at delta time; same oracle as dedup_incremental, so
+    probe ≡ recompute is hash-checked."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        read_live_index,
+    )
+    from streamlit_flink_demo_spark.streaming.dedup_ingest import (
+        near_dup_flags_batch,
+    )
+
+    path = build_sig_base_index(spark, sf_dir)
+    corpus_sigs = read_live_index(spark, path)
+    corpus_bands = corpus_sigs.select(
+        F.col("doc_id").alias("old_doc"),
+        F.explode(_band_keys_col()).alias("band_key"),
+    )
+    delta = load_spread(spark, sf_dir, "documents").filter(
+        (u60(F.col("doc_id").cast("string")) % 100) >= 90
+    )
+    flags = near_dup_flags_batch(delta, corpus_sigs, corpus_bands)
+    return flags.filter(F.col("dup_of").isNotNull()).select(
+        "doc_id", "dup_of", "est_jaccard"
+    )

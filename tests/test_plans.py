@@ -648,3 +648,19 @@ def test_extract_text_single_scan_no_python_no_shuffle(spark, sf_dir):
         "extraction must not hash-shuffle"
     )
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sig_idx_probe_reads_artifact_not_corpus_text(spark, sf_dir):
+    """dedup_incremental_sigidx's scale contract: corpus signatures
+    come from the persisted artifact scan (base text never
+    re-shingled at delta time) — the plan scans the sig_base artifact
+    and only the DELTA's documents, with the band join broadcast."""
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _index_dir,
+    )
+
+    p = plan_str(fresh("dedup_incremental_sigidx")(spark, sf_dir))
+    art = _index_dir("sig_base", sf_dir)
+    assert os.path.basename(art) in p, "must scan the signature artifact"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -123,6 +123,7 @@ OPS = (
     "docs_extract_links",
     "dedup_cdc_incremental",
     "dedup_cdc_incremental_idx",
+    "dedup_incremental_sigidx",
     "corpus_longest_repeat_indexed",
 )
 
