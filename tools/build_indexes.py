@@ -11,11 +11,17 @@ Builds the probe artifacts for the given scale-factor directory
   - ivf       : inverted list partitioned by cluster id + centroid meta
   - pq        : 8-byte PQ codes + codebooks (meta.json) for the ADC scan
   - ivfpq     : cluster-partitioned codes + centroids + codebooks (composite)
+  - chunk     : chunk-embedding index partitioned by sign-LSH bucket
+  - gram      : 24-gram position index partitioned by gram bucket
+  - cdc_base  : CDC chunk-digest index partitioned by digest bucket
+  - sig_base  : MinHash signature index (base slice)
 and prints one JSON line of build timings. Safe to re-run: builds are
 skipped when the artifact's source fingerprint matches (--force
 rebuilds unconditionally). ``--suffix`` additionally builds the
 persisted suffix-array artifact (operators/suffix.py) — opt-in
-because it is the one expensive construction (~40 s at sf0.1).
+because it is the one expensive construction (~13-40 s at sf0.1,
+box-dependent); corpus_longest_repeat_indexed / lifecycle_suite
+serve from it.
 """
 
 from __future__ import annotations
@@ -35,7 +41,10 @@ def main() -> int:
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    from streamlit_flink_demo_spark.operators import dedup as D
+    from streamlit_flink_demo_spark.operators import retrieval as R
     from streamlit_flink_demo_spark.operators import similarity as S
+    from streamlit_flink_demo_spark.operators import suffix as X
     from streamlit_flink_demo_spark.session import get_spark
 
     spark = get_spark("build_indexes")
@@ -46,6 +55,10 @@ def main() -> int:
         ("ivf", S.build_ivf_index),
         ("pq", S.build_pq_index),
         ("ivfpq", S.build_ivfpq_index),
+        ("chunk", R.build_chunk_embed_index),
+        ("gram", X.build_gram_index),
+        ("cdc_base", D.build_cdc_base_index),
+        ("sig_base", D.build_sig_base_index),
     ):
         t0 = time.perf_counter()
         path = builder(spark, sf_dir, force=force)
