@@ -211,12 +211,22 @@ def main() -> int:
     reg = load_all(exposed_only=False)
     spark.read.parquet(os.path.join(src, "region.parquet")).count()
 
+    # SCALE_SWEEP_COLD=1: clear cached blocks before EVERY timed rep,
+    # so operators that persist a shared corpus frame (track_persist —
+    # the _minhash_frame/_cdc_chunks_frame discipline) measure their
+    # cold scan instead of the warm-session floor. Required for honest
+    # probe-vs-recompute comparisons: an artifact probe pays its delta
+    # work every rep while a recompute's corpus pass would otherwise
+    # amortize into rep 1 and vanish from best-of-2.
+    cold = os.environ.get("SCALE_SWEEP_COLD") == "1"
     out = {}
     for name in ops:
         row = {}
         for tag, d in (("base", src), (tag_hi, dst)):
             best = None
             for _ in range(2):
+                if cold:
+                    spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 reg[name].fn(spark, d).write.format("noop").mode(
                     "overwrite"
