@@ -340,20 +340,27 @@ def main() -> int:
     # Spark AND DuckDB per-query maps, every artifact build time, and
     # every streaming rep with its load average, so a judge can diff
     # rounds query-by-query without re-running.
-    try:
-        detail = dict(out)
-        detail["metric"] = "bench_detail"
-        detail["streaming_reps"] = streaming_reps
-        detail["query_ext_busy"] = query_busy
-        detail["repeat"] = repeat
-        detail["cpus"] = _env_int("SPARK_GRAFT_CPUS", 32)
-        detail["load_avg_end_1m"] = round(os.getloadavg()[0], 2)
-        path = _bench_detail_path()
-        with open(path, "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-        print(f"  BENCH: detail written to {path}", file=sys.stderr)
-    except Exception as ex:
-        print(f"BENCH DETAIL WRITE ERROR: {ex}", file=sys.stderr)
+    # a restricted BENCH_QUERIES re-measure must never clobber the
+    # round's full-surface detail file (round-12 lesson: a 1-query cdc
+    # re-measure overwrote the 50-query record).
+    if only is not None:
+        print("  BENCH: restricted run — detail file not written",
+              file=sys.stderr)
+    else:
+        try:
+            detail = dict(out)
+            detail["metric"] = "bench_detail"
+            detail["streaming_reps"] = streaming_reps
+            detail["query_ext_busy"] = query_busy
+            detail["repeat"] = repeat
+            detail["cpus"] = _env_int("SPARK_GRAFT_CPUS", 32)
+            detail["load_avg_end_1m"] = round(os.getloadavg()[0], 2)
+            path = _bench_detail_path()
+            with open(path, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+            print(f"  BENCH: detail written to {path}", file=sys.stderr)
+        except Exception as ex:
+            print(f"BENCH DETAIL WRITE ERROR: {ex}", file=sys.stderr)
 
     # The round driver keeps only the LAST ~2000 chars of stdout; the
     # full JSON line above is ~3.5 kB, so BENCH_r04 retained the DuckDB
