@@ -429,3 +429,62 @@ def docs_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_refs"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level extraction yield: the stage's observability rollup
+# --------------------------------------------------------------------------
+
+_EXTRACT_YIELD_ORACLE = f"""
+WITH {_EXTRACT_CTES},
+perdoc AS (
+  SELECT doc_id,
+         len(raw)::BIGINT AS n_raw,
+         len(keep)::BIGINT AS n_kept,
+         length(array_to_string(keep, chr(10)))::BIGINT AS kept_chars
+  FROM kept
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(n_raw)::BIGINT AS lines_raw,
+       SUM(n_kept)::BIGINT AS lines_kept,
+       ROUND(SUM(n_kept)::DOUBLE / SUM(n_raw), 6) AS line_yield_r,
+       SUM(kept_chars)::BIGINT AS chars_kept,
+       SUM(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS boilerplate_only_docs
+FROM perdoc
+"""
+
+
+@register(
+    "docs_extract_yield",
+    oracle=_EXTRACT_YIELD_ORACLE,
+    tags=("text", "extract", "eval", "observability"),
+    expose=False,
+)
+def docs_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level extraction yield — the dedup_minhash_yield_curve
+    discipline applied to the first-mile stage: the line-level
+    keep rate, characters surviving the boilerplate filter, and the
+    count of documents the filter empties entirely (the number a
+    pipeline operator watches when a site template change suddenly
+    eats the corpus). One map-only extraction pass + one global
+    aggregate; exact integer sums, the ratio rounded once."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    e = extract_text(d)
+    return e.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_lines_raw").cast("bigint").alias("lines_raw"),
+        F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),
+        F.round(
+            F.sum("n_lines_kept").cast("double") / F.sum("n_lines_raw"),
+            6,
+        ).alias("line_yield_r"),
+        F.sum(F.length("extract_text")).cast("bigint").alias("chars_kept"),
+        F.sum((F.col("n_lines_kept") == 0).cast("int"))
+        .cast("bigint")
+        .alias("boilerplate_only_docs"),
+    )
