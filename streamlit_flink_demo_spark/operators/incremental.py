@@ -115,28 +115,56 @@ def read_index_data(
 
 
 import contextlib
+import threading
+
+# Thread-local set of artifact paths whose maintenance lock THIS thread
+# already holds — makes maintenance_lock re-entrant per thread, so
+# _publish_artifact can take it during its swap without deadlocking
+# compact_index's own publish (flock conflicts are per open file
+# description, so a naive re-open would block against ourselves).
+_MAINT_HELD = threading.local()
 
 
 @contextlib.contextmanager
 def maintenance_lock(path: str):
     """Serialize MAINTENANCE operations (fold_sink_into_index,
-    compact_index, standalone tail truncation) on one artifact: a
-    fold landing between a compaction's meta snapshot and its publish
-    would have its delta rows and fold-ledger entries silently
-    dropped by the version swap (lost update) — with a truncating
-    tail that is data loss, not just re-fold work. Readers stay
-    lock-free (they get snapshot semantics from the single meta read);
+    compact_index, standalone tail truncation) AND artifact publishes
+    (_publish_artifact takes this lock around its symlink swap) on one
+    artifact: a fold landing between a compaction's meta snapshot and
+    its publish would have its delta rows and fold-ledger entries
+    silently dropped by the version swap (lost update) — with a
+    truncating tail that is data loss, not just re-fold work — and a
+    force rebuild republishing mid-compaction would mix version A's
+    delta list with version B's directory root. Readers stay lock-free
+    (they get snapshot semantics from the single meta read);
     commit_delta's own short lock (``path + ".lock"``) is a different
     file, so appends from the live stream still interleave with a
     long-running compaction's Spark job — only maintenance/maintenance
-    overlap is excluded."""
+    and maintenance/publish overlap is excluded.
+
+    Re-entrant per thread (a thread already holding the lock for
+    ``path`` passes straight through), so maintenance operations can
+    publish under their own lock. SCOPE: fcntl.flock is single-host —
+    it serializes processes and threads sharing one filesystem view on
+    one machine (the bench --force vs pytest scenario). Multi-host
+    artifact maintenance needs an external coordinator; at 100 TB the
+    equivalent is a catalog/lake transaction, not a file lock."""
     import fcntl
 
+    held = getattr(_MAINT_HELD, "paths", None)
+    if held is None:
+        held = _MAINT_HELD.paths = set()
+    key = os.path.abspath(path)
+    if key in held:
+        yield
+        return
     with open(path + ".maint.lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
+        held.add(key)
         try:
             yield
         finally:
+            held.discard(key)
             fcntl.flock(lk, fcntl.LOCK_UN)
 
 
@@ -279,11 +307,17 @@ def compact_index(
         meta = _read_meta(live)
         if not meta.get("deltas"):
             return False
-        # read_live_index on the SAME snapshot, not a re-read:
-        # compaction is where tombstoned rows are PHYSICALLY dropped
-        # (the fresh version has no tombstone entries, so probes stop
-        # paying the anti-join).
-        merged = read_live_index(spark, path, meta=meta)
+        # read_live_index on the SAME snapshot AND the same resolved
+        # version root (`live`, not `path` — re-realpathing the
+        # symlink inside the read could land on a version published
+        # mid-call and mix version A's delta list with version B's
+        # directory root): compaction is where tombstoned rows are
+        # PHYSICALLY dropped (the fresh version has no tombstone
+        # entries, so probes stop paying the anti-join). The publish
+        # race itself is also excluded now that _publish_artifact
+        # takes the maintenance lock, but reading one resolved root
+        # keeps the snapshot self-consistent regardless.
+        merged = read_live_index(spark, live, meta=meta)
         # The fold ledger (compaction.py) rides delta entries;
         # compaction folds those deltas away, so the accumulated
         # ledger must carry forward at the TOP level of the fresh

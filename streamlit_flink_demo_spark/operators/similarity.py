@@ -333,14 +333,25 @@ def _publish_artifact(tmp: str, out: str) -> None:
     swap sequence to be exclusive. The previous version's directory is
     removed after the swap (a reader mid-scan on the old version is the
     same already-accepted hazard as any cache eviction; open file
-    handles keep their data on POSIX)."""
+    handles keep their data on POSIX). The swap also holds the
+    artifact's maintenance lock (re-entrant — a compaction publishing
+    under its own lock passes through), so a force rebuild cannot
+    republish between a concurrent compaction/fold's meta snapshot and
+    its directory reads — the whole maintenance pass sees one
+    version."""
     import contextlib
     import fcntl
     import shutil
     import uuid
 
+    from streamlit_flink_demo_spark.operators.incremental import (
+        maintenance_lock,
+    )
+
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out + ".lock", "w") as lk:
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(maintenance_lock(out))
+        lk = stack.enter_context(open(out + ".lock", "w"))
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
             versioned = f"{out}.v-{uuid.uuid4().hex[:12]}"

@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60
 
+# Signatures of "the path vanished under the read" across the places it
+# can surface: AnalysisException PATH_NOT_FOUND at plan time, the JVM
+# File(NotFound|NoSuchFile) exceptions at scan time (directory listed,
+# files deleted before the task opened them).
+_MISSING_PATH_MARKERS = (
+    "PATH_NOT_FOUND",
+    "FileNotFoundException",
+    "NoSuchFileException",
+    "does not exist",
+)
+
+
+def _is_missing_path_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _MISSING_PATH_MARKERS)
+
 
 def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """Add deterministic ``sort_key`` / ``shard`` columns derived from
@@ -168,12 +184,39 @@ class IdempotentParquetSink:
     ) -> DataFrame:
         """The just-committed batch's durable directory as a frame, or
         ``fallback`` (the batch plan) when a concurrently scheduled
-        sink compaction/fold already truncated the directory — a
-        per-batch summary must never kill the stream over a
-        maintenance race; the rare fallback re-executes one batch
-        plan, nothing more."""
+        sink compaction/fold already truncated the directory.
+
+        The returned frame is LAZY, so the isdir check alone cannot
+        close the race — a compaction can truncate the directory after
+        this returns and before the caller's action executes, and the
+        read then throws at action time. Callers that execute an
+        action over the result should use ``run_on_committed_batch``,
+        which retries the action on the fallback plan when the durable
+        read fails mid-flight."""
         d = self.batch_dir(batch_id)
         return spark.read.parquet(d) if os.path.isdir(d) else fallback
+
+    def run_on_committed_batch(
+        self, spark: SparkSession, batch_id: int, fallback: DataFrame, action
+    ):
+        """Run ``action`` (an EAGER function of a DataFrame — an
+        aggregation's ``.first()``, a delta commit) over the
+        just-committed batch's durable directory, re-running it on
+        ``fallback`` (the batch plan) when a concurrent sink
+        compaction/fold truncated the directory either before the read
+        or between the read and the action (the TOCTOU window a bare
+        isdir + lazy read leaves open). A per-batch side effect must
+        never kill the stream over a maintenance race; the rare
+        fallback re-executes one batch plan, nothing more. Failures
+        unrelated to the missing path propagate unchanged."""
+        d = self.batch_dir(batch_id)
+        if os.path.isdir(d):
+            try:
+                return action(spark.read.parquet(d))
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                if not _is_missing_path_error(exc):
+                    raise
+        return action(fallback)
 
     def committed_ids(self) -> list[int]:
         """Live streaming batch ids (excludes batches already folded

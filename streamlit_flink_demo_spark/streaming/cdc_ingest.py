@@ -76,13 +76,18 @@ def attach_cdc_coverage_stream(
             return
         # summarize from the durable batch directory — re-aggregating
         # `rows` would run the digest probe join a second time.
-        d = sink.committed_batch_or(
-            batch_df.sparkSession, batch_id, rows
-        ).agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chunks").alias("n_chunks"),
-            F.sum("dup_chars").alias("dup_chars"),
-        ).first()
+        # Retries on the batch plan if a concurrent compaction
+        # truncated the directory mid-read.
+        d = sink.run_on_committed_batch(
+            batch_df.sparkSession,
+            batch_id,
+            rows,
+            lambda df: df.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chunks").alias("n_chunks"),
+                F.sum("dup_chars").alias("dup_chars"),
+            ).first(),
+        )
         on_summary(
             {
                 "batch_id": batch_id,

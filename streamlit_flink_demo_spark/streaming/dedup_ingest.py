@@ -218,13 +218,19 @@ def attach_near_dup_stream(
             # at-least-once, for the digest too.
             return
         # summarize from the durable batch directory — re-aggregating
-        # `flags` would run the signature join a second time.
-        row = sink.committed_batch_or(
-            batch_df.sparkSession, batch_id, flags
-        ).agg(
-            F.count("*").alias("n_docs"),
-            F.count("dup_of").alias("n_flagged"),
-        ).first()
+        # `flags` would run the signature join a second time. Retries
+        # on the batch plan if a concurrent compaction truncated the
+        # directory mid-read (run_on_committed_batch closes the TOCTOU
+        # window a bare isdir check leaves open).
+        row = sink.run_on_committed_batch(
+            batch_df.sparkSession,
+            batch_id,
+            flags,
+            lambda df: df.agg(
+                F.count("*").alias("n_docs"),
+                F.count("dup_of").alias("n_flagged"),
+            ).first(),
+        )
         on_summary(
             {
                 "batch_id": batch_id,
@@ -362,13 +368,17 @@ def attach_semantic_dedup_stream(
         status = sink(flags, batch_id)
         if on_summary is None or status != "committed":
             return
-        # summarize from the durable batch directory, not the plan
-        row = sink.committed_batch_or(
-            batch_df.sparkSession, batch_id, flags
-        ).agg(
-            F.count("*").alias("n_docs"),
-            F.count("dup_of").alias("n_flagged"),
-        ).first()
+        # summarize from the durable batch directory, not the plan;
+        # retries on the plan if a compaction truncated the dir.
+        row = sink.run_on_committed_batch(
+            batch_df.sparkSession,
+            batch_id,
+            flags,
+            lambda df: df.agg(
+                F.count("*").alias("n_docs"),
+                F.count("dup_of").alias("n_flagged"),
+            ).first(),
+        )
         on_summary(
             {
                 "batch_id": batch_id,

@@ -70,16 +70,20 @@ def attach_extract_stream(
         status = sink(rows, batch_id)
         if on_summary is None or status != "committed":
             return
-        d = (
-            sink.committed_batch_or(batch_df.sparkSession, batch_id, rows)
-            .agg(
+        # Durable-dir summary with retry-on-fallback: a concurrent
+        # compaction truncating the batch dir mid-read must not kill
+        # the stream (run_on_committed_batch re-runs on the plan).
+        d = sink.run_on_committed_batch(
+            batch_df.sparkSession,
+            batch_id,
+            rows,
+            lambda df: df.agg(
                 F.count("*").alias("n_docs"),
                 F.sum((F.col("n_lines_kept") == 0).cast("int")).alias(
                     "n_boilerplate_only"
                 ),
                 F.sum(F.length("extract_text")).alias("chars_kept"),
-            )
-            .first()
+            ).first(),
         )
         on_summary(
             {

@@ -108,16 +108,21 @@ def attach_span_rewrite_stream(
         # Summarize from the just-committed durable batch directory,
         # not the unmaterialized plan — re-aggregating `rows` would
         # run the whole gram-join/window/LCP rewrite a second time.
-        committed = sink.committed_batch_or(
-            batch_df.sparkSession, batch_id, rows
+        # run_on_committed_batch retries on the batch plan if a
+        # concurrent sink compaction truncated the directory between
+        # commit and this aggregation (the TOCTOU window).
+        d = sink.run_on_committed_batch(
+            batch_df.sparkSession,
+            batch_id,
+            rows,
+            lambda df: df.agg(
+                F.count("*").alias("n_docs"),
+                F.sum((F.col("n_spans_removed") > 0).cast("int")).alias(
+                    "n_rewritten"
+                ),
+                F.sum("chars_removed").alias("chars_removed"),
+            ).first(),
         )
-        d = committed.agg(
-            F.count("*").alias("n_docs"),
-            F.sum((F.col("n_spans_removed") > 0).cast("int")).alias(
-                "n_rewritten"
-            ),
-            F.sum("chars_removed").alias("chars_removed"),
-        ).first()
         on_summary(
             {
                 "batch_id": batch_id,

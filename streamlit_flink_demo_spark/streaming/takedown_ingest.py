@@ -65,8 +65,6 @@ def attach_takedown_stream(
     sink = IdempotentParquetSink(ledger_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         ids = batch_df.select(F.col(key_col)).distinct()
         status = sink(ids, batch_id)
         # The tombstone commit reads the DURABLE ledger directory, so
@@ -75,25 +73,30 @@ def attach_takedown_stream(
         # identical delta content. Run it on replays too — that replay
         # IS the crash-recovery path; an already-committed delta key
         # is a no-op. If a ledger compaction (sinks.compact_sink)
-        # already folded this batch's directory away, fall back to the
-        # replayed batch plan — Spark's replay contract delivers the
-        # identical content, and the delta-key dedup makes a doubly
-        # recovered batch a no-op either way.
-        spark = batch_df.sparkSession
-        bdir = sink.batch_dir(batch_id)
-        rows = spark.read.parquet(bdir) if os.path.isdir(bdir) else ids
-        tombstoned = tombstone_keys(
-            artifact_path,
-            f"takedown:b{batch_id}",
-            rows,
-            key_col=key_col,
+        # already folded this batch's directory away — before the read
+        # OR mid-read (run_on_committed_batch closes the TOCTOU window
+        # a bare isdir check leaves open) — fall back to the replayed
+        # batch plan: Spark's replay contract delivers the identical
+        # content, and the delta-key dedup makes a doubly recovered
+        # batch (or a retried, partially-applied delta) a no-op.
+        def commit_and_count(rows: DataFrame) -> tuple[bool, int]:
+            tombstoned = tombstone_keys(
+                artifact_path,
+                f"takedown:b{batch_id}",
+                rows,
+                key_col=key_col,
+            )
+            return tombstoned, rows.count()
+
+        tombstoned, n_keys = sink.run_on_committed_batch(
+            batch_df.sparkSession, batch_id, ids, commit_and_count
         )
         if on_summary is None or status != "committed":
             return
         on_summary(
             {
                 "batch_id": batch_id,
-                "n_keys": rows.count(),
+                "n_keys": n_keys,
                 "tombstoned": tombstoned,
             }
         )

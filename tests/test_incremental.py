@@ -343,3 +343,66 @@ def test_ivf_tombstone_frozen_quantizer_survives_compaction(
         )
     )
     assert after == before and len(after) > 0
+
+
+def test_maintenance_lock_reentrant_same_thread(tmp_path):
+    """A thread already holding the maintenance lock passes straight
+    through a nested acquisition (compact_index publishing via
+    _publish_artifact, which now takes the lock around its swap)."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        maintenance_lock,
+    )
+
+    path = str(tmp_path / "artifact")
+    with maintenance_lock(path):
+        with maintenance_lock(path):  # must not deadlock
+            pass
+    # and the lock is actually released afterwards: a second thread
+    # can take it without blocking
+    import threading
+
+    acquired = threading.Event()
+
+    def taker():
+        with maintenance_lock(path):
+            acquired.set()
+
+    t = threading.Thread(target=taker)
+    t.start()
+    t.join(timeout=10)
+    assert acquired.is_set()
+
+
+def test_publish_artifact_blocks_on_maintenance_lock(tmp_path):
+    """A builder's publish waits for a running maintenance pass: the
+    bench --force vs compaction scenario the round-12 advice flagged."""
+    import threading
+    import time
+
+    from streamlit_flink_demo_spark.operators.incremental import (
+        maintenance_lock,
+    )
+    from streamlit_flink_demo_spark.operators.similarity import (
+        _publish_artifact,
+    )
+
+    out = str(tmp_path / "artifact")
+    tmp1 = str(tmp_path / "artifact.tmp-1")
+    os.makedirs(tmp1)
+    with open(os.path.join(tmp1, "meta.json"), "w") as f:
+        f.write("{}")
+    published = threading.Event()
+
+    def builder():
+        _publish_artifact(tmp1, out)
+        published.set()
+
+    with maintenance_lock(out):
+        t = threading.Thread(target=builder)
+        t.start()
+        time.sleep(0.5)
+        # the publish must still be waiting on the maintenance lock
+        assert not published.is_set()
+    t.join(timeout=10)
+    assert published.is_set()
+    assert os.path.islink(out)

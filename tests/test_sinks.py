@@ -309,3 +309,71 @@ def test_compact_sink_carries_over_mid_compaction_commit(
     assert m["compactions"] == [0] and m["watermark"] == 2
     rows = sorted((r["id"], r["v"]) for r in sink.read_committed(spark).collect())
     assert rows == [(0, "v0"), (1, "v1"), (2, "v2"), (99, "late")]
+
+
+def test_run_on_committed_batch_durable_path(spark, tmp_path):
+    """Happy path: the action runs over the durable batch directory."""
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(rows, 0)
+    # fallback with DIFFERENT content proves the durable dir was read
+    fallback = spark.createDataFrame([(9, "X")], "id long, v string")
+    n = sink.run_on_committed_batch(
+        spark, 0, fallback, lambda df: df.count()
+    )
+    assert n == 2
+
+
+def test_run_on_committed_batch_missing_dir_uses_fallback(spark, tmp_path):
+    import shutil
+
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(rows, 0)
+    shutil.rmtree(sink.batch_dir(0))  # compaction folded it away
+    n = sink.run_on_committed_batch(spark, 0, rows, lambda df: df.count())
+    assert n == 2
+
+
+def test_run_on_committed_batch_closes_toctou_window(spark, tmp_path):
+    """The ADVICE race: isdir passes, then a compaction truncates the
+    directory BEFORE the action's Spark read executes — the action must
+    be retried on the fallback plan instead of killing the stream."""
+    import shutil
+
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(rows, 0)
+    calls = []
+
+    def action(df):
+        if not calls:
+            calls.append("first")
+            # simulate the concurrent compaction landing after the
+            # isdir check but before the aggregation executes
+            shutil.rmtree(sink.batch_dir(0))
+        return df.count()
+
+    n = sink.run_on_committed_batch(spark, 0, rows, action)
+    assert n == 2
+    assert calls == ["first"]  # first attempt saw the durable read fail
+
+
+def test_run_on_committed_batch_unrelated_error_propagates(spark, tmp_path):
+    from streamlit_flink_demo_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    rows = spark.createDataFrame([(1, "a")], "id long, v string")
+    sink(rows, 0)
+
+    def action(df):
+        raise ValueError("not a missing-path problem")
+
+    with pytest.raises(ValueError):
+        sink.run_on_committed_batch(spark, 0, rows, action)
