@@ -113,6 +113,24 @@ def test_driver_surface_within_50_name_window():
     )
 
 
+def test_full_registry_count_pinned():
+    """Pin the FULL registry count (exposed + suite members + registry-
+    only forms) so prose docs cannot drift from code: round 12's
+    COVERAGE.md claimed 199/197 while load_all(exposed_only=False)
+    returned 198/196 (docs_extract_yield double-counted). Any query
+    add/remove must update this pin in the same commit — the number IS
+    the changelog's ground truth."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    qs = load_all(exposed_only=False)
+    with_oracle = [k for k, v in qs.items() if getattr(v, "oracle", None)]
+    assert len(qs) == 198, f"registry count drifted: {len(qs)} != 198"
+    assert len(with_oracle) == 196, (
+        f"oracle count drifted: {len(with_oracle)} != 196; "
+        f"without oracle: {sorted(set(qs) - set(with_oracle))}"
+    )
+
+
 def test_ckpt_staleness_uses_newest_mtime_in_tree():
     """Spark's per-batch writes land inside offsets/ commits/ subdirs
     and never refresh the checkpoint ROOT's mtime — a sibling
