@@ -122,7 +122,11 @@ def test_full_registry_count_pinned():
     the changelog's ground truth."""
     from streamlit_flink_demo_spark.plans import load_all
 
-    qs = load_all(exposed_only=False)
+    qs = {
+        k: v
+        for k, v in load_all(exposed_only=False).items()
+        if not k.startswith("_")  # test-registered probes exempt
+    }
     with_oracle = [k for k, v in qs.items() if getattr(v, "oracle", None)]
     assert len(qs) == 198, f"registry count drifted: {len(qs)} != 198"
     assert len(with_oracle) == 196, (
