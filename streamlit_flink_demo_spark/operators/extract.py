@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread
 
 # Boilerplate line rules (shared by the Spark and oracle sides).
@@ -259,10 +259,32 @@ def _synth_html() -> Column:
     )
 
 
+def _extracted_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE extraction pass (the family's dominant cost — the full
+    regexp chain over the synthesized HTML) shared by
+    docs_extract_text / docs_extract_quality / docs_extract_yield via
+    track_persist: Spark's CacheManager matches the canonicalized
+    plan, so extract_family_suite extracts the corpus once instead of
+    once per branch (the _cdc_chunks_frame discipline). Only the
+    columns the branches consume are kept — the HTML never enters the
+    cache."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    return track_persist(
+        extract_text(d).select(
+            "doc_id", "n_lines_raw", "n_lines_kept", "extract_text"
+        )
+    )
+
+
 @register(
     "docs_extract_text",
     oracle=_EXTRACT_ORACLE,
     tags=("text", "extract", "pipeline"),
+    expose=False,
 )
 def docs_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HTML/boilerplate extraction over a synthetic
@@ -273,13 +295,9 @@ def docs_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, '|' nav rows, copyright/sponsored/subscribe markers). One
     map-only JVM projection — no Python UDF, no shuffle before the
     final accounting. The oracle replays synthesis AND extraction, so
-    every rule is value-checked per document."""
-    d = (
-        load_spread(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
-        .withColumn("html", _synth_html())
-    )
-    out = extract_text(d)
+    every rule is value-checked per document. Rides the driver
+    surface inside extract_family_suite (plans/suites.py)."""
+    out = _extracted_frame(spark, sf_dir)
     return out.select(
         "doc_id",
         "n_lines_raw",
@@ -347,12 +365,7 @@ def docs_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     gating end to end, so the stage BOUNDARY (exactly which text the
     gate sees) is hash-checked, not assumed. Still one map-only
     projection — the gate adds zero exchanges."""
-    d = (
-        load_spread(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
-        .withColumn("html", _synth_html())
-    )
-    out = extract_text(d)
+    out = _extracted_frame(spark, sf_dir)
     words = F.filter(
         F.split(F.replace(F.col("extract_text"), F.lit("\n"), F.lit(" ")), " "),
         lambda w: F.length(w) > 0,
@@ -469,12 +482,7 @@ def docs_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline operator watches when a site template change suddenly
     eats the corpus). One map-only extraction pass + one global
     aggregate; exact integer sums, the ratio rounded once."""
-    d = (
-        load_spread(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
-        .withColumn("html", _synth_html())
-    )
-    e = extract_text(d)
+    e = _extracted_frame(spark, sf_dir)
     return e.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_lines_raw").cast("bigint").alias("lines_raw"),

@@ -43,6 +43,7 @@ from streamlit_flink_demo_spark.plans import (  # noqa: F401
 from streamlit_flink_demo_spark.operators import (  # noqa: F401
     dedup,
     embed,
+    extract,
     incremental,
     multimodal,
     pipeline,
@@ -1807,6 +1808,10 @@ UNION ALL
 SELECT 'repeat_idx', doc_id, {_NULL_B}, {_NULL_S},
        max_repeat, n_long_positions, {_NULL_B}, {_NULL_B}, {_NULL_D}
 FROM ({_o("corpus_longest_repeat_indexed")})
+UNION ALL
+SELECT 'sigidx', doc_id, dup_of, {_NULL_S},
+       {_NULL_B}, {_NULL_B}, {_NULL_B}, {_NULL_B}, est_jaccard
+FROM ({_o("dedup_incremental_sigidx")})
 """,
     tags=("incremental", "tombstone", "artifact", "suite"),
 )
@@ -1816,9 +1821,12 @@ def lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone deltas on the LSH and IVF artifacts (probe must
     hash-match a fresh build without the deleted rows — and for IVF,
     under the FROZEN quantizer), the incremental exact span rewrite
-    probing the persisted gram index with bucket pruning, and
+    probing the persisted gram index with bucket pruning,
     longest-repeat statistics SERVED from the persisted suffix-array
-    artifact instead of a per-query reconstruction."""
+    artifact instead of a per-query reconstruction, and the MinHash
+    family's signature-artifact probe (dedup_incremental_sigidx —
+    same oracle as the full recompute, so probe ≡ recompute is
+    externally hash-checked on this suite's row)."""
 
     def _ts(name: str, fam: str) -> DataFrame:
         return _fn(name)(spark, sf_dir).select(
@@ -1848,12 +1856,98 @@ def lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("i3"), _nb().alias("i4"),
         _nd().alias("v1"),
     )
+    si = _fn("dedup_incremental_sigidx")(spark, sf_dir).select(
+        F.lit("sigidx").alias("family"),
+        F.col("doc_id").alias("k1"), F.col("dup_of").alias("k2"),
+        _ns().alias("s1"),
+        _nb().alias("i1"), _nb().alias("i2"),
+        _nb().alias("i3"), _nb().alias("i4"),
+        F.col("est_jaccard").alias("v1"),
+    )
     return _u(
         _ts("ann_lsh_tombstone_topk", "lsh_ts"),
         _ts("ann_ivf_tombstone_topk", "ivf_ts"),
         dg,
         ri,
+        si,
     )
+
+
+@register(
+    "extract_family_suite",
+    oracle=f"""
+SELECT 'text' AS family, doc_id AS k1, extract_md5 AS s1,
+       n_lines_raw AS i1, n_lines_kept AS i2, extract_chars AS i3,
+       {_NULL_B} AS i4, {_NULL_D} AS v1
+FROM ({_o("docs_extract_text")})
+UNION ALL
+SELECT 'quality', doc_id, {_NULL_S},
+       n_lines_kept, n_words, n_uniq_words, keep_i, uniq_ratio_r
+FROM ({_o("docs_extract_quality")})
+UNION ALL
+SELECT 'links', {_NULL_B}, href,
+       n_refs, n_docs, {_NULL_B}, {_NULL_B}, {_NULL_D}
+FROM ({_o("docs_extract_links")})
+UNION ALL
+SELECT 'yield', n_docs, {_NULL_S},
+       lines_raw, lines_kept, chars_kept, boilerplate_only_docs,
+       line_yield_r
+FROM ({_o("docs_extract_yield")})
+""",
+    tags=("text", "extract", "pipeline", "suite"),
+)
+def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-mile extraction family on one surface name: per-doc
+    HTML → text extraction with line accounting and a content hash
+    (docs_extract_text), extraction composed with the quality gate's
+    verdict over the extracted text (docs_extract_quality), the URL
+    frontier — href targets with reference counts (docs_extract_links),
+    and the corpus-level yield rollup (docs_extract_yield). The
+    extraction pass itself — the family's dominant cost — runs ONCE
+    per suite execution: text/quality/yield branches share the
+    track_persist'd extracted frame (operators/extract.py
+    _extracted_frame), and links reads only the synthesized hrefs."""
+    tx = _fn("docs_extract_text")(spark, sf_dir).select(
+        F.lit("text").alias("family"),
+        F.col("doc_id").alias("k1"),
+        F.col("extract_md5").alias("s1"),
+        F.col("n_lines_raw").alias("i1"),
+        F.col("n_lines_kept").alias("i2"),
+        F.col("extract_chars").alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+    )
+    qu = _fn("docs_extract_quality")(spark, sf_dir).select(
+        F.lit("quality").alias("family"),
+        F.col("doc_id").alias("k1"),
+        _ns().alias("s1"),
+        F.col("n_lines_kept").alias("i1"),
+        F.col("n_words").alias("i2"),
+        F.col("n_uniq_words").alias("i3"),
+        F.col("keep_i").alias("i4"),
+        F.col("uniq_ratio_r").alias("v1"),
+    )
+    ln = _fn("docs_extract_links")(spark, sf_dir).select(
+        F.lit("links").alias("family"),
+        _nb().alias("k1"),
+        F.col("href").alias("s1"),
+        F.col("n_refs").alias("i1"),
+        F.col("n_docs").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+    )
+    yl = _fn("docs_extract_yield")(spark, sf_dir).select(
+        F.lit("yield").alias("family"),
+        F.col("n_docs").alias("k1"),
+        _ns().alias("s1"),
+        F.col("lines_raw").alias("i1"),
+        F.col("lines_kept").alias("i2"),
+        F.col("chars_kept").alias("i3"),
+        F.col("boilerplate_only_docs").alias("i4"),
+        F.col("line_yield_r").alias("v1"),
+    )
+    return _u(tx, qu, ln, yl)
 
 
 @register(

@@ -128,9 +128,9 @@ def test_full_registry_count_pinned():
         if not k.startswith("_")  # test-registered probes exempt
     }
     with_oracle = [k for k, v in qs.items() if getattr(v, "oracle", None)]
-    assert len(qs) == 198, f"registry count drifted: {len(qs)} != 198"
-    assert len(with_oracle) == 196, (
-        f"oracle count drifted: {len(with_oracle)} != 196; "
+    assert len(qs) == 199, f"registry count drifted: {len(qs)} != 199"
+    assert len(with_oracle) == 197, (
+        f"oracle count drifted: {len(with_oracle)} != 197; "
         f"without oracle: {sorted(set(qs) - set(with_oracle))}"
     )
 
