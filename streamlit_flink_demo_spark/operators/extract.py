@@ -496,3 +496,337 @@ def docs_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boilerplate_only_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# WARC ingestion: the stage BEFORE HTML — container-record framing
+# --------------------------------------------------------------------------
+
+# Real crawl corpora (Common Crawl and every in-house crawler) deliver
+# HTML inside WARC containers: concatenated records, each a header
+# block (CRLF-terminated field lines, blank-line terminator) followed
+# by exactly Content-Length payload bytes and a CRLF CRLF trailer.
+# Honest parsing is CONTENT-LENGTH FRAMING, not delimiter splitting —
+# payloads legally contain "WARC/1.0", header-lookalike lines, and
+# blank lines, so any split-on-marker approach corrupts records. The
+# synthesis below plants exactly those decoys in the request-record
+# payloads to prove the splitter frames rather than splits.
+
+_WARC_N_FILES = 61  # synthesis: documents hashed into this many files
+_WARC_MAX_RECORDS = 1024  # per-file framing bound; assert_true-guarded
+
+# struct carried per parsed record inside the framing accumulator.
+_WARC_REC_T = "array<struct<typ:string,uri:string,payload:string>>"
+
+
+def split_warc_records(
+    df: DataFrame,
+    warc_col: str = "warc",
+    max_records: int = _WARC_MAX_RECORDS,
+) -> DataFrame:
+    """Split a frame of WARC container strings into one row per
+    record: appends ``typ`` (WARC-Type), ``uri`` (WARC-Target-URI)
+    and ``payload`` columns, dropping ``warc_col``. Pure JVM
+    higher-order framing — a single ``aggregate`` over a step
+    sequence walks the container by Content-Length arithmetic
+    (header scan with ``locate`` at the front of the carried
+    remainder, payload SKIPPED over, never scanned). No Python UDF, no
+    shuffle: each container row is independent, so a 100 TB crawl
+    parallelizes per file across executors exactly like the
+    extraction stage it feeds (real WARC.gz bytes would arrive via
+    ``spark.read.format("binaryFile")`` + the same framing over the
+    decompressed string — the plumbing from (file, bytes) onward is
+    identical). ``assert_true`` guards the framing bound: a file
+    with more than ``max_records`` records fails loudly, never
+    silently truncates."""
+    # The accumulator carries the REMAINING string (rest), exactly
+    # like the oracle's recursive CTE: every locate/substring then
+    # operates at the FRONT of rest — O(header) scans plus one tail
+    # memcopy per record — instead of absolute offsets into the full
+    # container, whose UTF-8 char-position lookups are O(offset) per
+    # call and turn the walk quadratic on big files. The step count is
+    # sized from the container length (a record is never shorter than
+    # its fixed header fields, > 64 chars), so empty trailing steps
+    # are the exception, not the 1000-iteration rule.
+    w = warc_col
+    term = "concat(chr(13), chr(10), chr(13), chr(10))"
+    hdr = f"substring(acc.rest, 1, locate({term}, acc.rest) - 1)"
+    cl = (
+        f"CAST(regexp_extract({hdr}, 'Content-Length: ([0-9]+)', 1) "
+        f"AS BIGINT)"
+    )
+    uri_pat = "concat('WARC-Target-URI: ([^', chr(13), ']+)')"
+    step = f"""IF(
+      length(acc.rest) = 0,
+      acc,
+      named_struct(
+        'rest', substring(acc.rest, locate({term}, acc.rest) + 8L + {cl}),
+        'recs', concat(acc.recs, array(named_struct(
+          'typ', regexp_extract({hdr}, 'WARC-Type: ([a-z]+)', 1),
+          'uri', regexp_extract({hdr}, {uri_pat}, 1),
+          'payload',
+          substring(acc.rest, locate({term}, acc.rest) + 4L, {cl})))))
+    )"""
+    agg = f"""aggregate(
+      sequence(1, least({max_records},
+                        CAST(length({w}) DIV 64 AS INT) + 1)),
+      named_struct('rest', {w},
+                   'recs', CAST(array() AS {_WARC_REC_T})),
+      (acc, i) -> {step})"""
+    parsed = df.withColumn("_parsed", F.expr(agg)).withColumn(
+        "_complete",
+        F.expr(
+            "assert_true(length(_parsed.rest) = 0, "
+            "'WARC file exceeds max_records framing bound')"
+        ),
+    )
+    rec = F.explode(F.col("_parsed.recs")).alias("_rec")
+    out_cols = [c for c in df.columns if c != w]
+    return parsed.select(*out_cols, "_complete", rec).select(
+        *out_cols,
+        F.col("_rec.typ").alias("typ"),
+        F.col("_rec.uri").alias("uri"),
+        F.when(
+            F.col("_complete").isNull(), F.col("_rec.payload")
+        ).alias("payload"),
+    )
+
+
+def _warc_rec_col(typ: str, uri: Column, payload: Column) -> Column:
+    """One serialized WARC record (header + framed payload)."""
+    crlf = "\r\n"
+    t = F.lit(typ)
+    return F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: " + typ + crlf),
+        F.lit("WARC-Target-URI: "), uri, F.lit(crlf),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(t, uri)),
+        F.lit(">" + crlf + "Content-Length: "),
+        F.length(payload).cast("string"),
+        F.lit(crlf + crlf),
+        payload,
+        F.lit(crlf + crlf),
+    )
+
+
+def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize (file_id, warc): every nonempty document becomes a
+    request record (payload = an HTTP request block carrying DECOY
+    'WARC/1.0' and 'Content-Length: 999' markers and blank lines —
+    poison for any delimiter-based splitter) plus a response record
+    (payload = the docs_extract_text HTML synthesis), concatenated in
+    doc_id order into _WARC_N_FILES container strings."""
+    crlf = "\r\n"
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    did = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("http://example.com/doc/"), did)
+    req_payload = F.concat(
+        F.lit("GET /doc/"),
+        did,
+        F.lit(
+            " HTTP/1.1" + crlf + "Host: example.com" + crlf
+            + "X-Decoy: WARC/1.0" + crlf + "Content-Length: 999"
+            + crlf + crlf
+        ),
+    )
+    pair = F.concat(
+        _warc_rec_col("request", uri, req_payload),
+        _warc_rec_col("response", uri, F.col("html")),
+    )
+    return (
+        d.select(
+            F.pmod("doc_id", F.lit(_WARC_N_FILES)).alias("file_id"),
+            F.struct("doc_id", pair.alias("pair")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["pair"]
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+
+
+_CRLF2_SQL = "chr(13) || chr(10)"
+_CRLF4_SQL = "chr(13) || chr(10) || chr(13) || chr(10)"
+
+_WARC_ORACLE = f"""
+WITH RECURSIVE third AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 3.0) AS BIGINT) AS l3
+  FROM documents WHERE length(text) > 0
+),
+htmlized AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id || '</title>'
+      || '<style>p {{margin: 0}} .ad {{color: red}}</style>'
+      || '<script>var track = "x&y";</script></head><body>'
+      || '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+      || ' | <a href="/contact">Contact</a></nav>'
+      || '<h1>Document ' || doc_id || '</h1>'
+      || '<p>' || substr(text, 1, l3) || '</p>'
+      || '<p class="ad">Sponsored: click here to subscribe to our'
+      || ' newsletter now!</p>'
+      || '<p>' || substr(text, l3 + 1, l3)
+      || ' <a href="/doc/' || (doc_id % 97) || '">related</a></p>'
+      || '<div>Share</div>'
+      || '<p>Q &amp; A &lt;section&gt; ' || substr(text, 2 * l3 + 1)
+      || '</p>'
+      || '<footer>Copyright 2024 Example Corp | Privacy | Terms</footer>'
+      || '</body></html>' AS html
+  FROM third
+),
+pairs AS (
+  SELECT doc_id, (doc_id % {_WARC_N_FILES}) AS file_id,
+         'WARC/1.0' || {_CRLF2_SQL} || 'WARC-Type: request' || {_CRLF2_SQL}
+      || 'WARC-Target-URI: http://example.com/doc/' || doc_id || {_CRLF2_SQL}
+      || 'WARC-Record-ID: <urn:md5:'
+      || md5('request' || 'http://example.com/doc/' || doc_id) || '>'
+      || {_CRLF2_SQL}
+      || 'Content-Length: '
+      || length('GET /doc/' || doc_id || ' HTTP/1.1' || {_CRLF2_SQL}
+            || 'Host: example.com' || {_CRLF2_SQL}
+            || 'X-Decoy: WARC/1.0' || {_CRLF2_SQL}
+            || 'Content-Length: 999' || {_CRLF4_SQL})::VARCHAR
+      || {_CRLF4_SQL}
+      || 'GET /doc/' || doc_id || ' HTTP/1.1' || {_CRLF2_SQL}
+      || 'Host: example.com' || {_CRLF2_SQL}
+      || 'X-Decoy: WARC/1.0' || {_CRLF2_SQL}
+      || 'Content-Length: 999' || {_CRLF4_SQL}
+      || {_CRLF4_SQL}
+      || 'WARC/1.0' || {_CRLF2_SQL} || 'WARC-Type: response' || {_CRLF2_SQL}
+      || 'WARC-Target-URI: http://example.com/doc/' || doc_id || {_CRLF2_SQL}
+      || 'WARC-Record-ID: <urn:md5:'
+      || md5('response' || 'http://example.com/doc/' || doc_id) || '>'
+      || {_CRLF2_SQL}
+      || 'Content-Length: ' || length(html)::VARCHAR || {_CRLF4_SQL}
+      || html || {_CRLF4_SQL} AS pair
+  FROM htmlized
+),
+warc_files AS (
+  SELECT file_id, string_agg(pair, '' ORDER BY doc_id) AS warc
+  FROM pairs GROUP BY file_id
+),
+splitr AS (
+  SELECT file_id, warc AS rest,
+         CAST(NULL AS VARCHAR) AS typ, CAST(NULL AS VARCHAR) AS uri,
+         CAST(NULL AS VARCHAR) AS payload
+  FROM warc_files
+  UNION ALL
+  SELECT file_id,
+         substr(rest, he + 8 + cl) AS rest,
+         regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1),
+         regexp_extract(hdr, 'WARC-Target-URI: ([^' || chr(13) || ']+)', 1),
+         substr(rest, he + 4, cl)
+  FROM (
+    SELECT file_id, rest,
+           strpos(rest, {_CRLF4_SQL}) AS he,
+           substr(rest, 1, strpos(rest, {_CRLF4_SQL}) - 1) AS hdr,
+           CAST(regexp_extract(
+             substr(rest, 1, strpos(rest, {_CRLF4_SQL}) - 1),
+             'Content-Length: ([0-9]+)', 1) AS BIGINT) AS cl
+    FROM splitr WHERE length(rest) > 0
+  ) s
+),
+responses AS (
+  SELECT CAST(regexp_extract(uri, '/doc/([0-9]+)$', 1) AS BIGINT) AS doc_id,
+         payload AS html
+  FROM splitr WHERE typ = 'response'
+),
+w_stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                              ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?i)</{_BLOCK_CLOSERS}>', chr(10), 'g'),
+           '<[^>]*>', '', 'g') AS x
+  FROM responses
+),
+w_decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(
+           x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS x
+  FROM w_stripped
+),
+w_lines AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(x, chr(10)),
+             l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+           l -> length(l) > 0) AS raw
+  FROM w_decoded
+),
+w_kept AS (
+  SELECT doc_id, raw,
+         list_filter(raw, l ->
+           len(string_split(l, ' ')) >= {_MIN_WORDS}
+           AND NOT contains(l, '|')
+           AND NOT contains(lower(l), 'copyright')
+           AND NOT contains(lower(l), 'sponsored')
+           AND NOT contains(lower(l), 'subscribe')
+           AND NOT contains(lower(l), 'all rights reserved')) AS keep
+  FROM w_lines
+)
+SELECT doc_id,
+       len(raw)::BIGINT AS n_lines_raw,
+       len(keep)::BIGINT AS n_lines_kept,
+       length(array_to_string(keep, chr(10)))::BIGINT AS extract_chars,
+       md5(array_to_string(keep, chr(10))) AS extract_md5
+FROM w_kept
+"""
+
+
+@register(
+    "docs_warc_extract",
+    oracle=_WARC_ORACLE,
+    tags=("text", "extract", "warc", "pipeline", "crawl"),
+    expose=False,
+)
+def docs_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE first mile: WARC container records → response payloads
+    → HTML extraction, as one chain. Documents are serialized into
+    {_WARC_N_FILES}-way WARC container strings (request + response
+    records, Content-Length framed, CRLF headers — the Common Crawl
+    layout), split back by honest content-length framing
+    (split_warc_records: request payloads carry decoy 'WARC/1.0' /
+    'Content-Length:' markers and blank lines, so delimiter splitting
+    would mis-frame — only arithmetic framing survives the hash
+    check), response records filtered by WARC-Type, and the payload
+    HTML fed through the exact docs_extract_text rules. The oracle
+    replays serialization, recursive-CTE framing, and extraction end
+    to end. Spark shape: one groupBy(file_id) shuffle for synthesis,
+    then map-only framing + extraction per container row; at corpus
+    scale each WARC file is one independent row, so the stage scales
+    with file count exactly like production crawl ingestion.
+
+    Reference scope note: the reference (confluentinc/
+    streamlit-flink-demo, README.md:1-40) has no ingestion stage at
+    all — LLM-data-pipeline charter breadth."""
+    files = _warc_files(spark, sf_dir)
+    recs = split_warc_records(files, "warc")
+    resp = recs.filter(F.col("typ") == "response").select(
+        F.regexp_extract("uri", r"/doc/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("payload").alias("html"),
+    )
+    out = extract_text(resp)
+    return out.select(
+        "doc_id",
+        "n_lines_raw",
+        "n_lines_kept",
+        F.length("extract_text").cast("bigint").alias("extract_chars"),
+        F.md5("extract_text").alias("extract_md5"),
+    )

@@ -1893,6 +1893,10 @@ SELECT 'yield', n_docs, {_NULL_S},
        lines_raw, lines_kept, chars_kept, boilerplate_only_docs,
        line_yield_r
 FROM ({_o("docs_extract_yield")})
+UNION ALL
+SELECT 'warc', doc_id, extract_md5,
+       n_lines_raw, n_lines_kept, extract_chars, {_NULL_B}, {_NULL_D}
+FROM ({_o("docs_warc_extract")})
 """,
     tags=("text", "extract", "pipeline", "suite"),
 )
@@ -1902,11 +1906,15 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs_extract_text), extraction composed with the quality gate's
     verdict over the extracted text (docs_extract_quality), the URL
     frontier — href targets with reference counts (docs_extract_links),
-    and the corpus-level yield rollup (docs_extract_yield). The
-    extraction pass itself — the family's dominant cost — runs ONCE
-    per suite execution: text/quality/yield branches share the
-    track_persist'd extracted frame (operators/extract.py
-    _extracted_frame), and links reads only the synthesized hrefs."""
+    the corpus-level yield rollup (docs_extract_yield), and the WARC
+    container stage one step earlier — content-length record framing
+    into the same extraction rules (docs_warc_extract; its per-doc
+    output hash-matching the 'text' branch on the same driver row IS
+    the proof the container stage is lossless). The extraction pass
+    itself — the family's dominant cost — runs ONCE per suite
+    execution: text/quality/yield branches share the track_persist'd
+    extracted frame (operators/extract.py _extracted_frame), and
+    links reads only the synthesized hrefs."""
     tx = _fn("docs_extract_text")(spark, sf_dir).select(
         F.lit("text").alias("family"),
         F.col("doc_id").alias("k1"),
@@ -1947,7 +1955,17 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("boilerplate_only_docs").alias("i4"),
         F.col("line_yield_r").alias("v1"),
     )
-    return _u(tx, qu, ln, yl)
+    wc = _fn("docs_warc_extract")(spark, sf_dir).select(
+        F.lit("warc").alias("family"),
+        F.col("doc_id").alias("k1"),
+        F.col("extract_md5").alias("s1"),
+        F.col("n_lines_raw").alias("i1"),
+        F.col("n_lines_kept").alias("i2"),
+        F.col("extract_chars").alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+    )
+    return _u(tx, qu, ln, yl, wc)
 
 
 @register(

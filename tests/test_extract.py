@@ -222,3 +222,102 @@ def test_extraction_equals_pure_python_on_random_markup(spark):
         assert got == want
 
     run()
+
+
+# --------------------------------------------------------------------------
+# WARC container framing
+# --------------------------------------------------------------------------
+
+CRLF = "\r\n"
+
+
+def _rec(typ: str, uri: str, payload: str) -> str:
+    import hashlib
+
+    rid = hashlib.md5((typ + uri).encode()).hexdigest()
+    return (
+        f"WARC/1.0{CRLF}WARC-Type: {typ}{CRLF}"
+        f"WARC-Target-URI: {uri}{CRLF}"
+        f"WARC-Record-ID: <urn:md5:{rid}>{CRLF}"
+        f"Content-Length: {len(payload)}{CRLF}{CRLF}"
+        f"{payload}{CRLF}{CRLF}"
+    )
+
+
+def test_warc_framing_survives_decoy_payloads(spark):
+    """Payloads containing 'WARC/1.0', header-lookalike lines, and
+    blank CRLF lines must be framed through, not split on — the
+    difference between content-length framing and delimiter
+    splitting."""
+    from streamlit_flink_demo_spark.operators.extract import (
+        split_warc_records,
+    )
+
+    poison = (
+        f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+        f"Content-Length: 3{CRLF}{CRLF}abc{CRLF}{CRLF}"
+    )
+    warc = (
+        _rec("request", "http://x/1", f"GET /1{CRLF}{CRLF}{poison}")
+        + _rec("response", "http://x/1", poison)
+        + _rec("response", "http://x/2", "plain body")
+    )
+    df = spark.createDataFrame([(0, warc)], "file_id long, warc string")
+    rows = sorted(
+        (r.typ, r.uri, r.payload)
+        for r in split_warc_records(df).collect()
+    )
+    assert rows == sorted(
+        [
+            ("request", "http://x/1", f"GET /1{CRLF}{CRLF}{poison}"),
+            ("response", "http://x/1", poison),
+            ("response", "http://x/2", "plain body"),
+        ]
+    )
+
+
+def test_warc_framing_bound_fails_loudly(spark):
+    """A container with more records than max_records must raise, not
+    silently truncate."""
+    from streamlit_flink_demo_spark.operators.extract import (
+        split_warc_records,
+    )
+
+    warc = "".join(
+        _rec("response", f"http://x/{i}", f"body {i}") for i in range(5)
+    )
+    df = spark.createDataFrame([(0, warc)], "file_id long, warc string")
+    ok = split_warc_records(df, max_records=5).collect()
+    assert len(ok) == 5
+    with pytest.raises(Exception, match="max_records|assert"):
+        split_warc_records(df, max_records=4).collect()
+
+
+def test_warc_empty_payload_and_unicode(spark):
+    """Zero-length payloads frame correctly, and non-ASCII payloads
+    frame by CHARACTER length on both engines (documented char —
+    not byte — semantics of the synthetic container)."""
+    from streamlit_flink_demo_spark.operators.extract import (
+        split_warc_records,
+    )
+
+    warc = _rec("response", "http://x/e", "") + _rec(
+        "response", "http://x/u", "héllo wörld — ünïcode"
+    )
+    df = spark.createDataFrame([(0, warc)], "file_id long, warc string")
+    rows = {r.uri: r.payload for r in split_warc_records(df).collect()}
+    assert rows["http://x/e"] == ""
+    assert rows["http://x/u"] == "héllo wörld — ünïcode"
+
+
+def test_warc_split_plan_is_jvm_only(spark, sf_dir):
+    """The whole WARC→extraction chain stays JVM-side: no Python UDF
+    nodes in the optimized plan."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    qs = load_all(exposed_only=False)
+    df = qs["docs_warc_extract"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
