@@ -830,3 +830,255 @@ def docs_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extract_text").cast("bigint").alias("extract_chars"),
         F.md5("extract_text").alias("extract_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + frontier dedup: what a crawler dedups
+# before fetching
+# --------------------------------------------------------------------------
+
+# Tracking params dropped during canonicalization (by exact name, plus
+# the utm_* family); shared by the Spark and oracle sides.
+_TRACKING_PARAMS = ("ref", "fbclid", "gclid")
+_URL_BASE = "http://example.com"  # resolution base for relative hrefs
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def canonicalize_url(raw: Column) -> Column:
+    """Canonical form of a crawled URL — the normalization every
+    frontier dedups on before fetching, entirely JVM string built-ins:
+
+    1. fragment strip (``#...`` never reaches the server),
+    2. relative-reference resolution against the corpus base,
+    3. scheme + host case-folding,
+    4. default-port strip (``:80`` for http, ``:443`` for https;
+       non-default ports are load-bearing and survive),
+    5. tracking-parameter removal (``utm_*`` family plus
+       ref/fbclid/gclid by name) and query-parameter SORTING (so
+       ``?b=2&a=1`` and ``?a=1&b=2`` collapse to one fetch),
+    6. empty path → ``/``.
+
+    Composes per row with zero exchanges; the oracle replays every
+    rule, so each is value-hash-checked, not assumed."""
+    no_frag = F.regexp_replace(raw, "#.*", "")
+    absu = F.when(
+        no_frag.rlike(_SCHEME_RE), no_frag
+    ).otherwise(F.concat(F.lit(_URL_BASE), no_frag))
+    scheme = F.lower(
+        F.regexp_extract(absu, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    after = F.regexp_replace(absu, _SCHEME_RE, "")
+    hostport = F.regexp_extract(after, "^([^/?#]*)", 1)
+    pathqs = F.substring(
+        after, F.length(hostport) + F.lit(1), F.length(after)
+    )
+    host_l = F.lower(hostport)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host_l, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_l, ":443$", ""))
+        .otherwise(host_l)
+    )
+    path = F.regexp_extract(pathqs, r"^([^?]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(pathqs, r"\?(.*)", 1)
+
+    def _keep_param(p: Column) -> Column:
+        name = F.regexp_extract(p, "^([^=]*)", 1)
+        cond = F.length(p) > 0
+        cond = cond & ~name.startswith("utm_")
+        for t in _TRACKING_PARAMS:
+            cond = cond & (name != t)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(qs, "&"), _keep_param))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_host(canon: Column) -> Column:
+    """Host component of a canonicalized URL (the frontier's
+    politeness/bucketing key)."""
+    return F.regexp_extract(
+        F.regexp_replace(canon, _SCHEME_RE, ""), "^([^/?#]*)", 1
+    )
+
+
+def _planted_urls() -> Column:
+    """Deterministic messy-URL variants per document — uppercase
+    scheme/host, default and NON-default ports, tracking params in
+    shuffled order, fragments — so canonicalization has real work and
+    the frontier has real collisions (v1 collapses onto the extracted
+    /doc/<id%97> href across docs; v3 must NOT collapse onto it)."""
+    m97 = (F.col("doc_id") % 97).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    return F.array(
+        F.concat(
+            F.lit("HTTP://Example.COM:80/doc/"),
+            m97,
+            F.lit("?utm_source=feed&x="),
+            m7,
+            F.lit("#frag"),
+        ),
+        F.concat(
+            F.lit("https://Mirror.Example.com:443/a/b?b="),
+            m7,
+            F.lit("&utm_campaign=promo&a=1"),
+        ),
+        F.concat(F.lit("http://example.com:8080/doc/"), m97),
+        F.lit("/about#top"),
+        F.concat(F.lit("https://example.com/?ref=nav&gclid=g"), m7),
+    )
+
+
+_URL_CANON_SQL = """
+canon0 AS (
+  SELECT doc_id, regexp_replace(raw, '#.*', '') AS u FROM rawlinks
+),
+canon1 AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN u ELSE 'http://example.com' || u END AS u
+  FROM canon0
+),
+canon2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM canon1
+),
+canon3 AS (
+  SELECT doc_id, scheme,
+         regexp_extract(after, '^([^/?#]*)', 1) AS hostport,
+         substr(after, length(regexp_extract(after, '^([^/?#]*)', 1)) + 1)
+           AS pathqs
+  FROM canon2
+),
+canon4 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(hostport), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(hostport), ':443$', '')
+              ELSE lower(hostport) END AS host,
+         CASE WHEN length(regexp_extract(pathqs, '^([^?]*)', 1)) = 0
+              THEN '/' ELSE regexp_extract(pathqs, '^([^?]*)', 1)
+              END AS path,
+         list_sort(list_filter(
+           string_split(regexp_extract(pathqs, '\\?(.*)', 1), '&'),
+           p -> length(p) > 0
+                AND NOT starts_with(regexp_extract(p, '^([^=]*)', 1),
+                                    'utm_')
+                AND regexp_extract(p, '^([^=]*)', 1)
+                    NOT IN ('ref', 'fbclid', 'gclid'))) AS params
+  FROM canon3
+),
+canonical AS (
+  SELECT doc_id, host,
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS url
+  FROM canon4
+)"""
+
+_URL_FRONTIER_ORACLE = f"""
+WITH third AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 3.0) AS BIGINT) AS l3
+  FROM documents WHERE length(text) > 0
+),
+htmlized AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id || '</title>'
+      || '<style>p {{margin: 0}} .ad {{color: red}}</style>'
+      || '<script>var track = "x&y";</script></head><body>'
+      || '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+      || ' | <a href="/contact">Contact</a></nav>'
+      || '<h1>Document ' || doc_id || '</h1>'
+      || '<p>' || substr(text, 1, l3) || '</p>'
+      || '<p class="ad">Sponsored: click here to subscribe to our'
+      || ' newsletter now!</p>'
+      || '<p>' || substr(text, l3 + 1, l3)
+      || ' <a href="/doc/' || (doc_id % 97) || '">related</a></p>'
+      || '<div>Share</div>'
+      || '<p>Q &amp; A &lt;section&gt; ' || substr(text, 2 * l3 + 1)
+      || '</p>'
+      || '<footer>Copyright 2024 Example Corp | Privacy | Terms</footer>'
+      || '</body></html>' AS html
+  FROM third
+),
+rawlinks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS raw
+  FROM htmlized
+  UNION ALL
+  SELECT doc_id, unnest([
+    'HTTP://Example.COM:80/doc/' || (doc_id % 97)
+      || '?utm_source=feed&x=' || (doc_id % 7) || '#frag',
+    'https://Mirror.Example.com:443/a/b?b=' || (doc_id % 7)
+      || '&utm_campaign=promo&a=1',
+    'http://example.com:8080/doc/' || (doc_id % 97),
+    '/about#top',
+    'https://example.com/?ref=nav&gclid=g' || (doc_id % 7)
+  ]) AS raw
+  FROM htmlized
+),
+{_URL_CANON_SQL.lstrip()}
+SELECT host, url,
+       COUNT(*)::BIGINT AS n_refs,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM canonical GROUP BY host, url
+"""
+
+
+@register(
+    "docs_url_frontier",
+    oracle=_URL_FRONTIER_ORACLE,
+    tags=("text", "extract", "crawl", "frontier", "url"),
+    expose=False,
+)
+def docs_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + frontier dedup — the step between link
+    extraction (docs_extract_links) and the next fetch wave: extracted
+    hrefs plus deterministic MESSY planted variants (uppercase
+    scheme/host, default vs non-default ports, tracking params in
+    shuffled order, fragments) are canonicalized (canonicalize_url)
+    and deduplicated by (host, canonical url), with per-URL reference
+    counts and distinct referencing documents. One map-side
+    projection + one combine-enabled group-by shuffle keyed on the
+    host-leading pair; at crawl scale the same key is what the
+    frontier partitions on for per-host politeness batching, and the
+    tracking-param/port/case collisions the synthesis plants are
+    exactly the fetch-amplification a non-canonicalizing crawler
+    pays. The oracle replays synthesis, extraction, every
+    canonicalization rule, and the dedup."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("html", _synth_html())
+    )
+    hrefs = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), F.lit(1))
+        ).alias("raw"),
+    )
+    planted = d.select(
+        "doc_id", F.explode(_planted_urls()).alias("raw")
+    )
+    links = hrefs.unionByName(planted)
+    canon = links.select(
+        "doc_id", canonicalize_url(F.col("raw")).alias("url")
+    ).withColumn("host", url_host(F.col("url")))
+    return canon.groupBy("host", "url").agg(
+        F.count("*").cast("bigint").alias("n_refs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

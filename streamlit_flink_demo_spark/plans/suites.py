@@ -1897,6 +1897,10 @@ UNION ALL
 SELECT 'warc', doc_id, extract_md5,
        n_lines_raw, n_lines_kept, extract_chars, {_NULL_B}, {_NULL_D}
 FROM ({_o("docs_warc_extract")})
+UNION ALL
+SELECT 'frontier', {_NULL_B}, host || ' ' || url,
+       n_refs, n_docs, {_NULL_B}, {_NULL_B}, {_NULL_D}
+FROM ({_o("docs_url_frontier")})
 """,
     tags=("text", "extract", "pipeline", "suite"),
 )
@@ -1906,11 +1910,13 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs_extract_text), extraction composed with the quality gate's
     verdict over the extracted text (docs_extract_quality), the URL
     frontier — href targets with reference counts (docs_extract_links),
-    the corpus-level yield rollup (docs_extract_yield), and the WARC
+    the corpus-level yield rollup (docs_extract_yield), the WARC
     container stage one step earlier — content-length record framing
     into the same extraction rules (docs_warc_extract; its per-doc
     output hash-matching the 'text' branch on the same driver row IS
-    the proof the container stage is lossless). The extraction pass
+    the proof the container stage is lossless), and the frontier step
+    after links — URL canonicalization + (host, url) dedup
+    (docs_url_frontier). The extraction pass
     itself — the family's dominant cost — runs ONCE per suite
     execution: text/quality/yield branches share the track_persist'd
     extracted frame (operators/extract.py _extracted_frame), and
@@ -1965,7 +1971,17 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("i4"),
         _nd().alias("v1"),
     )
-    return _u(tx, qu, ln, yl, wc)
+    fr = _fn("docs_url_frontier")(spark, sf_dir).select(
+        F.lit("frontier").alias("family"),
+        _nb().alias("k1"),
+        F.concat_ws(" ", "host", "url").alias("s1"),
+        F.col("n_refs").alias("i1"),
+        F.col("n_docs").alias("i2"),
+        _nb().alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+    )
+    return _u(tx, qu, ln, yl, wc, fr)
 
 
 @register(

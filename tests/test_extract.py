@@ -321,3 +321,55 @@ def test_warc_split_plan_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_url_canonicalization_rules(spark):
+    """Each canonicalization rule on a hand-built case battery."""
+    from streamlit_flink_demo_spark.operators.extract import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # fragment strip + case fold + default port
+        ("HTTP://Example.COM:80/a#frag", "http://example.com/a"),
+        ("https://X.Y:443/p?q=1", "https://x.y/p?q=1"),
+        # non-default port survives
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # relative resolution
+        ("/about#top", "http://example.com/about"),
+        # tracking params dropped, remainder sorted
+        (
+            "http://h/p?b=2&utm_source=x&a=1&ref=nav&gclid=g",
+            "http://h/p?a=1&b=2",
+        ),
+        # all params tracking → no '?'
+        ("http://h/p?utm_campaign=only", "http://h/p"),
+        # empty path → '/'
+        ("http://Host.com", "http://host.com/"),
+        ("https://host.com?a=1", "https://host.com/?a=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("raw")).alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_frontier_collapses_variants(spark, sf_dir):
+    """The planted messy variants collapse onto their canonical
+    targets: v1 (upper-case host, :80, utm param, fragment) lands on
+    the same canonical /doc/<m> URL family as the extracted hrefs,
+    while the :8080 variant stays distinct."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    qs = load_all(exposed_only=False)
+    rows = qs["docs_url_frontier"].fn(spark, sf_dir).collect()
+    urls = {r.url for r in rows}
+    hosts = {r.host for r in rows}
+    assert "http://example.com/about" in urls  # '/about#top' + '/about'
+    assert any(u.startswith("http://example.com:8080/doc/") for u in urls)
+    assert "example.com:8080" in hosts and "example.com" in hosts
+    assert not any("utm_" in u or "#" in u or "gclid" in u for u in urls)
+    # upper-case scheme/host variants never surface
+    assert not any("Example" in u or "HTTP:" in u for u in urls)
