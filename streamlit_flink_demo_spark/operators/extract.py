@@ -512,11 +512,43 @@ def docs_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthesis below plants exactly those decoys in the request-record
 # payloads to prove the splitter frames rather than splits.
 
-_WARC_N_FILES = 61  # synthesis: documents hashed into this many files
+# Synthesis shards documents into containers of a FIXED doc count, so
+# the file COUNT grows with the corpus while records-per-file stays
+# bounded under _WARC_MAX_RECORDS — exactly how production crawls
+# shard (WARC files are capped by size; a bigger crawl means more
+# files, not bigger ones). A corpus-size-dependent modulus would blow
+# the framing bound at 100x. Sized so the rest-carry walk's total tail
+# copies (corpus_chars x records_per_file / 2) stay a small multiple
+# of the corpus, and small fixtures still get task parallelism.
+_WARC_DOCS_PER_FILE = 32
 _WARC_MAX_RECORDS = 1024  # per-file framing bound; assert_true-guarded
 
-# struct carried per parsed record inside the framing accumulator.
-_WARC_REC_T = "array<struct<typ:string,uri:string,payload:string>>"
+# The record marker every WARC record opens with (version line).
+_WARC_MARKER = "WARC/1.0\r\n"
+_WARC_MARKER_SQL = "concat('WARC/1.0', chr(13), chr(10))"
+_WARC_REC_T = (
+    "array<struct<ps:bigint,pl:bigint,typ:string,uri:string>>"
+)
+
+
+def _warc_tok(j: str) -> tuple[str, str, str]:
+    """SQL fragments (start, length, string) for token ``j`` of the
+    segment/marker token stream: the container is
+    seg_0 [M] seg_1 [M] ... seg_{n-1} after splitting on the marker
+    M; even j is segment j/2, odd j is the marker BEFORE segment
+    (j+1)/2. All positions 1-based absolute (from the _starts
+    array), so payload ranges can be sliced out of the tokens
+    without ever substring-ing the full container (whose UTF-8
+    char-offset lookups are O(offset) a call)."""
+    seg = f"element_at(_segs, CAST({j} DIV 2 + 1 AS INT))"
+    start = (
+        f"IF({j} % 2 = 0, "
+        f"element_at(_starts, CAST({j} DIV 2 + 1 AS INT)), "
+        f"element_at(_starts, CAST({j} DIV 2 + 2 AS INT)) - 10L)"
+    )
+    length = f"IF({j} % 2 = 0, CAST(length({seg}) AS BIGINT), 10L)"
+    string = f"IF({j} % 2 = 0, {seg}, {_WARC_MARKER_SQL})"
+    return start, length, string
 
 
 def split_warc_records(
@@ -526,69 +558,122 @@ def split_warc_records(
 ) -> DataFrame:
     """Split a frame of WARC container strings into one row per
     record: appends ``typ`` (WARC-Type), ``uri`` (WARC-Target-URI)
-    and ``payload`` columns, dropping ``warc_col``. Pure JVM
-    higher-order framing — a single ``aggregate`` over a step
-    sequence walks the container by Content-Length arithmetic
-    (header scan with ``locate`` at the front of the carried
-    remainder, payload SKIPPED over, never scanned). No Python UDF, no
-    shuffle: each container row is independent, so a 100 TB crawl
-    parallelizes per file across executors exactly like the
-    extraction stage it feeds (real WARC.gz bytes would arrive via
-    ``spark.read.format("binaryFile")`` + the same framing over the
-    decompressed string — the plumbing from (file, bytes) onward is
-    identical). ``assert_true`` guards the framing bound: a file
-    with more than ``max_records`` records fails loudly, never
-    silently truncates."""
-    # The accumulator carries the REMAINING string (rest), exactly
-    # like the oracle's recursive CTE: every locate/substring then
-    # operates at the FRONT of rest — O(header) scans plus one tail
-    # memcopy per record — instead of absolute offsets into the full
-    # container, whose UTF-8 char-position lookups are O(offset) per
-    # call and turn the walk quadratic on big files. The step count is
-    # sized from the container length (a record is never shorter than
-    # its fixed header fields, > 64 chars), so empty trailing steps
-    # are the exception, not the 1000-iteration rule.
+    and ``payload`` columns, dropping ``warc_col``. Honest
+    Content-Length framing, decomposed into set-based JVM steps so
+    every pass is LINEAR in the container:
+
+    1. ``split`` on the record marker ("WARC/1.0" CRLF) — one
+       codegen pass; decoy markers inside payloads produce FALSE
+       segment boundaries on purpose,
+    2. absolute segment-start offsets via a longs-only aggregate,
+    3. per-candidate header parse (terminator locate + Content-Length
+       / WARC-Type / WARC-Target-URI regex on the segment FRONT —
+       O(header), segments are materialized so access is O(1)),
+    4. chain verification — a longs-only fold: a candidate is a real
+       record iff its marker sits exactly where the previous real
+       record's Content-Length arithmetic says the next record
+       starts; decoy candidates are skipped and their segments remain
+       payload bytes,
+    5. payload reassembly per record from the token stream
+       (segments + re-inserted markers) — slices only, never a
+       substring of the full container.
+
+    The rejected single-aggregate walks are worth recording: carrying
+    the remaining string copies the tail once per record and
+    accumulating payload strings re-copies the growing array every
+    step (both O(file x records) bytes — 4-5 s at sf0.1), while
+    absolute-offset ``locate``/``substring`` calls pay an O(offset)
+    UTF-8 char walk per step (30 s). This decomposition does ~2
+    container-copies total regardless of record count.
+
+    No Python UDF, no shuffle: each container row is independent, so
+    a 100 TB crawl parallelizes per file across executors exactly
+    like the extraction stage it feeds (real WARC.gz bytes would
+    arrive via ``spark.read.format("binaryFile")`` + the same framing
+    over the decompressed string). ``assert_true`` guards
+    completeness: a chain that does not land exactly on end-of-file
+    (malformed/truncated container) and a file with more than
+    ``max_records`` records fail loudly, never silently truncate."""
     w = warc_col
     term = "concat(chr(13), chr(10), chr(13), chr(10))"
-    hdr = f"substring(acc.rest, 1, locate({term}, acc.rest) - 1)"
-    cl = (
-        f"CAST(regexp_extract({hdr}, 'Content-Length: ([0-9]+)', 1) "
-        f"AS BIGINT)"
-    )
+    # 3) per-candidate parse: k = 1..n-1, segment k's front is the
+    # candidate's header remainder (the marker itself was consumed by
+    # the split). her = header-terminator position relative to the
+    # segment; 0 (absent) poisons the candidate with NULLs, which the
+    # chain skips and the completeness assert catches if load-bearing.
+    seg_k = "element_at(_segs, k + 1)"
+    her = f"locate({term}, {seg_k})"
+    hdr = f"substring({seg_k}, 1, {her} - 1)"
     uri_pat = "concat('WARC-Target-URI: ([^', chr(13), ']+)')"
-    step = f"""IF(
-      length(acc.rest) = 0,
-      acc,
+    cands = f"""transform(sequence(1, size(_segs) - 1), k ->
       named_struct(
-        'rest', substring(acc.rest, locate({term}, acc.rest) + 8L + {cl}),
-        'recs', concat(acc.recs, array(named_struct(
-          'typ', regexp_extract({hdr}, 'WARC-Type: ([a-z]+)', 1),
-          'uri', regexp_extract({hdr}, {uri_pat}, 1),
-          'payload',
-          substring(acc.rest, locate({term}, acc.rest) + 4L, {cl})))))
-    )"""
-    agg = f"""aggregate(
-      sequence(1, least({max_records},
-                        CAST(length({w}) DIV 64 AS INT) + 1)),
-      named_struct('rest', {w},
+        'hs', element_at(_starts, k + 1) - 10L,
+        'ps', element_at(_starts, k + 1) + CAST({her} AS BIGINT) + 3L,
+        'pl', CAST(regexp_extract({hdr}, 'Content-Length: ([0-9]+)', 1)
+                   AS BIGINT),
+        'typ', regexp_extract({hdr}, 'WARC-Type: ([a-z]+)', 1),
+        'uri', regexp_extract({hdr}, {uri_pat}, 1)))"""
+    # 4) longs-only chain fold over the candidates in order
+    chain = f"""aggregate(
+      _cands,
+      named_struct('exp', CAST(1 AS BIGINT),
                    'recs', CAST(array() AS {_WARC_REC_T})),
-      (acc, i) -> {step})"""
-    parsed = df.withColumn("_parsed", F.expr(agg)).withColumn(
-        "_complete",
-        F.expr(
-            "assert_true(length(_parsed.rest) = 0, "
-            "'WARC file exceeds max_records framing bound')"
-        ),
+      (acc, c) -> IF(
+        c.hs = acc.exp,
+        named_struct(
+          'exp', c.ps + c.pl + 4L,
+          'recs', concat(acc.recs, array(named_struct(
+            'ps', c.ps, 'pl', c.pl, 'typ', c.typ, 'uri', c.uri)))),
+        acc))"""
+    # 2) absolute 1-based start offset of each segment
+    starts = """aggregate(
+      _segs,
+      named_struct('pos', CAST(1 AS BIGINT),
+                   'arr', CAST(array() AS array<bigint>)),
+      (acc, s) -> named_struct(
+        'pos', acc.pos + CAST(length(s) AS BIGINT) + 10L,
+        'arr', concat(acc.arr, array(acc.pos)))).arr"""
+    parsed = (
+        df.withColumn("_wlen", F.length(w).cast("bigint"))
+        .withColumn("_segs", F.split(F.col(w), r"WARC/1\.0\r\n", -1))
+        .withColumn("_starts", F.expr(starts))
+        .withColumn("_cands", F.expr(cands))
+        .withColumn("_chain", F.expr(chain))
+        .withColumn(
+            "_complete",
+            F.expr(
+                f"assert_true(_chain.exp = _wlen + 1 "
+                f"AND size(_chain.recs) <= {max_records}, "
+                f"'WARC container malformed, truncated, or over the "
+                f"max_records framing bound')"
+            ),
+        )
     )
-    rec = F.explode(F.col("_parsed.recs")).alias("_rec")
+    # 5) payload reassembly from the token stream — at the FILE row,
+    # inside a transform over the record array, BEFORE the explode:
+    # exploding first would copy the whole _segs array into every
+    # record row (O(file x records) bytes, the quadratic this design
+    # exists to avoid).
+    ts, tl, tstr = _warc_tok("j")
+    payload = f"""array_join(
+      transform(
+        filter(sequence(0, 2 * size(_segs) - 2), j ->
+          {ts} < r.ps + r.pl AND {ts} + {tl} > r.ps),
+        j -> substring({tstr},
+          CAST(greatest(1L, r.ps - {ts} + 1) AS INT),
+          CAST(least({tl}, r.ps + r.pl - {ts})
+               - greatest(1L, r.ps - {ts} + 1) + 1 AS INT))),
+      '')"""
+    out = f"""transform(_chain.recs, r -> named_struct(
+      'typ', r.typ, 'uri', r.uri, 'payload',
+      IF(_complete IS NULL, {payload}, NULL)))"""
+    rec = F.explode(F.expr(out)).alias("_rec")
     out_cols = [c for c in df.columns if c != w]
-    return parsed.select(*out_cols, "_complete", rec).select(
+    return parsed.select(*out_cols, rec).select(
         *out_cols,
         F.col("_rec.typ").alias("typ"),
         F.col("_rec.uri").alias("uri"),
-        F.when(
-            F.col("_complete").isNull(), F.col("_rec.payload")
-        ).alias("payload"),
+        F.col("_rec.payload").alias("payload"),
     )
 
 
@@ -615,7 +700,8 @@ def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     'WARC/1.0' and 'Content-Length: 999' markers and blank lines —
     poison for any delimiter-based splitter) plus a response record
     (payload = the docs_extract_text HTML synthesis), concatenated in
-    doc_id order into _WARC_N_FILES container strings."""
+    doc_id order into containers of _WARC_DOCS_PER_FILE documents
+    (64 records) each."""
     crlf = "\r\n"
     d = (
         load_spread(spark, sf_dir, "documents")
@@ -639,7 +725,9 @@ def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select(
-            F.pmod("doc_id", F.lit(_WARC_N_FILES)).alias("file_id"),
+            (F.col("doc_id") / _WARC_DOCS_PER_FILE)
+            .cast("bigint")
+            .alias("file_id"),
             F.struct("doc_id", pair.alias("pair")).alias("s"),
         )
         .groupBy("file_id")
@@ -684,7 +772,7 @@ htmlized AS (
   FROM third
 ),
 pairs AS (
-  SELECT doc_id, (doc_id % {_WARC_N_FILES}) AS file_id,
+  SELECT doc_id, (doc_id // {_WARC_DOCS_PER_FILE}) AS file_id,
          'WARC/1.0' || {_CRLF2_SQL} || 'WARC-Type: request' || {_CRLF2_SQL}
       || 'WARC-Target-URI: http://example.com/doc/' || doc_id || {_CRLF2_SQL}
       || 'WARC-Record-ID: <urn:md5:'
@@ -797,7 +885,8 @@ FROM w_kept
 def docs_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRUE first mile: WARC container records → response payloads
     → HTML extraction, as one chain. Documents are serialized into
-    {_WARC_N_FILES}-way WARC container strings (request + response
+    {_WARC_DOCS_PER_FILE}-docs-per-file WARC container strings
+    (file count grows with the corpus; request + response
     records, Content-Length framed, CRLF headers — the Common Crawl
     layout), split back by honest content-length framing
     (split_warc_records: request payloads carry decoy 'WARC/1.0' /

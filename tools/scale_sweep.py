@@ -125,6 +125,12 @@ OPS = (
     "dedup_cdc_incremental_idx",
     "dedup_incremental_sigidx",
     "corpus_longest_repeat_indexed",
+    # round 13: WARC container framing (map-only walk per file row),
+    # the URL frontier (projection + one combine-enabled group-by),
+    # and the extraction yield rollup (one global aggregate)
+    "docs_warc_extract",
+    "docs_url_frontier",
+    "docs_extract_yield",
 )
 
 
