@@ -1171,3 +1171,332 @@ def docs_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_refs"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt gate + per-host politeness scheduling: the fetch decision
+# --------------------------------------------------------------------------
+
+# The frontier (docs_url_frontier) tells the crawler WHAT it could
+# fetch; robots.txt decides what it MAY fetch and crawl-delay decides
+# how FAST. This stage parses per-host robots.txt text with the REP
+# group model (RFC 9309): consecutive User-agent lines form one
+# group's header; a group applies to us iff one of its agents is '*';
+# rule precedence is LONGEST-MATCH with Allow winning length ties;
+# an empty Disallow value matches nothing. The synthesis plants the
+# classic traps: a greedybot-only group that must be IGNORED (its
+# Disallow:/ and Crawl-delay must not leak), a two-agent group header
+# (googlebot + *) whose rules DO apply, comment lines, an empty
+# Disallow, an Allow that re-opens a subtree a shorter Disallow
+# closed, and a full-block host.
+#
+# Spark shape: robots texts are a tiny per-host frame (in production:
+# one row per crawled host — millions of rows, still the small side),
+# parsed RELATIONALLY — posexplode to lines, two window functions
+# (lag + running sum, both partitioned by host) to assign REP groups,
+# one aggregation to (rules array, crawl_delay) per host. The gate is
+# then a BROADCAST join onto the frontier plus per-row array logic
+# (filter + array_max picks the longest matching rule — no explode,
+# no shuffle of the frontier). Wave assignment is ONE window
+# partitioned by host — the same politeness key the frontier already
+# groups on; that exchange is the per-host batching a polite fetcher
+# pays by definition. The DuckDB oracle replays text split, group
+# assignment, rule precedence, and wave arithmetic rule for rule.
+_ROBOTS_TXT = (
+    (
+        "example.com",
+        "\n".join(
+            (
+                "# crawl policy for example.com",
+                "User-agent: greedybot",
+                "Disallow: /",
+                "Crawl-delay: 9",
+                "",
+                "User-agent: googlebot",
+                "User-agent: *",
+                "Disallow: /doc/",
+                "Allow: /doc/4",
+                "Disallow: /contact",
+                "Crawl-delay: 2",
+                "Disallow:",
+            )
+        ),
+    ),
+    (
+        "mirror.example.com",
+        "\n".join(
+            (
+                "User-agent: *",
+                "Crawl-delay: 0.5",
+                "Disallow: /a",
+                "Allow: /a/b",
+                "# longest match re-opens /a/b",
+            )
+        ),
+    ),
+    (
+        "example.com:8080",
+        "\n".join(
+            (
+                "User-agent: *",
+                "Disallow: /",
+            )
+        ),
+    ),
+)
+
+# Fetch-wave window the crawl-delay budget divides: a host with
+# crawl-delay D gets floor(window / D) fetch slots per wave (min 1).
+_WAVE_WINDOW_S = 10.0
+# Oracle-side bound on robots.txt line count (the generate_series
+# cross join's upper limit; assert-checked implicitly by the hash —
+# a text longer than this would silently lose rules oracle-side, so
+# keep synthesis under it).
+_ROBOTS_MAX_LINES = 32
+
+
+def parse_robots(spark: SparkSession) -> DataFrame:
+    """Parse the synthesized per-host robots.txt texts into
+    (host, rules: array<struct<a:int,p:string>>, delay_r: double).
+    Relational REP parse — see the module comment above; every rule
+    of it is replayed by the oracle SQL."""
+    from pyspark.sql import Window
+
+    rob = spark.createDataFrame(
+        list(_ROBOTS_TXT), "host string, txt string"
+    )
+    lines = rob.select(
+        "host", F.posexplode(F.split("txt", "\n")).alias("i", "raw")
+    )
+    sig = lines.select(
+        "host",
+        "i",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = sig.select(
+        "host",
+        "i",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]*):", 1))).alias(
+            "field"
+        ),
+        F.trim(F.regexp_extract("line", "^[^:]*:(.*)$", 1)).alias("val"),
+    )
+    w = Window.partitionBy("host").orderBy("i")
+    blk = (
+        parsed.withColumn("is_ua", F.col("field") == "user-agent")
+        .withColumn(
+            "new_block",
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn("block", F.sum(F.col("new_block").cast("int")).over(w))
+    )
+    star = (
+        blk.filter("is_ua")
+        .groupBy("host", "block")
+        .agg(F.max((F.col("val") == "*").cast("int")).alias("has_star"))
+        .filter("has_star = 1")
+        .select("host", "block")
+    )
+    active = blk.join(F.broadcast(star), ["host", "block"])
+    return active.groupBy("host").agg(
+        F.collect_list(
+            F.when(
+                F.col("field").isin("allow", "disallow")
+                & (F.col("val") != ""),
+                F.struct(
+                    (F.col("field") == "allow").cast("int").alias("a"),
+                    F.col("val").alias("p"),
+                ),
+            )
+        ).alias("rules"),
+        F.max(
+            F.when(F.col("field") == "crawl-delay", F.col("val")).cast(
+                "double"
+            )
+        ).alias("delay_r"),
+    )
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Apply parsed robots rules + crawl-delay scheduling to a
+    (host, url, n_refs, ...) frontier: broadcast-join the per-host
+    rules, pick the LONGEST matching rule per URL (Allow wins length
+    ties — array_max over struct(len, allow, prefix) encodes exactly
+    that precedence), default-allow when no rule matches or the host
+    has no robots, then assign allowed URLs to per-host fetch waves of
+    floor(window / crawl_delay) slots ordered by reference count."""
+    from pyspark.sql import Window
+
+    g = (
+        frontier.join(F.broadcast(robots), "host", "left")
+        .withColumn(
+            "pathqs",
+            F.substring(
+                F.regexp_replace("url", _SCHEME_RE, ""),
+                F.length("host") + F.lit(1),
+                F.length("url"),
+            ),
+        )
+        .withColumn(
+            "m",
+            F.filter(
+                "rules", lambda r: F.col("pathqs").startswith(r["p"])
+            ),
+        )
+        .withColumn(
+            "best",
+            F.array_max(
+                F.transform(
+                    "m",
+                    lambda r: F.struct(
+                        F.length(r["p"]).alias("l"),
+                        r["a"].alias("a"),
+                        r["p"].alias("p"),
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "allowed_i",
+            F.when(
+                F.col("rules").isNull() | (F.size("m") == 0), F.lit(1)
+            )
+            .otherwise(F.col("best.a"))
+            .cast("int"),
+        )
+        .withColumn(
+            "rule",
+            F.when(F.size("m") > 0, F.col("best.p")),
+        )
+        .withColumn(
+            "budget",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.lit(_WAVE_WINDOW_S)
+                    / F.coalesce("delay_r", F.lit(1.0))
+                ),
+            ),
+        )
+    )
+    wv = Window.partitionBy("host", "allowed_i").orderBy(
+        F.desc("n_refs"), F.asc("url")
+    )
+    return g.withColumn(
+        "wave_i",
+        F.when(
+            F.col("allowed_i") == 1,
+            F.floor((F.row_number().over(wv) - F.lit(1)) / F.col("budget")),
+        ).cast("bigint"),
+    ).select("host", "url", "n_refs", "allowed_i", "rule", "wave_i")
+
+
+def _robots_values_sql() -> str:
+    rows = ", ".join(
+        "('%s', '%s')" % (h, t.replace("\n", "' || chr(10) || '"))
+        for h, t in _ROBOTS_TXT
+    )
+    return f"(VALUES {rows}) AS rob(host, txt)"
+
+
+_CRAWL_GATE_ORACLE = f"""
+WITH frontier AS ({_URL_FRONTIER_ORACLE.strip()}),
+rlines AS (
+  SELECT host, u.i,
+         trim(regexp_replace(string_split(txt, chr(10))[u.i],
+                             '#.*', '')) AS line
+  FROM {_robots_values_sql()},
+       (SELECT unnest(generate_series(1, {_ROBOTS_MAX_LINES})) AS i) u
+  WHERE u.i <= len(string_split(txt, chr(10)))
+),
+sig AS (
+  SELECT host, i,
+         lower(trim(regexp_extract(line, '^([^:]*):', 1))) AS field,
+         trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS val
+  FROM rlines WHERE line <> ''
+),
+snum AS (
+  SELECT *, (field = 'user-agent') AS is_ua,
+         row_number() OVER (PARTITION BY host ORDER BY i) AS j
+  FROM sig
+),
+lagd AS (
+  SELECT *, coalesce(
+           lag(is_ua) OVER (PARTITION BY host ORDER BY j), FALSE)
+         AS prev_ua
+  FROM snum
+),
+blk AS (
+  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY j) AS block
+  FROM lagd
+),
+star AS (
+  SELECT host, block FROM blk WHERE is_ua
+  GROUP BY host, block HAVING bool_or(val = '*')
+),
+rules AS (
+  SELECT b.host, CAST(b.field = 'allow' AS INT) AS a, b.val AS p
+  FROM blk b JOIN star s ON b.host = s.host AND b.block = s.block
+  WHERE b.field IN ('allow', 'disallow') AND b.val <> ''
+),
+delays AS (
+  SELECT b.host, MAX(CAST(b.val AS DOUBLE)) AS delay_r
+  FROM blk b JOIN star s ON b.host = s.host AND b.block = s.block
+  WHERE b.field = 'crawl-delay' GROUP BY b.host
+),
+fr AS (
+  SELECT host, url, n_refs,
+         substr(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                length(host) + 1) AS pathqs
+  FROM frontier
+),
+m AS (
+  SELECT f.host, f.url, r.a, r.p,
+         row_number() OVER (PARTITION BY f.host, f.url
+                            ORDER BY length(r.p) DESC, r.a DESC) AS rk
+  FROM fr f JOIN rules r
+    ON f.host = r.host AND starts_with(f.pathqs, r.p)
+),
+win AS (SELECT host, url, a, p FROM m WHERE rk = 1),
+gated AS (
+  SELECT f.host, f.url, f.n_refs,
+         CAST(coalesce(w.a, 1) AS INT) AS allowed_i, w.p AS rule,
+         CAST(greatest(1, floor({_WAVE_WINDOW_S}
+                / coalesce(d.delay_r, 1.0))) AS BIGINT) AS budget
+  FROM fr f
+  LEFT JOIN win w ON f.host = w.host AND f.url = w.url
+  LEFT JOIN delays d ON f.host = d.host
+)
+SELECT host, url, n_refs, allowed_i, rule,
+       CASE WHEN allowed_i = 1 THEN CAST(floor(
+         (row_number() OVER (PARTITION BY host, allowed_i
+                             ORDER BY n_refs DESC, url) - 1)
+         / budget) AS BIGINT) END AS wave_i
+FROM gated
+"""
+
+
+@register(
+    "docs_crawl_gate",
+    oracle=_CRAWL_GATE_ORACLE,
+    tags=("text", "extract", "crawl", "frontier", "robots"),
+    expose=False,
+)
+def docs_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate + politeness scheduling — the fetch decision
+    after frontier dedup (docs_url_frontier): per-host robots.txt is
+    parsed with the RFC 9309 group model (consecutive User-agent
+    header lines; a group applies iff it names '*'; longest-match
+    precedence with Allow winning ties; empty Disallow is a no-op),
+    every frontier URL gets its verdict + winning rule, and allowed
+    URLs are assigned per-host fetch waves of floor(window /
+    crawl_delay) slots ordered by reference count. One broadcast join
+    + per-row array logic + one host-partitioned window — the wave
+    exchange IS the per-host politeness batching a fetcher pays by
+    definition. The oracle replays text split, group assignment, rule
+    precedence, and wave arithmetic."""
+    return robots_gate(
+        docs_url_frontier(spark, sf_dir), parse_robots(spark)
+    )

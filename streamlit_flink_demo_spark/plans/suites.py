@@ -1901,6 +1901,10 @@ UNION ALL
 SELECT 'frontier', {_NULL_B}, host || ' ' || url,
        n_refs, n_docs, {_NULL_B}, {_NULL_B}, {_NULL_D}
 FROM ({_o("docs_url_frontier")})
+UNION ALL
+SELECT 'gate', {_NULL_B}, url || ' ' || coalesce(rule, '-'),
+       allowed_i, wave_i, n_refs, {_NULL_B}, {_NULL_D}
+FROM ({_o("docs_crawl_gate")})
 """,
     tags=("text", "extract", "pipeline", "suite"),
 )
@@ -1914,9 +1918,12 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     container stage one step earlier — content-length record framing
     into the same extraction rules (docs_warc_extract; its per-doc
     output hash-matching the 'text' branch on the same driver row IS
-    the proof the container stage is lossless), and the frontier step
+    the proof the container stage is lossless), the frontier step
     after links — URL canonicalization + (host, url) dedup
-    (docs_url_frontier). The extraction pass
+    (docs_url_frontier), and the fetch decision after the frontier —
+    robots.txt gating (RFC 9309 group model, longest-match precedence)
+    plus crawl-delay wave scheduling (docs_crawl_gate). The
+    extraction pass
     itself — the family's dominant cost — runs ONCE per suite
     execution: text/quality/yield branches share the track_persist'd
     extracted frame (operators/extract.py _extracted_frame), and
@@ -1981,7 +1988,19 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("i4"),
         _nd().alias("v1"),
     )
-    return _u(tx, qu, ln, yl, wc, fr)
+    gt = _fn("docs_crawl_gate")(spark, sf_dir).select(
+        F.lit("gate").alias("family"),
+        _nb().alias("k1"),
+        F.concat_ws(
+            " ", "url", F.coalesce("rule", F.lit("-"))
+        ).alias("s1"),
+        F.col("allowed_i").cast("bigint").alias("i1"),
+        F.col("wave_i").alias("i2"),
+        F.col("n_refs").alias("i3"),
+        _nb().alias("i4"),
+        _nd().alias("v1"),
+    )
+    return _u(tx, qu, ln, yl, wc, fr, gt)
 
 
 @register(

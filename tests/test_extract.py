@@ -373,3 +373,100 @@ def test_url_frontier_collapses_variants(spark, sf_dir):
     assert not any("utm_" in u or "#" in u or "gclid" in u for u in urls)
     # upper-case scheme/host variants never surface
     assert not any("Example" in u or "HTTP:" in u for u in urls)
+
+
+def test_robots_parse_group_model(spark):
+    """RFC 9309 group semantics on the synthesized robots.txt: the
+    greedybot-only group's rules and crawl-delay must NOT leak, the
+    two-agent header (googlebot + *) group applies, the empty
+    Disallow is a no-op, and crawl-delay comes from the '*' group."""
+    from streamlit_flink_demo_spark.operators.extract import parse_robots
+
+    rows = {r.host: r for r in parse_robots(spark).collect()}
+    ex = rows["example.com"]
+    rules = {(r["a"], r["p"]) for r in ex.rules}
+    assert rules == {(0, "/doc/"), (1, "/doc/4"), (0, "/contact")}
+    assert ex.delay_r == 2.0  # greedybot's 9 never leaks
+    mi = rows["mirror.example.com"]
+    assert {(r["a"], r["p"]) for r in mi.rules} == {(0, "/a"), (1, "/a/b")}
+    assert mi.delay_r == 0.5
+    p8 = rows["example.com:8080"]
+    assert {(r["a"], r["p"]) for r in p8.rules} == {(0, "/")}
+    assert p8.delay_r is None  # no crawl-delay -> default budget
+
+
+def test_robots_gate_longest_match_and_waves(spark):
+    """Longest-match precedence with Allow winning ties, default-allow
+    on no match, full-block host, and deterministic wave assignment
+    from the crawl-delay budget."""
+    from pyspark.sql import functions as F
+
+    from streamlit_flink_demo_spark.operators.extract import (
+        parse_robots,
+        robots_gate,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("example.com", "http://example.com/", 10),
+            ("example.com", "http://example.com/about", 9),
+            ("example.com", "http://example.com/doc/7", 8),
+            ("example.com", "http://example.com/doc/42?x=1", 7),
+            ("example.com", "http://example.com/contact", 6),
+            ("mirror.example.com", "https://mirror.example.com/a/b?b=1", 5),
+            ("example.com:8080", "http://example.com:8080/doc/7", 4),
+            ("unlisted.org", "http://unlisted.org/x", 3),
+        ],
+        "host string, url string, n_refs bigint",
+    )
+    out = {
+        r.url: r
+        for r in robots_gate(frontier, parse_robots(spark)).collect()
+    }
+    assert out["http://example.com/"].allowed_i == 1
+    assert out["http://example.com/"].rule is None  # no rule matched
+    assert out["http://example.com/doc/7"].allowed_i == 0
+    assert out["http://example.com/doc/7"].rule == "/doc/"
+    # Allow '/doc/4' (len 6) beats Disallow '/doc/' (len 5)
+    assert out["http://example.com/doc/42?x=1"].allowed_i == 1
+    assert out["http://example.com/doc/42?x=1"].rule == "/doc/4"
+    assert out["http://example.com/contact"].allowed_i == 0
+    # Allow '/a/b' beats Disallow '/a' on the mirror host
+    assert out["https://mirror.example.com/a/b?b=1"].allowed_i == 1
+    assert out["https://mirror.example.com/a/b?b=1"].rule == "/a/b"
+    # full-block host and robots-less host
+    assert out["http://example.com:8080/doc/7"].allowed_i == 0
+    assert out["http://unlisted.org/x"].allowed_i == 1
+    # waves: example.com budget = floor(10/2) = 5; three allowed urls
+    # ordered by n_refs desc all land in wave 0; blocked rows get NULL
+    assert out["http://example.com/"].wave_i == 0
+    assert out["http://example.com/about"].wave_i == 0
+    assert out["http://example.com/doc/7"].wave_i is None
+
+
+def test_robots_gate_wave_budget_splits(spark):
+    """A host with more allowed URLs than its per-wave budget rolls
+    into later waves in n_refs-desc order (mirror budget = 20)."""
+    from streamlit_flink_demo_spark.operators.extract import (
+        parse_robots,
+        robots_gate,
+    )
+
+    rows = [
+        (
+            "mirror.example.com",
+            f"https://mirror.example.com/a/b?b={i}",
+            100 - i,
+        )
+        for i in range(25)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "host string, url string, n_refs bigint"
+    )
+    out = robots_gate(frontier, parse_robots(spark)).collect()
+    waves = {r.url: r.wave_i for r in out}
+    # highest-n_refs 20 urls -> wave 0, remaining 5 -> wave 1
+    assert waves["https://mirror.example.com/a/b?b=0"] == 0
+    assert waves["https://mirror.example.com/a/b?b=19"] == 0
+    assert waves["https://mirror.example.com/a/b?b=20"] == 1
+    assert waves["https://mirror.example.com/a/b?b=24"] == 1

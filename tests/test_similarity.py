@@ -399,9 +399,13 @@ def test_index_dir_is_collision_free_and_publish_is_atomic(tmp_path):
         if d.startswith("current.v-")
     ]
     assert len(versions) == 1  # only the live version remains
-    # no leftover tmp/old/link debris beyond the lock file
+    # no leftover tmp/old/link debris beyond the lock files (the
+    # publish lock, plus the maintenance lock _publish_artifact now
+    # takes so builders serialize with compaction/fold — ADVICE r12)
     leftover = sorted(os.listdir(tmp_path / "art"))
-    assert leftover == sorted(["current", "current.lock"] + versions)
+    assert leftover == sorted(
+        ["current", "current.lock", "current.maint.lock"] + versions
+    )
 
 def test_substring_spans_exact_independent_recompute(spark, sf_dir):
     """Exact recompute of the span operator from raw token streams:
