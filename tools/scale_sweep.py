@@ -131,6 +131,9 @@ OPS = (
     "docs_warc_extract",
     "docs_url_frontier",
     "docs_extract_yield",
+    # round 13: robots gate = frontier + broadcast rules join + one
+    # host-partitioned wave window
+    "docs_crawl_gate",
 )
 
 
