@@ -180,3 +180,49 @@ def test_base_index_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "b#" in plan
     # and the filtered read returns only those buckets' rows
     assert {r["b"] for r in probe.collect()} <= {3, 7}
+
+
+def test_sink_compaction_preserves_cross_batch_dedup(spark, tmp_path):
+    """The frontier sink compacts like any IdempotentParquetSink: after
+    folding committed batches into one compact generation, the seen
+    side still contains every emitted URL (read_committed sees the
+    compacted dir) and a later batch still drops rediscoveries."""
+    from streamlit_flink_demo_spark.sinks import compact_sink
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "frontier")
+    ck = str(tmp_path / "ck")
+
+    q = attach_frontier_stream(
+        _stream(spark, spool), out, checkpoint_dir=ck
+    )
+    try:
+        _write_batch(spark, spool, 0, _B0)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = compact_sink(spark, out, target_partitions=1)
+    assert folded == 1
+
+    q2 = attach_frontier_stream(
+        _stream(spark, spool), out, checkpoint_dir=ck
+    )
+    try:
+        _write_batch(spark, spool, 1, _B1)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = IdempotentParquetSink(out).read_committed(spark).collect()
+    urls = sorted(r["url"] for r in rows)
+    # B1's rediscovery of /a?k=1 was dropped against the COMPACTED
+    # seen set; only /q is new
+    assert urls == [
+        "http://example.com/a?k=1",
+        "http://example.com/rel/path",
+        "https://other.net/p",
+        "https://other.net/q",
+    ]
+    assert len(urls) == len(set(urls))
