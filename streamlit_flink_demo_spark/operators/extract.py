@@ -1500,3 +1500,271 @@ def docs_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(
         docs_url_frontier(spark, sf_dir), parse_robots(spark)
     )
+
+
+# --------------------------------------------------------------------------
+# Host-graph authority rank: frontier PRIORITIZATION after the gate
+# --------------------------------------------------------------------------
+
+# The crawl chain so far decides what COULD be fetched (frontier),
+# what MAY be fetched (robots gate), and how FAST per host
+# (crawl-delay waves). The remaining crawler decision is ORDER —
+# which hosts first — and production crawlers order by link-graph
+# authority (PageRank/OPIC over the HOST graph, not the page graph:
+# hosts are ~1000x fewer than pages, so the iterative part runs on a
+# frame a thousandth the corpus size while the corpus-proportional
+# work is one edge-extraction scan). This stage builds the weighted
+# host graph FROM the canonicalization stage (every raw link passes
+# through canonicalize_url / url_host, so case/port/tracking noise
+# collapses before edges aggregate) and runs weighted PageRank with
+# the scaled-integer determinism discipline of docs_pagerank
+# (operators/dedup.py): ranks live as round(r * 2^40) BIGINT between
+# iterations, per-edge contributions are round(q * w / out_w), and
+# dangling mass (link targets with no out-links, here the example.com
+# hub and the mirror) redistributes uniformly — every intermediate is
+# bit-identical to the unrolled-CTE oracle.
+#
+# Link synthesis (deterministic, messy on purpose — canonicalization
+# must have real work BEFORE edges aggregate): every document lives
+# on home host site<doc_id % 61>.example.org and links
+#   1. the NEXT site in the ring, written with uppercase scheme/host,
+#      an explicit :80, a utm_ param, and a fragment,
+#   2. a multiplier site (doc_id*7 % 61) in clean form — for
+#      doc_id ≡ 0 (mod 61) this lands on the doc's OWN host and the
+#      self-loop filter must drop it,
+#   3. the corpus hub via a RELATIVE href (/doc/<id%97> resolves to
+#      example.com — the hub is target-only, i.e. dangling),
+#   4. every 13th doc: the mirror host with :443 to strip.
+#
+# Scale shape: the corpus-proportional cost is ONE projection scan +
+# one combine-enabled (src,dst) group-by; the power iterations run on
+# the aggregated host graph (|hosts| rows, |host-pairs| edges — at
+# web scale millions, not billions) with per-round lineage
+# truncation. The vertex count is one collected int, like the
+# k-means seeds and docs_pagerank's n.
+
+_HR_SITES = 61
+_HR_S = float(1 << 40)
+_HR_ITERS = 3
+
+
+def _host_rank_oracle_sql() -> str:
+    s = _HR_S
+    steps = [
+        f"""rawlinks AS (
+  SELECT doc_id, unnest([
+    'HTTP://Site' || ((doc_id + 1) % {_HR_SITES})
+      || '.Example.ORG:80/p/' || (doc_id % 17) || '?utm_source=ring#sec',
+    'https://site' || ((doc_id * 7) % {_HR_SITES})
+      || '.example.org/p/' || (doc_id % 17),
+    '/doc/' || (doc_id % 97)
+  ]) AS raw
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://Mirror.Example.com:443/a/' || (doc_id % 5)
+  FROM documents WHERE doc_id % 13 = 0
+)""",
+        _URL_CANON_SQL.strip().lstrip(","),
+        f"""edges AS MATERIALIZED (
+  SELECT 'site' || (c.doc_id % {_HR_SITES}) || '.example.org' AS src,
+         c.host AS dst, COUNT(*) AS w
+  FROM canonical c
+  WHERE 'site' || (c.doc_id % {_HR_SITES}) || '.example.org' <> c.host
+  GROUP BY 1, 2
+)""",
+        """verts AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+)""",
+        "nn AS (\n  SELECT COUNT(*) AS n FROM verts\n)",
+        """outw AS (
+  SELECT src AS host, CAST(SUM(w) AS BIGINT) AS ow
+  FROM edges GROUP BY src
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT v.host, COALESCE(o.ow, 0) AS ow,
+         CAST(round({s} / nn.n) AS BIGINT) AS q
+  FROM verts v LEFT JOIN outw o ON v.host = o.host CROSS JOIN nn
+)""",
+    ]
+    for t in range(_HR_ITERS):
+        steps.append(
+            f"""c{t} AS (
+  SELECT e.dst,
+         CAST(round(CAST(r.q AS DOUBLE) * e.w / r.ow) AS BIGINT) AS c
+  FROM edges e JOIN r{t} r ON e.src = r.host
+)"""
+        )
+        steps.append(
+            f"""i{t} AS (
+  SELECT dst AS host, SUM(c) AS infl FROM c{t} GROUP BY dst
+)"""
+        )
+        steps.append(
+            f"""d{t} AS (
+  SELECT COALESCE(SUM(q), 0) AS dang FROM r{t} WHERE ow = 0
+)"""
+        )
+        steps.append(
+            f"""r{t + 1} AS MATERIALIZED (
+  SELECT r.host, r.ow,
+         CAST(round(0.15 * {s} / nn.n
+                    + 0.85 * (COALESCE(i.infl, 0)
+                              + CAST(d.dang AS DOUBLE) / nn.n))
+              AS BIGINT) AS q
+  FROM r{t} r LEFT JOIN i{t} i ON r.host = i.host
+  CROSS JOIN d{t} d CROSS JOIN nn
+)"""
+        )
+    steps.append(
+        """inw AS (
+  SELECT dst AS host, CAST(SUM(w) AS BIGINT) AS iw
+  FROM edges GROUP BY dst
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT r.host, r.ow AS out_w, COALESCE(i.iw, 0) AS in_w, r.q AS pr_q,
+       ROUND(CAST(r.q AS DOUBLE) / {s}, 6) AS pr_r
+FROM r{_HR_ITERS} r LEFT JOIN inw i ON r.host = i.host
+"""
+    )
+
+
+@register(
+    "docs_host_rank",
+    oracle=_host_rank_oracle_sql(),
+    tags=("graph", "iterative", "crawl", "pagerank", "frontier"),
+    expose=False,
+)
+def docs_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host-graph PageRank — frontier prioritization, the
+    crawler decision after the robots gate: raw links (messy ring /
+    multiplier / relative-hub / mirror synthesis, see the module
+    comment) are canonicalized (canonicalize_url), aggregated into a
+    weighted (src_host, dst_host) edge frame with self-loops dropped,
+    and ranked by 3 damped power iterations with per-edge
+    contributions round(q * w / out_w) and uniform dangling
+    redistribution. Scaled-integer BIGINT ranks between iterations
+    (the docs_pagerank discipline) make pr_q exact against the
+    unrolled-CTE oracle; pr_r is its 6-digit decimal. One
+    corpus-proportional scan builds the edges; the iterations run on
+    the host-sized frame with per-round lineage truncation.
+    Driver-surfaced through the 'host_rank' branch of
+    group_agg_suite."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id")
+    k1 = ((F.col("doc_id") + 1) % _HR_SITES).cast("string")
+    k7 = ((F.col("doc_id") * 7) % _HR_SITES).cast("string")
+    m17 = (F.col("doc_id") % 17).cast("string")
+    base = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://Site"), k1,
+                    F.lit(".Example.ORG:80/p/"), m17,
+                    F.lit("?utm_source=ring#sec"),
+                ),
+                F.concat(
+                    F.lit("https://site"), k7,
+                    F.lit(".example.org/p/"), m17,
+                ),
+                F.concat(
+                    F.lit("/doc/"), (F.col("doc_id") % 97).cast("string")
+                ),
+            )
+        ).alias("raw"),
+    )
+    mirror = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Mirror.Example.com:443/a/"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("raw"),
+    )
+    links = base.unionByName(mirror)
+    src = F.concat(
+        F.lit("site"),
+        (F.col("doc_id") % _HR_SITES).cast("string"),
+        F.lit(".example.org"),
+    )
+    # One scan + one combine-enabled group-by builds the host graph;
+    # localCheckpoint truncates lineage (edges feed every iteration —
+    # the docs_pagerank pattern, operators/dedup.py:1177).
+    edges = (
+        links.select(
+            src.alias("src"),
+            url_host(canonicalize_url(F.col("raw"))).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()
+    )
+    verts = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy(F.col("src").alias("host")).agg(
+        F.sum("w").cast("bigint").alias("ow")
+    )
+    n = verts.count()  # one int of driver state (like docs_pagerank's n)
+    r = (
+        verts.join(outw, "host", "left")
+        .select(
+            "host",
+            F.coalesce("ow", F.lit(0)).alias("ow"),
+            F.round(F.lit(_HR_S) / F.lit(n)).cast("bigint").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    for it in range(_HR_ITERS):
+        contrib = edges.join(
+            r.select(F.col("host").alias("src"), "q", "ow"), "src"
+        ).select(
+            "dst",
+            F.round(F.col("q").cast("double") * F.col("w") / F.col("ow"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        infl = contrib.groupBy(F.col("dst").alias("host")).agg(
+            F.sum("c").alias("infl")
+        )
+        dang = r.filter(F.col("ow") == 0).agg(
+            F.coalesce(F.sum("q"), F.lit(0)).alias("dang")
+        )
+        r = (
+            r.select("host", "ow")
+            .join(infl, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                "ow",
+                F.round(
+                    F.lit(0.15) * F.lit(_HR_S) / F.lit(n)
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce("infl", F.lit(0))
+                        + F.col("dang").cast("double") / F.lit(n)
+                    )
+                )
+                .cast("bigint")
+                .alias("q"),
+            )
+        )
+        # last iteration stays lazy so repeat executions re-run one
+        # real round (the docs_pagerank timing discipline)
+        if it < _HR_ITERS - 1:
+            r = r.localCheckpoint()
+    inw = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.sum("w").cast("bigint").alias("iw")
+    )
+    return r.join(inw, "host", "left").select(
+        "host",
+        F.col("ow").cast("bigint").alias("out_w"),
+        F.coalesce("iw", F.lit(0)).cast("bigint").alias("in_w"),
+        F.col("q").alias("pr_q"),
+        F.round(F.col("q").cast("double") / _HR_S, 6).alias("pr_r"),
+    )

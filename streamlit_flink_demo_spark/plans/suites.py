@@ -346,6 +346,11 @@ SELECT 'cms_heavy', wd, {_NULL_S},
        CAST(est_cnt AS BIGINT), CAST(overcount AS BIGINT),
        CAST(exact_cnt AS BIGINT), {_NULL_D}, {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_heavy_hitters")})
+UNION ALL
+SELECT 'host_rank', host, {_NULL_S},
+       CAST(pr_q AS BIGINT), CAST(out_w AS BIGINT),
+       CAST(in_w AS BIGINT), CAST(pr_r AS DOUBLE), {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_host_rank")})
 """,
     tags=("agg", "suite"),
 )
@@ -358,10 +363,13 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means clustering (docs_cluster_kmeans, round 5 — iterative
     distributed aggregation with an unrolled-CTE oracle), semantic
     dedup (docs_semdedup, round 6 — cluster-then-prune per the
-    SemDeDup recipe, one applyInPandas per cluster), and PageRank over
+    SemDeDup recipe, one applyInPandas per cluster), PageRank over
     the near-dup graph (docs_pagerank, round 6 — fixed power
     iterations, scaled-integer ranks, per-round lineage
-    checkpointing)."""
+    checkpointing), and weighted host-graph PageRank for crawl
+    frontier prioritization (docs_host_rank, round 13 — edges built
+    through the canonicalization stage, same scaled-integer
+    discipline)."""
     gs = _fn("order_grouping_sets")(spark, sf_dir).select(
         F.lit("grouping_sets").alias("family"),
         F.col("o_orderpriority").alias("k1"),
@@ -505,7 +513,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr, hh)
+    hr = _fn("docs_host_rank")(spark, sf_dir).select(
+        F.lit("host_rank").alias("family"),
+        F.col("host").alias("k1"),
+        _ns().alias("k2"),
+        F.col("pr_q").cast("bigint").alias("i1"),
+        F.col("out_w").cast("bigint").alias("i2"),
+        F.col("in_w").cast("bigint").alias("n"),
+        F.col("pr_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr, hh, hr)
 
 
 # --------------------------------------------------------------------------

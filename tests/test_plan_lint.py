@@ -117,6 +117,8 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         "dedup_cdc_incremental",
         "dedup_minhash_yield_curve",
         "ann_ndcg_eval",
+        # round 13
+        "docs_host_rank",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
