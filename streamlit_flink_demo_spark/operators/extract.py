@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread
 
@@ -1767,4 +1768,140 @@ def docs_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("iw", F.lit(0)).cast("bigint").alias("in_w"),
         F.col("q").alias("pr_q"),
         F.round(F.col("q").cast("double") / _HR_S, 6).alias("pr_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Recrawl scheduling: freshness-driven re-fetch priority
+# --------------------------------------------------------------------------
+
+# Discovery (frontier -> gate -> host rank) decides the FIRST fetch;
+# a standing crawl spends most of its budget on RE-fetches, scheduled
+# by how often each URL's content actually changes (the Cho &
+# Garcia-Molina freshness model: estimate a change rate from observed
+# fetch-to-fetch differences, refetch hot pages more often, weight by
+# importance). This stage estimates that rate RELATIONALLY: per URL,
+# _RC_INTERVALS observation intervals are synthesized with a
+# deterministic per-URL change propensity (u60 md5 hashing — the
+# cross-engine discipline of functions/hashing.py — so the oracle
+# replays every draw bit-exactly), the observed change count feeds a
+# rational-arithmetic estimator (no transcendental functions: ln()
+# is NOT bit-portable across engines, so the estimator sticks to
+# exact integer/dyadic math), and the schedule emits a refetch
+# interval plus a per-host fetch order weighted by reference count.
+#
+# Spark shape: one frontier pass + a 4-way explode + one
+# combine-enabled group-by + ONE host-partitioned window (the same
+# politeness key every crawl stage batches on). The frontier's
+# canonical URL set stands in for the crawled set; gate verdicts
+# (docs_crawl_gate) apply at fetch time, orthogonally.
+
+_RC_INTERVALS = 4  # observation intervals per URL
+_RC_BUDGET = 8  # refetch-interval budget: floor(8/(changes+1)) + 1
+
+_RECRAWL_ORACLE = f"""
+WITH frontier AS ({{frontier}}),
+rated AS (
+  SELECT host, url, n_refs,
+         1 + ({u60_sql("'rate:' || url")} % 9) AS rate
+  FROM frontier
+),
+obs AS (
+  SELECT r.host, r.url, r.n_refs,
+         CASE WHEN ({u60_sql("'chg:' || r.url || ':' || g.i")} % 10)
+                   < r.rate THEN 1 ELSE 0 END AS chg
+  FROM rated r,
+       (SELECT unnest(generate_series(1, {_RC_INTERVALS})) AS i) g
+),
+est AS (
+  SELECT host, url, n_refs, CAST(SUM(chg) AS BIGINT) AS n_changes
+  FROM obs GROUP BY host, url, n_refs
+)
+SELECT host, url, n_refs, n_changes,
+       ROUND(n_changes / {_RC_INTERVALS}.0, 6) AS p_change_r,
+       ROUND(n_refs * n_changes / {_RC_INTERVALS}.0, 6) AS priority_r,
+       CAST(floor({_RC_BUDGET} / (n_changes + 1)) + 1 AS BIGINT)
+         AS interval_i,
+       CAST(row_number() OVER (
+              PARTITION BY host
+              ORDER BY n_refs * n_changes DESC, url) AS BIGINT)
+         AS fetch_order_i
+FROM est
+"""
+
+
+@register(
+    "docs_recrawl_schedule",
+    oracle=_RECRAWL_ORACLE.format(frontier=_URL_FRONTIER_ORACLE.strip()),
+    tags=("crawl", "frontier", "freshness", "schedule"),
+    expose=False,
+)
+def docs_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling — the standing-crawl
+    decision after discovery: per canonical URL, _RC_INTERVALS
+    deterministic observation intervals (u60-hashed change draws
+    against a per-URL propensity, so heterogeneous change rates are
+    synthesized without randomness) yield an observed change count,
+    from which rational arithmetic derives the change probability,
+    an importance-weighted priority (n_refs x p_change), a refetch
+    interval floor(budget/(changes+1))+1, and the per-host fetch
+    order (one politeness-partitioned window). All integer/dyadic
+    math — bit-exact against the oracle's replay of the same draws.
+    Driver-surfaced through the 'recrawl' branch of
+    extract_family_suite."""
+    from pyspark.sql import Window
+
+    fr = docs_url_frontier(spark, sf_dir)
+    rated = fr.withColumn(
+        "rate",
+        F.lit(1) + u60(F.concat(F.lit("rate:"), F.col("url"))) % 9,
+    )
+    obs = rated.select(
+        "host",
+        "url",
+        "n_refs",
+        "rate",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_RC_INTERVALS))
+        ).alias("i"),
+    ).withColumn(
+        "chg",
+        (
+            u60(
+                F.concat(
+                    F.lit("chg:"),
+                    F.col("url"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % 10
+            < F.col("rate")
+        ).cast("int"),
+    )
+    est = obs.groupBy("host", "url", "n_refs").agg(
+        F.sum("chg").cast("bigint").alias("n_changes")
+    )
+    wv = Window.partitionBy("host").orderBy(
+        F.desc(F.col("n_refs") * F.col("n_changes")), F.asc("url")
+    )
+    return est.select(
+        "host",
+        "url",
+        "n_refs",
+        "n_changes",
+        F.round(F.col("n_changes") / F.lit(float(_RC_INTERVALS)), 6)
+        .alias("p_change_r"),
+        F.round(
+            F.col("n_refs") * F.col("n_changes")
+            / F.lit(float(_RC_INTERVALS)),
+            6,
+        ).alias("priority_r"),
+        (
+            F.floor(F.lit(_RC_BUDGET) / (F.col("n_changes") + 1))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("interval_i"),
+        F.row_number().over(wv).cast("bigint").alias("fetch_order_i"),
     )

@@ -1924,6 +1924,10 @@ UNION ALL
 SELECT 'gate', {_NULL_B}, url || ' ' || coalesce(rule, '-'),
        allowed_i, wave_i, n_refs, {_NULL_B}, {_NULL_D}
 FROM ({_o("docs_crawl_gate")})
+UNION ALL
+SELECT 'recrawl', {_NULL_B}, host || ' ' || url,
+       n_changes, interval_i, fetch_order_i, n_refs, priority_r
+FROM ({_o("docs_recrawl_schedule")})
 """,
     tags=("text", "extract", "pipeline", "suite"),
 )
@@ -1939,9 +1943,11 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     output hash-matching the 'text' branch on the same driver row IS
     the proof the container stage is lossless), the frontier step
     after links — URL canonicalization + (host, url) dedup
-    (docs_url_frontier), and the fetch decision after the frontier —
+    (docs_url_frontier), the fetch decision after the frontier —
     robots.txt gating (RFC 9309 group model, longest-match precedence)
-    plus crawl-delay wave scheduling (docs_crawl_gate). The
+    plus crawl-delay wave scheduling (docs_crawl_gate), and
+    freshness-driven recrawl scheduling — change-rate estimation and
+    importance-weighted refetch order (docs_recrawl_schedule). The
     extraction pass
     itself — the family's dominant cost — runs ONCE per suite
     execution: text/quality/yield branches share the track_persist'd
@@ -2019,7 +2025,17 @@ def extract_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("i4"),
         _nd().alias("v1"),
     )
-    return _u(tx, qu, ln, yl, wc, fr, gt)
+    rc = _fn("docs_recrawl_schedule")(spark, sf_dir).select(
+        F.lit("recrawl").alias("family"),
+        _nb().alias("k1"),
+        F.concat_ws(" ", "host", "url").alias("s1"),
+        F.col("n_changes").alias("i1"),
+        F.col("interval_i").alias("i2"),
+        F.col("fetch_order_i").alias("i3"),
+        F.col("n_refs").alias("i4"),
+        F.col("priority_r").alias("v1"),
+    )
+    return _u(tx, qu, ln, yl, wc, fr, gt, rc)
 
 
 @register(

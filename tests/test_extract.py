@@ -470,3 +470,66 @@ def test_robots_gate_wave_budget_splits(spark):
     assert waves["https://mirror.example.com/a/b?b=19"] == 0
     assert waves["https://mirror.example.com/a/b?b=20"] == 1
     assert waves["https://mirror.example.com/a/b?b=24"] == 1
+
+
+# --------------------------------------------------------------------------
+# docs_recrawl_schedule: freshness estimation + refetch ordering
+# --------------------------------------------------------------------------
+
+
+def test_recrawl_schedule_matches_pure_python(spark, sf_dir):
+    """Re-derive every change draw, estimator value, and per-host
+    fetch order in pure Python (hashlib md5 — no shared code with the
+    DataFrame path) and require row-exact agreement."""
+    import hashlib
+
+    from streamlit_flink_demo_spark.operators.extract import (
+        _RC_BUDGET,
+        _RC_INTERVALS,
+    )
+    from streamlit_flink_demo_spark.plans import load_all
+
+    reg = load_all(exposed_only=False)
+    got = reg["docs_recrawl_schedule"].fn(spark, sf_dir).toPandas()
+
+    def u60py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = {}
+    for r in got.itertuples():
+        rate = 1 + u60py(f"rate:{r.url}") % 9
+        changes = sum(
+            1
+            for i in range(1, _RC_INTERVALS + 1)
+            if u60py(f"chg:{r.url}:{i}") % 10 < rate
+        )
+        assert r.n_changes == changes, r.url
+        assert r.p_change_r == round(changes / _RC_INTERVALS, 6)
+        assert r.priority_r == round(
+            r.n_refs * changes / _RC_INTERVALS, 6
+        )
+        assert r.interval_i == _RC_BUDGET // (changes + 1) + 1
+        rows.setdefault(r.host, []).append(r)
+    # fetch order: rank of (n_refs * n_changes desc, url asc) per host
+    for host, rs in rows.items():
+        want = sorted(rs, key=lambda r: (-r.n_refs * r.n_changes, r.url))
+        for pos, r in enumerate(want, 1):
+            assert r.fetch_order_i == pos, (host, r.url)
+
+
+def test_recrawl_schedule_rate_heterogeneity(spark, sf_dir):
+    """The synthesized corpus must exercise the estimator across the
+    range: both stable URLs (few/no changes -> long interval) and hot
+    URLs (max changes -> interval 1 + budget floor) exist, and
+    fetch_order is a dense 1..k per host."""
+    from streamlit_flink_demo_spark.plans import load_all
+
+    reg = load_all(exposed_only=False)
+    got = reg["docs_recrawl_schedule"].fn(spark, sf_dir).toPandas()
+    assert got.n_changes.min() <= 1
+    assert got.n_changes.max() >= 3
+    assert got.interval_i.min() >= 1
+    assert (
+        got.groupby("host").fetch_order_i.max()
+        == got.groupby("host").size()
+    ).all()

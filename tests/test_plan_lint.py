@@ -119,6 +119,7 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         "ann_ndcg_eval",
         # round 13
         "docs_host_rank",
+        "docs_recrawl_schedule",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
