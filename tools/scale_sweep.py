@@ -134,6 +134,11 @@ OPS = (
     # round 13: robots gate = frontier + broadcast rules join + one
     # host-partitioned wave window
     "docs_crawl_gate",
+    # round 13 continuation: host rank = one edge-build scan + power
+    # iterations on the host-sized graph; recrawl = frontier + 4-way
+    # explode + one group-by + one host-partitioned window
+    "docs_host_rank",
+    "docs_recrawl_schedule",
 )
 
 
