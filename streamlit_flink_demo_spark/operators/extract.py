@@ -1168,9 +1168,15 @@ def docs_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = links.select(
         "doc_id", canonicalize_url(F.col("raw")).alias("url")
     ).withColumn("host", url_host(F.col("url")))
-    return canon.groupBy("host", "url").agg(
-        F.count("*").cast("bigint").alias("n_refs"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    # track_persist: three downstream stages consume this frame per
+    # suite execution (the frontier branch itself, the robots gate,
+    # and recrawl scheduling) — the cdc chunk-sharing discipline, so
+    # the canonicalization scan runs once, not three times.
+    return track_persist(
+        canon.groupBy("host", "url").agg(
+            F.count("*").cast("bigint").alias("n_refs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
     )
 
 
@@ -1498,8 +1504,11 @@ def docs_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange IS the per-host politeness batching a fetcher pays by
     definition. The oracle replays text split, group assignment, rule
     precedence, and wave arithmetic."""
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
     return robots_gate(
-        docs_url_frontier(spark, sf_dir), parse_robots(spark)
+        REGISTRY["docs_url_frontier"].fn(spark, sf_dir),
+        parse_robots(spark),
     )
 
 
@@ -1851,7 +1860,9 @@ def docs_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_family_suite."""
     from pyspark.sql import Window
 
-    fr = docs_url_frontier(spark, sf_dir)
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    fr = REGISTRY["docs_url_frontier"].fn(spark, sf_dir)
     rated = fr.withColumn(
         "rate",
         F.lit(1) + u60(F.concat(F.lit("rate:"), F.col("url"))) % 9,
