@@ -294,3 +294,40 @@ def test_schedule_formulas_match_batch_operator(spark):
     # single fetch: zero observed intervals clamps to 1, p stays 0
     assert got[_C]["p_change_r"] == 0.0
     assert got[_A]["host"] == "example.com"
+
+
+def test_sink_compaction_preserves_state_fold(spark, tmp_path):
+    """After folding committed delta batches into one compact
+    generation, latest_state still sees every (url, seq) delta — so a
+    later batch keeps incrementing from the compacted state instead
+    of restarting counters."""
+    from streamlit_flink_demo_spark.sinks import compact_sink
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    q = attach_recrawl_stream(_stream(spark, spool), out, checkpoint_dir=ck)
+    try:
+        _write_batch(spark, spool, 0, _B0)
+        q.processAllAvailable()
+        _write_batch(spark, spool, 1, _B1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = compact_sink(spark, out, target_partitions=1)
+    assert folded == 2
+
+    q2 = attach_recrawl_stream(_stream(spark, spool), out, checkpoint_dir=ck)
+    try:
+        _write_batch(spark, spool, 2, _B2)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    st = _final_state(spark, out)
+    # counters continued across the compaction boundary
+    assert st[_A]["n_fetches"] == 3 and st[_A]["n_changes"] == 1
+    assert st[_C]["n_fetches"] == 2 and st[_C]["n_changes"] == 1
