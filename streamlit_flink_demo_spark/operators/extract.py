@@ -1916,3 +1916,69 @@ def docs_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interval_i"),
         F.row_number().over(wv).cast("bigint").alias("fetch_order_i"),
     )
+
+
+# --------------------------------------------------------------------------
+# The crawl plan: one composed fetch schedule from all chain stages
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_crawl_plan",
+    # concatenation, not str.format: the gate oracle's synthesized CSS
+    # carries literal braces that format() would try to interpolate
+    oracle=(
+        "WITH gate AS ("
+        + _CRAWL_GATE_ORACLE.strip()
+        + "),\nhr AS ("
+        + _host_rank_oracle_sql().strip()
+        + """),
+allowed AS (
+  SELECT host, url, n_refs, wave_i FROM gate WHERE allowed_i = 1
+)
+SELECT a.host, a.url, a.n_refs, a.wave_i, h.pr_q, h.pr_r,
+       CAST(row_number() OVER (
+              PARTITION BY a.wave_i
+              ORDER BY h.pr_q DESC NULLS LAST, a.n_refs DESC, a.url)
+            AS BIGINT) AS fetch_rank_i
+FROM allowed a LEFT JOIN hr h ON a.host = h.host
+"""
+    ),
+    tags=("crawl", "frontier", "schedule", "graph"),
+    expose=False,
+)
+def docs_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl plan — every chain stage folded into one
+    fetch schedule: frontier URLs that survive the robots gate keep
+    their politeness wave (docs_crawl_gate), join host authority
+    (docs_host_rank, a BROADCAST of the host-sized rank frame), and
+    rank within each wave by (host rank, reference count, url) — the
+    order a polite, authority-prioritized fetcher actually issues
+    requests in. One broadcast join + one wave-partitioned window on
+    top of the shared gate plan; hosts outside the rank graph order
+    last (desc_nulls_last, mirrored in the oracle). Driver-surfaced
+    through the 'crawl_plan' branch of group_agg_suite."""
+    from pyspark.sql import Window
+
+    from streamlit_flink_demo_spark.plans import REGISTRY
+
+    g = REGISTRY["docs_crawl_gate"].fn(spark, sf_dir)
+    hr = REGISTRY["docs_host_rank"].fn(spark, sf_dir)
+    allowed = g.filter(F.col("allowed_i") == 1).select(
+        "host", "url", "n_refs", "wave_i"
+    )
+    joined = allowed.join(
+        F.broadcast(hr.select("host", "pr_q", "pr_r")), "host", "left"
+    )
+    wv = Window.partitionBy("wave_i").orderBy(
+        F.desc_nulls_last("pr_q"), F.desc("n_refs"), F.asc("url")
+    )
+    return joined.select(
+        "host",
+        "url",
+        "n_refs",
+        "wave_i",
+        "pr_q",
+        "pr_r",
+        F.row_number().over(wv).cast("bigint").alias("fetch_rank_i"),
+    )

@@ -351,6 +351,11 @@ SELECT 'host_rank', host, {_NULL_S},
        CAST(pr_q AS BIGINT), CAST(out_w AS BIGINT),
        CAST(in_w AS BIGINT), CAST(pr_r AS DOUBLE), {_NULL_D}, {_NULL_D}
 FROM ({_o("docs_host_rank")})
+UNION ALL
+SELECT 'crawl_plan', host, url,
+       CAST(wave_i AS BIGINT), CAST(fetch_rank_i AS BIGINT),
+       CAST(n_refs AS BIGINT), CAST(pr_r AS DOUBLE), {_NULL_D}, {_NULL_D}
+FROM ({_o("docs_crawl_plan")})
 """,
     tags=("agg", "suite"),
 )
@@ -366,10 +371,12 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup recipe, one applyInPandas per cluster), PageRank over
     the near-dup graph (docs_pagerank, round 6 — fixed power
     iterations, scaled-integer ranks, per-round lineage
-    checkpointing), and weighted host-graph PageRank for crawl
+    checkpointing), weighted host-graph PageRank for crawl
     frontier prioritization (docs_host_rank, round 13 — edges built
     through the canonicalization stage, same scaled-integer
-    discipline)."""
+    discipline), and the composed crawl plan (docs_crawl_plan,
+    round 13 — gate-surviving URLs joined to host authority and
+    ranked within politeness waves)."""
     gs = _fn("order_grouping_sets")(spark, sf_dir).select(
         F.lit("grouping_sets").alias("family"),
         F.col("o_orderpriority").alias("k1"),
@@ -524,7 +531,18 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"),
         _nd().alias("v3"),
     )
-    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr, hh, hr)
+    cp = _fn("docs_crawl_plan")(spark, sf_dir).select(
+        F.lit("crawl_plan").alias("family"),
+        F.col("host").alias("k1"),
+        F.col("url").alias("k2"),
+        F.col("wave_i").cast("bigint").alias("i1"),
+        F.col("fetch_rank_i").cast("bigint").alias("i2"),
+        F.col("n_refs").cast("bigint").alias("n"),
+        F.col("pr_r").cast("double").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+    )
+    return _u(gs, ro, cu, pc, di, cd, sh, dm, up, km, sd, pr, hh, hr, cp)
 
 
 # --------------------------------------------------------------------------

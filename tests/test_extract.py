@@ -533,3 +533,35 @@ def test_recrawl_schedule_rate_heterogeneity(spark, sf_dir):
         got.groupby("host").fetch_order_i.max()
         == got.groupby("host").size()
     ).all()
+
+
+# --------------------------------------------------------------------------
+# docs_crawl_plan: the composed fetch schedule
+# --------------------------------------------------------------------------
+
+
+def test_crawl_plan_orders_waves_by_authority(spark, sf_dir):
+    from streamlit_flink_demo_spark.plans import load_all
+
+    reg = load_all(exposed_only=False)
+    got = reg["docs_crawl_plan"].fn(spark, sf_dir).toPandas()
+    gate = reg["docs_crawl_gate"].fn(spark, sf_dir).toPandas()
+
+    # only gate-allowed URLs appear (the full-block host and the
+    # Disallowed subtrees never reach the plan)
+    allowed = gate[gate.allowed_i == 1]
+    assert set(got.url) == set(allowed.url)
+    assert "example.com:8080" not in set(got.host)
+
+    # ranks are dense 1..k within each wave
+    for wave, grp in got.groupby("wave_i"):
+        assert sorted(grp.fetch_rank_i) == list(range(1, len(grp) + 1))
+
+    # authority ordering: within any wave containing both hosts,
+    # every example.com URL (the hub, max host rank) outranks every
+    # mirror URL
+    for wave, grp in got.groupby("wave_i"):
+        ex = grp[grp.host == "example.com"]
+        mi = grp[grp.host == "mirror.example.com"]
+        if len(ex) and len(mi):
+            assert ex.fetch_rank_i.max() < mi.fetch_rank_i.min()

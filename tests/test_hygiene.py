@@ -128,9 +128,9 @@ def test_full_registry_count_pinned():
         if not k.startswith("_")  # test-registered probes exempt
     }
     with_oracle = [k for k, v in qs.items() if getattr(v, "oracle", None)]
-    assert len(qs) == 204, f"registry count drifted: {len(qs)} != 204"
-    assert len(with_oracle) == 202, (
-        f"oracle count drifted: {len(with_oracle)} != 202; "
+    assert len(qs) == 205, f"registry count drifted: {len(qs)} != 205"
+    assert len(with_oracle) == 203, (
+        f"oracle count drifted: {len(with_oracle)} != 203; "
         f"without oracle: {sorted(set(qs) - set(with_oracle))}"
     )
 

@@ -120,6 +120,7 @@ def test_unpushed_filter_detected(spark, sf_dir, tmp_path):
         # round 13
         "docs_host_rank",
         "docs_recrawl_schedule",
+        "docs_crawl_plan",
     ],
 )
 def test_engine_hot_paths_pass_the_error_gate(spark, sf_dir, name):
