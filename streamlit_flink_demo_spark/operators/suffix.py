@@ -60,20 +60,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
-from streamlit_flink_demo_spark.plans import register
+from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread
 
 _SA_SEED = 8  # initial key: first 8 chars of each suffix
 _SA_MOD = 1_000_000_007  # per-term checksum modulus (no BIGINT overflow)
 
 
-def _global_group_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
+def _global_group_rank(
+    df: DataFrame, key_cols: list[str], unique: bool = False
+) -> DataFrame:
     """Add ``rank`` = number of rows strictly smaller in ``key_cols``
     order (dense group-start rank): range-sort globally, index rows as
     (partition offset + within-partition row_number), then take the
     key group's MIN index. The per-partition count collect is bounded
     by the partition count; correctness does not depend on where the
-    range sampler places boundaries (see module docstring)."""
+    range sampler places boundaries (see module docstring).
+
+    ``unique=True`` declares the key provably unique per row (e.g.
+    capsort's (s64, doc_id, p)): every key group is a singleton, so
+    group-start rank == global index and the min-over-key-group
+    window — a full hash exchange of the payload by the composite
+    key — is skipped outright (guide §2.4: remove shuffles whose
+    result is the identity)."""
     from pyspark.sql import Window as W
 
     rp = df.repartitionByRange(*key_cols).withColumn(
@@ -110,6 +119,10 @@ def _global_group_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
         + F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("bigint")
     )
     indexed = rp.withColumn("_idx", idx)
+    if unique:
+        return indexed.withColumn("rank", F.col("_idx")).drop(
+            "_pid", "_idx"
+        )
     wkey = W.partitionBy(*key_cols)
     # the window plans below hang off the checkpointed rp, so the
     # caller's next-round self-join re-derives them from pinned
@@ -1057,6 +1070,70 @@ def dedup_sa_span_rewrite_sharded(
     )
 
 
+def _dup_gram_pos(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, s64) restricted to positions whose exact
+    _MIN_REPEAT-char (24) seed gram occurs at >= 2 corpus positions —
+    the shared prefilter of the capsort and gram-group rewrite tiers
+    (r13 optimization, guide §2.3/§3.2: decide with small rows, move
+    the heavy payload once).
+
+    Why it is exact for BOTH tiers: the rewrite thresholds at
+    lcp >= 24, and any pair attaining that shares its 24-prefix, so
+    (a) a position whose 24-gram is corpus-unique (or whose tail is
+    shorter than 24 chars) can never credit, or be credited, a span —
+    its max LCP with anything is < 24; and (b) for a kept position
+    the crediting partner sits inside the contiguous sorted run of
+    its 24-prefix group, which the filter keeps whole, so subset
+    adjacency preserves every credited value >= 24 bit-for-bit
+    (values < 24 may shrink, and are discarded by
+    ``_ranges_from_credited`` either way). This is the gram-group
+    tier's own exactness argument, promoted to a prefilter both
+    tiers share.
+
+    Plan shape: pass 1 aggregates xxhash64 of the seed gram — 8-byte
+    keys with map-side partial aggregation, never the 64-char
+    payload — and pass 2 re-derives the positions and drops ~85% of
+    them (measured sf0.1: 202k of 1 371k positions sit in duplicated
+    24-gram groups) with a broadcast LEFT SEMI before any
+    payload-carrying exchange. Hash collisions only ever KEEP a
+    singleton position (its credited lcp stays < 24 and is filtered
+    downstream), so the hash never affects results. The duplicated-
+    gram set is bounded by true duplication, not corpus size; on a
+    100 TB corpus where it outgrows a broadcast, swap the explicit
+    broadcast for the runtime Bloom-filter semi-join (guide §3.2) —
+    the decide-with-8-byte-keys structure is unchanged.
+    track_persist'd so the suite's two tiers share one computation of
+    the surviving ~15%."""
+    pos = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - 1)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias(
+                "s64"
+            ),
+        )
+        .filter(F.length("s64") >= _MIN_REPEAT)
+    )
+    gh = F.xxhash64(F.substring(F.col("s64"), 1, _MIN_REPEAT))
+    dup = (
+        pos.select(gh.alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    return track_persist(
+        pos.join(F.broadcast(dup), gh == F.col("gh"), "leftsemi")
+    )
+
+
 @register(
     "dedup_span_rewrite_capsort",
     oracle=_sa_rewrite_oracle(False),
@@ -1094,18 +1171,15 @@ def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
-    pos = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "p",
-        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
-    )
-    ranked = _global_group_rank(pos, ["s64", "doc_id", "p"]).select(
-        "doc_id", "p", "s64", F.col("rank").alias("r")
-    )
+    # r13 optimization: only positions in duplicated 24-gram groups
+    # can contribute a span (see _dup_gram_pos — exactness argument
+    # there), so the range sort runs over the surviving ~15% and the
+    # key (s64, doc_id, p) is unique, which drops the min-over-group
+    # exchange entirely (unique=True).
+    pos = _dup_gram_pos(docs)
+    ranked = _global_group_rank(
+        pos, ["s64", "doc_id", "p"], unique=True
+    ).select("doc_id", "p", "s64", F.col("rank").alias("r"))
     a = ranked.alias("a")
     b = ranked.select(
         (F.col("r") - 1).alias("prev_r"),
@@ -1381,16 +1455,14 @@ def dedup_span_rewrite_gramgroup(
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
-    pos = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("p"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "p",
-        F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
-    ).withColumn("g", F.substring("s64", 1, _MIN_REPEAT)).filter(
-        F.length("g") >= _MIN_REPEAT
+    # r13 optimization: the broadcast dup-gram prefilter
+    # (_dup_gram_pos) drops singleton-gram positions BEFORE the hash
+    # exchange, so the window stage shuffles the surviving ~15%
+    # instead of every corpus position. The exact in-window gsz >= 2
+    # filter below stays — it is what makes xxhash64 collisions in
+    # the prefilter harmless to group membership.
+    pos = _dup_gram_pos(docs).withColumn(
+        "g", F.substring("s64", 1, _MIN_REPEAT)
     )
     wg = W.partitionBy("g").orderBy("s64", "doc_id", "p")
     wc = W.partitionBy("g")
