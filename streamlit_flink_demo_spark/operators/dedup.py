@@ -508,14 +508,24 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # one explode instead of union-of-two-selects: the union form
+    # planned (and executed) the whole minhash-LSH pairs subtree once
+    # per branch (r13 optimization — same fix as suffix._credit_both).
     edges = track_persist(
         pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     # Loop frames use BARE persist and are unpersisted as the loop
     # advances; only edges and the FINAL labels frame are
@@ -1184,13 +1194,22 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed state is k rows × 3 ints per vertex partition,
     # executor-resident, and failure-recovery at production scale
     # swaps in reliable checkpointing on the same call site.
+    # one explode instead of union-of-two-selects (r13 optimization,
+    # see dedup_connected_clusters above): halves the pairs subtree.
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-        )
-    ).localCheckpoint()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").alias("deg")
     )

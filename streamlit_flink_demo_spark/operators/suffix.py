@@ -522,6 +522,34 @@ def _lcp_expr(a, b):  # Column, Column: capped suffix strings
     ).otherwise(pos - 1).cast("bigint")
 
 
+def _credit_both(pairs: DataFrame) -> DataFrame:
+    """credited (doc_id, p, lcp) rows for BOTH endpoints of each
+    adjacent pair, via one explode of a two-struct array. The prior
+    union-of-two-selects form made ``pairs`` a shared subexpression
+    that Catalyst plans (and executes) ONCE PER UNION BRANCH — the
+    whole adjacency join, its two sort exchanges, and every LCP
+    evaluation ran twice (r13 optimization; visible as duplicated
+    SortMergeJoin subtrees in plans/r13/
+    corpus_longest_repeat_indexed_before.txt). The explode keeps one
+    subtree and emits two rows per pair."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_doc").alias("doc_id"),
+                    F.col("a_p").alias("p"),
+                    F.col("lcp").alias("lcp"),
+                ),
+                F.struct(
+                    F.col("b_doc").alias("doc_id"),
+                    F.col("b_p").alias("p"),
+                    F.col("lcp").alias("lcp"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.doc_id", "c.p", "c.lcp")
+
+
 _LR_ORACLE = f"""
 WITH pos AS (
   SELECT doc_id, k AS p, substr(text, k + 1) AS sfx
@@ -613,13 +641,7 @@ def _longest_repeat_from_sa(docs: DataFrame, sa: DataFrame) -> DataFrame:
         "b_p",
         _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
     )
-    credited = pairs.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
-    ).unionAll(
-        pairs.select(
-            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
-        )
-    )
+    credited = _credit_both(pairs)
     return credited.groupBy("doc_id").agg(
         F.max("lcp").cast("bigint").alias("max_repeat"),
         F.sum(F.when(F.col("lcp") >= 24, 1).otherwise(0))
@@ -749,13 +771,7 @@ def corpus_longest_repeat_sharded(
         "b_p",
         _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
     )
-    credited = pairs.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
-    ).unionAll(
-        pairs.select(
-            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
-        )
-    )
+    credited = _credit_both(pairs)
     return credited.groupBy("doc_id").agg(
         F.max("lcp").cast("bigint").alias("max_repeat"),
         F.sum(F.when(F.col("lcp") >= 24, 1).otherwise(0))
@@ -825,13 +841,7 @@ def _merged_repeat_ranges(
         "b_p",
         _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
     )
-    credited = pairs.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
-    ).unionAll(
-        pairs.select(
-            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
-        )
-    )
+    credited = _credit_both(pairs)
     return _ranges_from_credited(credited)
 
 
@@ -1194,13 +1204,7 @@ def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_p",
         _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
     )
-    credited = pairs.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_p").alias("p"), "lcp"
-    ).unionAll(
-        pairs.select(
-            F.col("b_doc").alias("doc_id"), F.col("b_p").alias("p"), "lcp"
-        )
-    )
+    credited = _credit_both(pairs)
     return _apply_span_cut(docs, _ranges_from_credited(credited))
 
 
