@@ -528,7 +528,7 @@ _WARC_MAX_RECORDS = 1024  # per-file framing bound; assert_true-guarded
 _WARC_MARKER = "WARC/1.0\r\n"
 _WARC_MARKER_SQL = "concat('WARC/1.0', chr(13), chr(10))"
 _WARC_REC_T = (
-    "array<struct<ps:bigint,pl:bigint,typ:string,uri:string>>"
+    "array<struct<k:int,ps:bigint,pl:bigint,typ:string,uri:string>>"
 )
 
 
@@ -602,18 +602,32 @@ def split_warc_records(
     # the split). her = header-terminator position relative to the
     # segment; 0 (absent) poisons the candidate with NULLs, which the
     # chain skips and the completeness assert catches if load-bearing.
-    seg_k = "element_at(_segs, k + 1)"
-    her = f"locate({term}, {seg_k})"
-    hdr = f"substring({seg_k}, 1, {her} - 1)"
+    # Staged through two intermediate transforms (r13 optimization):
+    # the single-transform form re-evaluated locate() four times and
+    # the header substring three times per candidate (once per field
+    # that mentioned them — higher-order lambdas run interpreted, so
+    # nothing de-duplicates common subexpressions); carrying
+    # (her, hdr) through small structs evaluates each exactly once.
     uri_pat = "concat('WARC-Target-URI: ([^', chr(13), ']+)')"
-    cands = f"""transform(sequence(1, size(_segs) - 1), k ->
+    pre = f"""transform(sequence(1, size(_segs) - 1), k ->
       named_struct(
-        'hs', element_at(_starts, k + 1) - 10L,
-        'ps', element_at(_starts, k + 1) + CAST({her} AS BIGINT) + 3L,
-        'pl', CAST(regexp_extract({hdr}, 'Content-Length: ([0-9]+)', 1)
+        'k', k,
+        'st', element_at(_starts, k + 1),
+        'seg', element_at(_segs, k + 1)))"""
+    pre2 = """transform(_pre, c ->
+      named_struct(
+        'k', c.k, 'st', c.st,
+        'hdr', substring(c.seg, 1,
+                         locate(%s, c.seg) - 1)))""" % term
+    cands = """transform(_pre2, c ->
+      named_struct(
+        'k', c.k,
+        'hs', c.st - 10L,
+        'ps', c.st + CAST(length(c.hdr) AS BIGINT) + 4L,
+        'pl', CAST(regexp_extract(c.hdr, 'Content-Length: ([0-9]+)', 1)
                    AS BIGINT),
-        'typ', regexp_extract({hdr}, 'WARC-Type: ([a-z]+)', 1),
-        'uri', regexp_extract({hdr}, {uri_pat}, 1)))"""
+        'typ', regexp_extract(c.hdr, 'WARC-Type: ([a-z]+)', 1),
+        'uri', regexp_extract(c.hdr, %s, 1)))""" % uri_pat
     # 4) longs-only chain fold over the candidates in order
     chain = f"""aggregate(
       _cands,
@@ -624,7 +638,8 @@ def split_warc_records(
         named_struct(
           'exp', c.ps + c.pl + 4L,
           'recs', concat(acc.recs, array(named_struct(
-            'ps', c.ps, 'pl', c.pl, 'typ', c.typ, 'uri', c.uri)))),
+            'k', c.k, 'ps', c.ps, 'pl', c.pl,
+            'typ', c.typ, 'uri', c.uri)))),
         acc))"""
     # 2) absolute 1-based start offset of each segment
     starts = """aggregate(
@@ -638,6 +653,8 @@ def split_warc_records(
         df.withColumn("_wlen", F.length(w).cast("bigint"))
         .withColumn("_segs", F.split(F.col(w), r"WARC/1\.0\r\n", -1))
         .withColumn("_starts", F.expr(starts))
+        .withColumn("_pre", F.expr(pre))
+        .withColumn("_pre2", F.expr(pre2))
         .withColumn("_cands", F.expr(cands))
         .withColumn("_chain", F.expr(chain))
         .withColumn(
@@ -656,16 +673,27 @@ def split_warc_records(
     # record row (O(file x records) bytes, the quadratic this design
     # exists to avoid).
     ts, tl, tstr = _warc_tok("j")
+    # Token range per record (r13 optimization): record r's payload
+    # starts inside its own candidate segment (token 2*r.k) and ends
+    # before the NEXT real record's marker, so only tokens in
+    # [2*r.k, 2*next_k - 2] (through the last token for the final
+    # record) can overlap it. The previous form filtered EVERY token
+    # per record -- O(records x tokens) interpreted lambda
+    # evaluations per file; this is O(tokens) total. The overlap
+    # predicate stays as the exact slice bound.
+    next_k = """IF(i + 1 < size(_chain.recs),
+        2 * element_at(_chain.recs, i + 2).k - 2,
+        2 * size(_segs) - 2)"""
     payload = f"""array_join(
       transform(
-        filter(sequence(0, 2 * size(_segs) - 2), j ->
+        filter(sequence(2 * r.k, {next_k}), j ->
           {ts} < r.ps + r.pl AND {ts} + {tl} > r.ps),
         j -> substring({tstr},
           CAST(greatest(1L, r.ps - {ts} + 1) AS INT),
           CAST(least({tl}, r.ps + r.pl - {ts})
                - greatest(1L, r.ps - {ts} + 1) + 1 AS INT))),
       '')"""
-    out = f"""transform(_chain.recs, r -> named_struct(
+    out = f"""transform(_chain.recs, (r, i) -> named_struct(
       'typ', r.typ, 'uri', r.uri, 'payload',
       IF(_complete IS NULL, {payload}, NULL)))"""
     rec = F.explode(F.expr(out)).alias("_rec")
