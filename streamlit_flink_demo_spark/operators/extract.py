@@ -1294,63 +1294,72 @@ def parse_robots(spark: SparkSession) -> DataFrame:
     """Parse the synthesized per-host robots.txt texts into
     (host, rules: array<struct<a:int,p:string>>, delay_r: double).
     Relational REP parse — see the module comment above; every rule
-    of it is replayed by the oracle SQL."""
-    from pyspark.sql import Window
+    of it is replayed by the oracle SQL.
 
-    rob = spark.createDataFrame(
-        list(_ROBOTS_TXT), "host string, txt string"
+    r13 optimization (guide §2.4 remove shuffles outright, §7.2
+    duplicated subtrees, §4 Python boundary): the windowed form
+    planned the line-block subtree TWICE (once per side of the
+    star-block join), each copy paying a Python-RDD scan
+    (createDataFrame from a local list → applySchemaToPythonRDD
+    spawns Python workers per execution), an Exchange, and two
+    Window sorts — 1.7 s per execution for 3 constant rows, and at
+    crawl scale a needless shuffle of the per-host robots frame.
+    The REP group model is a strictly left-to-right scan (UA header
+    lines always precede their block's rules, so a block's '*'
+    status is settled before its first rule arrives), which makes
+    the whole parse one higher-order ``aggregate`` fold per host:
+    zero exchanges, zero windows, no Python boundary, and per-host
+    parallelism at production host counts. Semantics are unchanged
+    rule for rule: new-block on UA-after-non-UA, OR of '*' across a
+    multi-UA header, active-block-only rules in line order
+    (collect_list over the sorted window produced the same order),
+    empty-value rules dropped, max crawl-delay across active
+    blocks (greatest skips NULLs exactly as F.max did)."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(h).alias("host"), F.lit(t).alias("txt"))
+            for h, t in _ROBOTS_TXT
+        ]
     )
-    lines = rob.select(
-        "host", F.posexplode(F.split("txt", "\n")).alias("i", "raw")
+    rob = (
+        spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
     )
-    sig = lines.select(
+    parse = """aggregate(
+      transform(
+        filter(
+          transform(split(txt, '\\n'),
+                    l -> trim(regexp_replace(l, '#.*', ''))),
+          l -> l != ''),
+        l -> named_struct(
+          'f', lower(trim(regexp_extract(l, '^([^:]*):', 1))),
+          'v', trim(regexp_extract(l, '^[^:]*:(.*)$', 1)))),
+      named_struct(
+        'ua', false, 'star', false,
+        'rules', CAST(array() AS array<struct<a:int,p:string>>),
+        'delay', CAST(NULL AS double)),
+      (acc, x) -> IF(
+        x.f = 'user-agent',
+        named_struct(
+          'ua', true,
+          'star', (acc.ua AND acc.star) OR x.v = '*',
+          'rules', acc.rules, 'delay', acc.delay),
+        named_struct(
+          'ua', false, 'star', acc.star,
+          'rules', IF(
+            acc.star AND x.f IN ('allow', 'disallow') AND x.v != '',
+            concat(acc.rules, array(named_struct(
+              'a', CAST(x.f = 'allow' AS INT), 'p', x.v))),
+            acc.rules),
+          'delay', IF(
+            acc.star AND x.f = 'crawl-delay',
+            greatest(acc.delay, CAST(x.v AS double)),
+            acc.delay))),
+      acc -> named_struct('rules', acc.rules, 'delay_r', acc.delay))"""
+    return rob.select(
         "host",
-        "i",
-        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    parsed = sig.select(
-        "host",
-        "i",
-        F.lower(F.trim(F.regexp_extract("line", "^([^:]*):", 1))).alias(
-            "field"
-        ),
-        F.trim(F.regexp_extract("line", "^[^:]*:(.*)$", 1)).alias("val"),
-    )
-    w = Window.partitionBy("host").orderBy("i")
-    blk = (
-        parsed.withColumn("is_ua", F.col("field") == "user-agent")
-        .withColumn(
-            "new_block",
-            F.col("is_ua")
-            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
-        )
-        .withColumn("block", F.sum(F.col("new_block").cast("int")).over(w))
-    )
-    star = (
-        blk.filter("is_ua")
-        .groupBy("host", "block")
-        .agg(F.max((F.col("val") == "*").cast("int")).alias("has_star"))
-        .filter("has_star = 1")
-        .select("host", "block")
-    )
-    active = blk.join(F.broadcast(star), ["host", "block"])
-    return active.groupBy("host").agg(
-        F.collect_list(
-            F.when(
-                F.col("field").isin("allow", "disallow")
-                & (F.col("val") != ""),
-                F.struct(
-                    (F.col("field") == "allow").cast("int").alias("a"),
-                    F.col("val").alias("p"),
-                ),
-            )
-        ).alias("rules"),
-        F.max(
-            F.when(F.col("field") == "crawl-delay", F.col("val")).cast(
-                "double"
-            )
-        ).alias("delay_r"),
-    )
+        F.expr(parse).alias("p"),
+    ).select("host", F.col("p.rules").alias("rules"),
+             F.col("p.delay_r").alias("delay_r"))
 
 
 def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
