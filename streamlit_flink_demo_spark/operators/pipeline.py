@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
+from streamlit_flink_demo_spark.functions.ngrams import split_tokens_expr
 from streamlit_flink_demo_spark.operators.sampling import _rate_bps_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
@@ -184,7 +185,7 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         (u60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
-        F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)").alias("t"),
+        F.expr(split_tokens_expr("text", "^A-Za-z0-9")).alias("t"),
     ).filter(F.size("t") >= 3)
     sh = toks.select(
         "doc_id",
@@ -1030,7 +1031,7 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents", min_bytes=32 << 20)
     toks = d.select(
         "source",
-        F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)").alias("t"),
+        F.expr(split_tokens_expr("text", "^A-Za-z0-9")).alias("t"),
     ).filter(F.size("t") >= 3)
     sh = (
         toks.select(

@@ -78,19 +78,25 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per supplier by ship day: pre-aggregate per
     (suppkey, day) first — shrinks the window input by the per-day fan-in
     before the sort — then a RANGE-frame cumulative sum (decimal-exact).
-    The pre-agg and the window share the l_suppkey partitioning, so the
-    window's sort reuses the shuffle.
 
-    NO spread here, unlike q1: the (suppkey, day) grouping barely
-    collapses (~500k groups from 600k rows at sf0.1), so partial
-    aggregation does little and a pre-shuffle would only add a
-    full-row exchange before the one the groupBy needs anyway
-    (measured: spread made it 1.55 → 1.75 s). The window sort
-    dominates and already runs at full parallelism after the
-    groupBy's own shuffle."""
+    r13 (guide §2.4 "two operations keyed the same way can share one
+    exchange"): groupBy(suppkey, day) hash-distributes by BOTH keys,
+    which does NOT satisfy the window's partitionBy(suppkey) — the
+    plan paid a second full exchange between the aggregate and the
+    window. An explicit repartition("l_suppkey") up front satisfies
+    the clustering requirement of both (partition keys ⊆ grouping
+    keys), so one exchange serves the aggregate AND the window:
+    2 Exchanges → 1, measured 1.56 → 0.73 s at sf0.1. The trade is
+    losing map-side partial aggregation — a no-op here anyway, since
+    (suppkey, day) barely collapses (~500k groups from 600k rows);
+    only the four needed columns ship. Skew note: rows per supplier
+    are uniform in this schema; a hot-supplier corpus would salt the
+    repartition key and two-phase the window instead."""
     l = load_table(spark, sf_dir, "lineitem")
     day_rev = (
-        l.groupBy("l_suppkey", "l_shipdate")
+        l.select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .repartition("l_suppkey")
+        .groupBy("l_suppkey", "l_shipdate")
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

@@ -437,27 +437,53 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates every fact row once per DISTINCT aggregate before the
     shuffle, while the pair-level partial ships each distinct pair
     once and derives both counts from |pairs| rows (the
-    supplier_part_diversity rewrite, SCALE.md round-10)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
-    )
-    ord_stats = pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum("has_r").alias("n_supp_r"),
-    )
+    supplier_part_diversity rewrite, SCALE.md round-10).
+
+    r13: the fact table is scanned ONCE. The old l1 branch re-scanned
+    lineitem for the R-lines and re-joined them to the per-order
+    stats; but the pair aggregate already holds everything l1
+    contributes — in a qualifying order exactly one supplier has
+    has_r = 1 and its line-level count is n_r (suppliers without an R
+    line never appear in l1), so numwait = SUM(n_r) over qualifying
+    (order, supplier) pairs. The orders 'F' filter moves BELOW the
+    pair aggregate as a broadcast semi-join (per-order aggregates are
+    independent across orders, and the EXISTS subqueries range over
+    ALL lines of each F-order, which the orderkey semi-join keeps
+    whole), so the pair exchange ships only F-order lines. The
+    order-qualification join is broadcast on the AGGREGATED key set
+    (bounded by qualifying orders, 8 B each — swap for the runtime
+    Bloom semi-join if it outgrows one at corpus scale), so pair's
+    (orderkey, suppkey) exchange is planned once and reused for both
+    its consumers instead of re-shuffling by orderkey."""
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    return (
-        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("ok"))
+    lf = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(o),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    is_r = (F.col("l_returnflag") == "R").cast("int")
+    pair = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(is_r).alias("has_r"),
+        F.sum(is_r).alias("n_r"),
+    )
+    ord_ok = (
+        pair.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("has_r").alias("n_supp_r"),
+        )
         .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+        .select("ok")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        pair.filter(F.col("has_r") == 1)
+        .join(F.broadcast(ord_ok), F.col("l_orderkey") == F.col("ok"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r").alias("numwait"))
     )
