@@ -65,6 +65,11 @@ from streamlit_flink_demo_spark.sources.catalog import load_spread
 
 _SA_SEED = 8  # initial key: first 8 chars of each suffix
 _SA_MOD = 1_000_000_007  # per-term checksum modulus (no BIGINT overflow)
+# Active-set size under which a doubling round switches from the full
+# rank-map shuffle join to the broadcast semi-filter lookup (16 B/key
+# ⇒ ~16 MB broadcast at the cap — see the r13 note in suffix_ranks).
+# A count, not an estimate: rounds above it keep the shuffle join.
+_SA_BCAST_ACTIVE = 1_000_000
 
 
 def _global_group_rank(
@@ -206,7 +211,8 @@ def suffix_ranks(
     active = sized.filter("gsz > 1").drop("gsz").localCheckpoint(eager=True)
 
     off = _SA_SEED
-    while off < max_len and not active.isEmpty():
+    n_active = active.count()
+    while off < max_len and n_active > 0:
         rank_map = active
         for fr in frozen:
             rank_map = rank_map.unionAll(fr)
@@ -215,6 +221,26 @@ def suffix_ranks(
             (F.col("p") - off).alias("b_p"),
             F.col("rank").alias("r2"),
         )
+        if n_active <= _SA_BCAST_ACTIVE:
+            # r13 (guide §2.4/§3.2): the +off lookup only needs the
+            # rank at active positions' shifted keys, but the plain
+            # join shuffled the WHOLE rank map (every corpus position)
+            # every round — 2-3 s/round at sf0.1 while active had
+            # shrunk to 65k rows. When the active set is small enough
+            # to broadcast (16 B/key ⇒ ~16 MB at the 1M-row cap, far
+            # under the broadcast limits), semi-filter the shifted map
+            # by the active keys (map-side, rank map only SCANNED from
+            # its checkpoint blocks) and broadcast the ≤|active|-row
+            # result into the left join: zero rank-map exchanges.
+            # Early rounds (active above the cap) keep the full
+            # shuffle join — the cap is a count, not an estimate, so
+            # the plan degrades predictably at corpus scale.
+            keys = active.select(
+                F.col("doc_id").alias("b_doc"), F.col("p").alias("b_p")
+            )
+            shifted = F.broadcast(
+                shifted.join(F.broadcast(keys), ["b_doc", "b_p"], "left_semi")
+            )
         a = active.alias("a")
         paired = a.join(
             shifted,
@@ -246,6 +272,7 @@ def suffix_ranks(
         active = updated.filter("gsz > 1").select(
             "shard", "doc_id", "p", "rank"
         )
+        n_active = active.count()
         off *= 2
 
     # survivors are suffixes identical to their document ends
@@ -631,6 +658,56 @@ def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longest_repeat_from_sa(docs, sa)
 
 
+_ADJ_BUCKET = 8192  # ranks per adjacency bucket (see _adjacent_sa_pairs)
+
+
+def _adjacent_sa_pairs(
+    with_txt: DataFrame, sharded: bool = False, carry: tuple = ("doc_id", "p")
+) -> DataFrame:
+    """All rank-adjacent suffix pairs (global, or within-shard when
+    ``sharded``) of a (shard?, *carry, sa_rank, s64) frame, WITHOUT a
+    rank+1 self-join.
+
+    r13 (guide §2.4): the self-join planned the with_txt subtree
+    twice and paid two full exchanges + two SMJ sorts of the
+    88 B/row suffix frame. Ranks are dense and unique (0..N-1 per
+    shard), so adjacency is a ``lead`` window inside rank buckets of
+    _ADJ_BUCKET: each row lands in bucket rank div B, and rows at a
+    bucket's lower edge (rank % B == 0, rank > 0) are DUPLICATED
+    into the previous bucket as ghost b-side rows — they sort last
+    there, produce no pair of their own (lead = NULL), and supply
+    the one cross-bucket pair. Every adjacent pair appears exactly
+    once; one exchange on a small int key replaces the join
+    (measured 1.84 → 1.38 s, 7 → 4 Exchanges on the indexed repeat
+    probe; row-identical). Returns a_/b_-prefixed ``carry`` columns
+    plus (a_s64, b_s64)."""
+    from pyspark.sql import Window as W
+
+    B = _ADJ_BUCKET
+    shard_cols = ["shard"] if sharded else []
+    bk = (F.col("sa_rank") / B).cast("bigint")
+    dup = F.when(
+        (F.col("sa_rank") % B == 0) & (F.col("sa_rank") > 0),
+        F.array(bk, bk - 1),
+    ).otherwise(F.array(bk))
+    ex = with_txt.select(
+        *shard_cols,
+        *carry,
+        "sa_rank",
+        "s64",
+        F.explode(dup).alias("bk"),
+    )
+    w = W.partitionBy(*(shard_cols + ["bk"])).orderBy("sa_rank")
+    lead_guard = F.lead("sa_rank").over(w)
+    return ex.select(
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+        F.col("s64").alias("a_s64"),
+        *[F.lead(c).over(w).alias(f"b_{c}") for c in carry],
+        F.lead("s64").over(w).alias("b_s64"),
+        lead_guard.alias("_b_rank"),
+    ).filter(F.col("_b_rank").isNotNull()).drop("_b_rank")
+
+
 def _longest_repeat_from_sa(docs: DataFrame, sa: DataFrame) -> DataFrame:
     """Adjacent-rank LCP → per-doc longest repeat, from ANY
     (doc_id, p, sa_rank) frame — the in-session construction
@@ -644,19 +721,12 @@ def _longest_repeat_from_sa(docs: DataFrame, sa: DataFrame) -> DataFrame:
         "sa_rank",
         F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
     )
-    a = with_txt.alias("a")
-    b = with_txt.select(
-        (F.col("sa_rank") - 1).alias("prev_rank"),
-        F.col("doc_id").alias("b_doc"),
-        F.col("p").alias("b_p"),
-        F.col("s64").alias("b_s64"),
-    )
-    pairs = a.join(b, F.col("a.sa_rank") == F.col("prev_rank")).select(
-        F.col("a.doc_id").alias("a_doc"),
-        F.col("a.p").alias("a_p"),
-        "b_doc",
+    pairs = _adjacent_sa_pairs(with_txt).select(
+        F.col("a_doc_id").alias("a_doc"),
+        "a_p",
+        F.col("b_doc_id").alias("b_doc"),
         "b_p",
-        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+        _lcp_expr(F.col("a_s64"), F.col("b_s64")).alias("lcp"),
     )
     credited = _credit_both(pairs)
     return credited.groupBy("doc_id").agg(
@@ -769,24 +839,12 @@ def corpus_longest_repeat_sharded(
         "sa_rank",
         F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
     )
-    a = with_txt.alias("a")
-    b = with_txt.select(
-        F.col("shard").alias("b_shard"),
-        (F.col("sa_rank") - 1).alias("prev_rank"),
-        F.col("doc_id").alias("b_doc"),
-        F.col("p").alias("b_p"),
-        F.col("s64").alias("b_s64"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.shard") == F.col("b_shard"))
-        & (F.col("a.sa_rank") == F.col("prev_rank")),
-    ).select(
-        F.col("a.doc_id").alias("a_doc"),
-        F.col("a.p").alias("a_p"),
-        "b_doc",
+    pairs = _adjacent_sa_pairs(with_txt, sharded=True).select(
+        F.col("a_doc_id").alias("a_doc"),
+        "a_p",
+        F.col("b_doc_id").alias("b_doc"),
         "b_p",
-        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+        _lcp_expr(F.col("a_s64"), F.col("b_s64")).alias("lcp"),
     )
     credited = _credit_both(pairs)
     return credited.groupBy("doc_id").agg(
@@ -836,27 +894,14 @@ def _merged_repeat_ranges(
         "sa_rank",
         F.col("text").substr(F.col("p") + 1, F.lit(_LCP_CAP)).alias("s64"),
     )
-    a = with_txt.alias("a")
-    b = with_txt.select(
-        *(
-            [F.col("shard").alias("b_shard")]
-            if shards is not None
-            else []
-        ),
-        (F.col("sa_rank") - 1).alias("prev_rank"),
-        F.col("doc_id").alias("b_doc"),
-        F.col("p").alias("b_p"),
-        F.col("s64").alias("b_s64"),
-    )
-    adj = F.col("a.sa_rank") == F.col("prev_rank")
-    if shards is not None:
-        adj = (F.col("a.shard") == F.col("b_shard")) & adj
-    pairs = a.join(b, adj).select(
-        F.col("a.doc_id").alias("a_doc"),
-        F.col("a.p").alias("a_p"),
-        "b_doc",
+    pairs = _adjacent_sa_pairs(
+        with_txt, sharded=shards is not None
+    ).select(
+        F.col("a_doc_id").alias("a_doc"),
+        "a_p",
+        F.col("b_doc_id").alias("b_doc"),
         "b_p",
-        _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
+        _lcp_expr(F.col("a_s64"), F.col("b_s64")).alias("lcp"),
     )
     credited = _credit_both(pairs)
     return _ranges_from_credited(credited)
@@ -1912,16 +1957,11 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_positions"),
         F.sum(caplen).cast("bigint").alias("sum_capped_len"),
     )
-    a = with_txt.alias("a")
-    b = with_txt.select(
-        (F.col("sa_rank") - 1).alias("prev_rank"),
-        F.col("s64").alias("b_s64"),
-    )
     lcp_sum = (
-        a.join(b, F.col("a.sa_rank") == F.col("prev_rank"))
+        _adjacent_sa_pairs(with_txt, carry=())
         .select(
             F.least(
-                F.lit(_DSUB_K), _lcp_expr(F.col("a.s64"), F.col("b_s64"))
+                F.lit(_DSUB_K), _lcp_expr(F.col("a_s64"), F.col("b_s64"))
             ).alias("l")
         )
         .agg(F.coalesce(F.sum("l"), F.lit(0)).cast("bigint").alias("lcp_total"))
