@@ -365,17 +365,23 @@ def main() -> int:
     # The round driver keeps only the LAST ~2000 chars of stdout; the
     # full JSON line above is ~3.5 kB, so BENCH_r04 retained the DuckDB
     # per-query map but lost every Spark number (VERDICT r4 #2). Print
-    # a compact, self-contained summary line LAST — totals, streaming
-    # envelope, ratio, artifact builds, and the slowest Spark queries —
-    # sized (<1 kB) to survive any tail capture.
+    # a compact, self-contained summary line LAST, sized to survive the
+    # tail capture. r14 (VERDICT r13 item 1): the FULL per-query map
+    # rides this line — PERF_r{n} was blind for two rounds because the
+    # summary carried only the slowest-8. To stay under the ~2000-char
+    # tail, the redundant spark_slowest block and the per-artifact map
+    # are dropped from THIS line (both still travel in full in
+    # BENCH_DETAIL_r{n}.json); artifacts appear as one total. Measured:
+    # 50 queries + every field below = ~1.85 kB. value/unit make the
+    # final line alone satisfy the bench contract.
     summary: dict = {
         "metric": "bench_summary",
+        "value": total,
+        "unit": "sec",
         "spark_total_sec": total,
         "sf": sf_dir,
         "n_queries": len(timings),
-        "spark_slowest": dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-        ),
+        "queries": timings,
     }
     if "duckdb" in out:
         dv = out["duckdb"]["value"]
@@ -383,7 +389,7 @@ def main() -> int:
         if dv > 0:
             summary["spark_over_duckdb"] = round(total / dv, 3)
     if artifacts:
-        summary["artifacts"] = artifacts
+        summary["artifacts_total_sec"] = round(sum(artifacts.values()), 3)
     if streaming:
         # best-of-reps (see streaming_reps in BENCH_DETAIL for all)
         summary["streaming_median_ms"] = streaming.get("median_ms")

@@ -1314,7 +1314,16 @@ def parse_robots(spark: SparkSession) -> DataFrame:
     multi-UA header, active-block-only rules in line order
     (collect_list over the sorted window produced the same order),
     empty-value rules dropped, max crawl-delay across active
-    blocks (greatest skips NULLs exactly as F.max did)."""
+    blocks (greatest skips NULLs exactly as F.max did).
+
+    Row contract (r13 ADVICE, documented): this form emits ONE row
+    per host — a robots.txt with no '*' block yields rules=[] and
+    delay NULL, where the old star inner-join dropped the host row
+    entirely. robots_gate default-allows both shapes (no rules ⇒
+    allowed), and all fixture hosts have star blocks, so outputs are
+    identical today; consumers that ever count parse_robots rows or
+    distinguish rules-NULL from rules-[] must treat absence-of-block
+    as the empty rule set, per this contract."""
     rows = F.array(
         *[
             F.struct(F.lit(h).alias("host"), F.lit(t).alias("txt"))

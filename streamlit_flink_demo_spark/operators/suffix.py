@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
-from streamlit_flink_demo_spark.sources.catalog import load_spread
+from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
 _SA_SEED = 8  # initial key: first 8 chars of each suffix
 _SA_MOD = 1_000_000_007  # per-term checksum modulus (no BIGINT overflow)
@@ -87,15 +87,33 @@ def _global_group_rank(
     group-start rank == global index and the min-over-key-group
     window — a full hash exchange of the payload by the composite
     key — is skipped outright (guide §2.4: remove shuffles whose
-    result is the identity)."""
+    result is the identity).
+
+    r14 (guide §2.4, VERDICT r13 item 2): the within-partition index
+    used to be a row_number window PARTITIONED BY the physical
+    partition id — but a localCheckpoint taken under AQE reports
+    UnknownPartitioning (its final stage is an AQEShuffleRead), so
+    that window re-exchanged the whole payload by _pid just to number
+    rows the checkpoint blocks already hold grouped. Replaced by
+    sortWithinPartitions (the same local sort the window required
+    anyway) + monotonically_increasing_id, whose documented bit
+    layout IS (partition id << 33 | within-partition position): the
+    index now costs ZERO exchanges. Tie permutation within equal keys
+    is sort-implementation-defined either way; only min-over-group
+    survives for non-unique keys, and a run of equal keys occupies
+    the same contiguous index range under any permutation, so ranks
+    are bit-identical to the windowed form. Net: 3 → 2 full-payload
+    exchanges per non-unique ranking, 2 → 1 for unique keys.
+    (>= 2^33 rows in one range partition would overflow the layout —
+    at that point a single Spark task holds > 8.5 G rows and the job
+    has bigger problems; the doubling loop keeps partition counts
+    scale-proportional.)"""
     from pyspark.sql import Window as W
 
-    rp = df.repartitionByRange(*key_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    rp = df.repartitionByRange(*key_cols)
     # localCheckpoint BEFORE the count collect: the range sampler is
     # not deterministic across evaluations, so the counts job and the
-    # window job must read the SAME materialized partitioning. A bare
+    # index job must read the SAME materialized partitioning. A bare
     # persist() is only safe while every block stays cached — on a
     # real cluster an executor loss would RECOMPUTE the partitioning
     # with freshly sampled boundaries, making the collected offsets
@@ -109,33 +127,49 @@ def _global_group_rank(
     rp = rp.localCheckpoint(eager=True)
     cnts = {
         r["_pid"]: r["n"]
-        for r in rp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        for r in rp.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     offs: dict[int, int] = {}
     acc = 0
     for pid in sorted(cnts):
         offs[pid] = acc
         acc += cnts[pid]
-    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
-    widx = W.partitionBy("_pid").orderBy(*key_cols)
-    idx = (
-        F.row_number().over(widx).cast("bigint")
-        - 1
-        + F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("bigint")
+    off_map = F.create_map(
+        *[
+            c
+            for k, v in offs.items()
+            for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+        ]
     )
-    indexed = rp.withColumn("_idx", idx)
+    mid = F.col("_mid")
+    pid = F.shiftrightunsigned(mid, 33).cast("int")
+    idx = (
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).cast("bigint")
+        + F.coalesce(off_map[pid], F.lit(0)).cast("bigint")
+    )
+    # the local sort feeds a NONDETERMINISTIC projection (the id
+    # depends on row order), which fences both: Catalyst neither
+    # eliminates the sort below it nor reorders the projection above
+    # the exchange a downstream window adds. Plan-asserted in
+    # tests/test_suffix.py (the id projection sits above a
+    # partition-local Sort, below any Exchange).
+    indexed = (
+        rp.sortWithinPartitions(*key_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_idx", idx)
+    )
     if unique:
         return indexed.withColumn("rank", F.col("_idx")).drop(
-            "_pid", "_idx"
+            "_mid", "_idx"
         )
     wkey = W.partitionBy(*key_cols)
-    # the window plans below hang off the checkpointed rp, so the
-    # caller's next-round self-join re-derives them from pinned
-    # blocks — no extra materialization of the output needed (the
-    # identical window subplan on both join sides reuses one
-    # exchange under AQE).
+    # the min-over-key-group window (one hash exchange — the only one
+    # left in this helper) keeps group-start ranks correct without
+    # relying on where the range sampler places key-group boundaries.
     return indexed.withColumn("rank", F.min("_idx").over(wkey)).drop(
-        "_pid", "_idx"
+        "_mid", "_idx"
     )
 
 
@@ -534,6 +568,18 @@ def corpus_suffix_array_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LCP_CAP = 64
 
 
+def _docs_join_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSPREAD documents scan for join/cut sides (r14, VERDICT r13
+    item 8): frames that immediately feed a doc_id hash exchange (the
+    text-attach join, the span-cut join) gained nothing from
+    load_spread's round-robin repartition — the planner stacked
+    RoundRobin + hash exchanges back to back (capsort dump nodes
+    (3)/(4)), shuffling every document twice. The explode-kernel
+    sides (position synthesis) keep their spread; this plain scan is
+    for the sides whose very next operator repartitions anyway."""
+    return load_table(spark, sf_dir, "documents")
+
+
 def _lcp_expr(a, b):  # Column, Column: capped suffix strings
     """LCP of two capped suffixes via an unrolled binary search: fold
     over step sizes (64, 32, …, 1), extending the matched prefix by
@@ -653,7 +699,7 @@ def corpus_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, LCP via one char-array zip, both endpoints credited, max
     per doc. The brute-force oracle replays the whole chain, so every
     LCP value is hash-checked."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = _docs_join_side(spark, sf_dir)
     sa = _suffix_ranks_cached(spark, sf_dir, None)
     return _longest_repeat_from_sa(docs, sa)
 
@@ -762,9 +808,37 @@ def corpus_longest_repeat_indexed(
     takedowns reach this serving path too. Plan-asserted in
     tests/test_plans.py: the scan reads the artifact directory, no
     iterative construction in the plan."""
-    docs = load_spread(spark, sf_dir, "documents")
-    sa = load_suffix_index(spark, sf_dir)
+    docs = _docs_join_side(spark, sf_dir)
+    sa = _dense_live_ranks(spark, sf_dir)
     return _longest_repeat_from_sa(docs, sa)
+
+
+def _dense_live_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live suffix-index view with DENSE ranks. After a takedown,
+    ``load_suffix_index`` keeps rank VALUES gapped (sound for pure
+    order consumers), but ``_adjacent_sa_pairs``' bucket-boundary
+    ghost duplication keys on rank VALUES (``sa_rank % B == 0``): a
+    tombstoned boundary rank silently drops the cross-bucket
+    adjacent-survivor pair, and a fully-tombstoned bucket breaks the
+    chain outright (r13 ADVICE). When tombstones exist (a driver-side
+    meta.json check — no data pass), re-rank the survivors densely in
+    rank order (one range exchange via the unique-key
+    ``_global_group_rank`` path): by the index's own contract,
+    survivor order IS the fresh-build-over-survivors order, so the
+    probe computes exactly what a rebuild would. The common
+    no-tombstone path is untouched (zero extra work)."""
+    from streamlit_flink_demo_spark.operators.incremental import (
+        read_tombstones,
+    )
+
+    path = build_suffix_index(spark, sf_dir)
+    sa = load_suffix_index(spark, sf_dir)
+    ts, _ = read_tombstones(spark, path)
+    if ts is None:
+        return sa
+    return _global_group_rank(sa, ["sa_rank"], unique=True).select(
+        "doc_id", "p", F.col("rank").alias("sa_rank")
+    )
 
 
 _LR_SHARD_ORACLE = f"""
@@ -830,7 +904,7 @@ def corpus_longest_repeat_sharded(
     chain, so a green row proves the sharded index answers the
     within-shard query bit-for-bit — the verification the sharded
     construction exists to enable."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = _docs_join_side(spark, sf_dir)
     sa = _suffix_ranks_cached(spark, sf_dir, _SA_SHARDS)
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
         "shard",
@@ -883,8 +957,6 @@ def _merged_repeat_ranges(
     sharded production form — adjacency never crosses shards). rs is
     a sorted array of disjoint {s, e} structs (char offsets,
     end-exclusive)."""
-    from pyspark.sql import Window as W
-
     sa = _suffix_ranks_cached(spark, sf_dir, shards)
     shard_cols = ["shard"] if shards is not None else []
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
@@ -1073,9 +1145,7 @@ def dedup_sa_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes into per-char rows (the oracle's explode+anti-join is
     the formulation DuckDB prefers; both reduce to the same kept
     stream)."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
+    docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
     return _apply_span_cut(docs, _merged_repeat_ranges(spark, docs, sf_dir))
 
 
@@ -1134,15 +1204,34 @@ def dedup_sa_span_rewrite_sharded(
     per-shard chain — shard map, per-shard suffix order, LCPs,
     interval merge, character cut — via the same template as the
     global oracle (one builder, two variants, zero drift)."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
+    docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
     return _apply_span_cut(
         docs, _merged_repeat_ranges(spark, docs, sf_dir, shards=_SA_SHARDS)
     )
 
 
-def _dup_gram_pos(docs: DataFrame) -> DataFrame:
+# r14 (VERDICT r13 item 3): the dup-gram prefilter ends in an explicit
+# broadcast of a DATA-DEPENDENT key set (every duplicated 24-gram), and
+# an explicit hint overrides Spark's size checks — on a heavily
+# duplicated corpus that OOMs the driver instead of degrading. Gate it
+# the way load_spread byte-gates its repartition: on the SOURCE parquet
+# size, a deterministic driver-side stat (no extra data pass — a count
+# gate here would add a full position-aggregation pass to every probe,
+# and an eager plan-build count would extend the untimed-dispatch
+# caveat VERDICT r13 item 6 says not to extend). Under the gate
+# (256 MB source ≈ tens of M positions at the measured ~0.26 chars/
+# byte, so realistic dup sets of ~15% stay within a few hundred MB of
+# broadcast) the prefilter runs as in r13; above it the prefilter is
+# SKIPPED outright — the downstream gsz >= 2 window filter already
+# guarantees exactness, so the fallback is the pre-r13 plan shape
+# (predictable full-shuffle degradation), not a shuffle semi-join that
+# would re-exchange the payload it exists to protect. The production
+# fix at 100 TB is the artifact-side dup-gram prefilter
+# (span_rewrite_batch's sidecar path), not a bigger broadcast.
+_PREFILTER_DOCS_BYTES = 256 << 20
+
+
+def _dup_gram_pos(docs: DataFrame, sf_dir: str) -> DataFrame:
     """(doc_id, p, s64) restricted to positions whose exact
     _MIN_REPEAT-char (24) seed gram occurs at >= 2 corpus positions —
     the shared prefilter of the capsort and gram-group rewrite tiers
@@ -1193,6 +1282,14 @@ def _dup_gram_pos(docs: DataFrame) -> DataFrame:
         )
         .filter(F.length("s64") >= _MIN_REPEAT)
     )
+    from streamlit_flink_demo_spark.sources.catalog import _table_bytes
+
+    if _table_bytes(sf_dir, "documents") > _PREFILTER_DOCS_BYTES:
+        # gate open: skip the prefilter (see _PREFILTER_DOCS_BYTES) —
+        # exactness is carried by the tiers' own gsz >= 2 filters; no
+        # persist either (caching every corpus position is the same
+        # unbounded-state mistake as the broadcast).
+        return pos
     gh = F.xxhash64(F.substring(F.col("s64"), 1, _MIN_REPEAT))
     dup = (
         pos.select(gh.alias("gh"))
@@ -1248,7 +1345,7 @@ def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there), so the range sort runs over the surviving ~15% and the
     # key (s64, doc_id, p) is unique, which drops the min-over-group
     # exchange entirely (unique=True).
-    pos = _dup_gram_pos(docs)
+    pos = _dup_gram_pos(docs, sf_dir)
     ranked = _global_group_rank(
         pos, ["s64", "doc_id", "p"], unique=True
     ).select("doc_id", "p", "s64", F.col("rank").alias("r"))
@@ -1267,7 +1364,8 @@ def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lcp_expr(F.col("a.s64"), F.col("b_s64")).alias("lcp"),
     )
     credited = _credit_both(pairs)
-    return _apply_span_cut(docs, _ranges_from_credited(credited))
+    cut_docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
+    return _apply_span_cut(cut_docs, _ranges_from_credited(credited))
 
 
 # --------------------------------------------------------------------------
@@ -1437,9 +1535,7 @@ def contamination_sa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the session memo), one nearest-other-set scan, two LCPs per eval
     position — never an eval×train join. The oracle replays the whole
     chain with global windows, so every match length is hash-checked."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
+    docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
     sa = _suffix_ranks_cached(spark, sf_dir, None)
     is_train = (u60(F.col("doc_id").cast("string")) % 100) < 90
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
@@ -1527,7 +1623,7 @@ def dedup_span_rewrite_gramgroup(
     # instead of every corpus position. The exact in-window gsz >= 2
     # filter below stays — it is what makes xxhash64 collisions in
     # the prefilter harmless to group membership.
-    pos = _dup_gram_pos(docs).withColumn(
+    pos = _dup_gram_pos(docs, sf_dir).withColumn(
         "g", F.substring("s64", 1, _MIN_REPEAT)
     )
     wg = W.partitionBy("g").orderBy("s64", "doc_id", "p")
@@ -1535,10 +1631,12 @@ def dedup_span_rewrite_gramgroup(
     sized = pos.withColumn("gsz", F.count("*").over(wc)).filter(
         F.col("gsz") >= 2
     )
-    # lag/lead staged into plain columns BEFORE the LCP fold: window
-    # expressions cannot live inside a higher-order lambda body (the
-    # analyzer only extracts them from top-level projections), and
-    # staging also evaluates each window function once.
+    # lag/lead staged into plain columns BEFORE the LCP fold: the
+    # analyzer does extract window expressions out of lambda bodies
+    # (the delta/batch sites ran that way through r13), but staging
+    # guarantees each window function is planned and evaluated ONCE
+    # instead of once per extracted reference — now applied uniformly
+    # at all three lag/lead sites (r13 ADVICE).
     nbrs = sized.select(
         "doc_id",
         "p",
@@ -1558,7 +1656,8 @@ def dedup_span_rewrite_gramgroup(
             ),
         ).alias("lcp"),
     )
-    return _apply_span_cut(docs, _ranges_from_credited(with_nbr))
+    cut_docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
+    return _apply_span_cut(cut_docs, _ranges_from_credited(with_nbr))
 
 
 _DELTA_RW_ORACLE = f"""
@@ -1618,21 +1717,34 @@ def dedup_span_rewrite_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = pruned.withColumn("gsz", F.count("*").over(wc)).filter(
         F.col("gsz") >= 2
     )
-    credited = sized.select(
+    # lag/lead staged into plain columns BEFORE the LCP fold (the
+    # dedup_span_rewrite_gramgroup discipline): each window function
+    # evaluates once instead of once per reference inside the two
+    # _lcp_expr expansions.
+    nbrs = sized.select(
+        "doc_id",
+        "is_delta",
+        "p",
+        "s64",
+        F.lag("s64").over(wg).alias("prev_s"),
+        F.lead("s64").over(wg).alias("next_s"),
+    )
+    credited = nbrs.select(
         "doc_id",
         "is_delta",
         "p",
         F.greatest(
             F.coalesce(
-                _lcp_expr(F.col("s64"), F.lag("s64").over(wg)), F.lit(0)
+                _lcp_expr(F.col("s64"), F.col("prev_s")), F.lit(0)
             ),
             F.coalesce(
-                _lcp_expr(F.col("s64"), F.lead("s64").over(wg)), F.lit(0)
+                _lcp_expr(F.col("s64"), F.col("next_s")), F.lit(0)
             ),
         ).alias("lcp"),
     ).filter("is_delta").drop("is_delta")
+    cut_docs = _docs_join_side(spark, sf_dir).filter(F.length("text") > 0)
     return _apply_span_cut(
-        docs.filter(is_delta), _ranges_from_credited(credited)
+        cut_docs.filter(is_delta), _ranges_from_credited(credited)
     )
 
 
@@ -1704,7 +1816,12 @@ def contamination_capsort_exact(
         .cast("bigint")
         .alias("n_contaminated_positions"),
     )
-    ev_docs = docs.filter(~is_train).select("doc_id")
+    ev_docs = (
+        _docs_join_side(spark, sf_dir)
+        .filter(F.length("text") > 0)
+        .filter(~is_train)
+        .select("doc_id")
+    )
     return ev_docs.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("max_train_match", F.lit(0))
@@ -1946,7 +2063,7 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     position x width substrings and COUNT(DISTINCT)s them — so a
     match validates the full suffix order + LCP chain by a method
     that shares no intermediate with the engine."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = _docs_join_side(spark, sf_dir)
     sa = _suffix_ranks_cached(spark, sf_dir, None)
     with_txt = sa.join(docs.select("doc_id", "text"), "doc_id").select(
         "sa_rank",
@@ -2249,18 +2366,28 @@ def span_rewrite_batch(
     sized = allpos.withColumn("gsz", F.count("*").over(wc)).filter(
         F.col("gsz") >= 2
     )
+    # staged lag/lead (the dedup_span_rewrite_gramgroup discipline):
+    # one evaluation per window function, plain columns into the fold
+    nbrs = sized.select(
+        "doc_id",
+        "is_b",
+        "p",
+        "s64",
+        F.lag("s64").over(wg).alias("prev_s"),
+        F.lead("s64").over(wg).alias("next_s"),
+    )
     credited = (
-        sized.select(
+        nbrs.select(
             "doc_id",
             "is_b",
             "p",
             F.greatest(
                 F.coalesce(
-                    _lcp_expr(F.col("s64"), F.lag("s64").over(wg)),
+                    _lcp_expr(F.col("s64"), F.col("prev_s")),
                     F.lit(0),
                 ),
                 F.coalesce(
-                    _lcp_expr(F.col("s64"), F.lead("s64").over(wg)),
+                    _lcp_expr(F.col("s64"), F.col("next_s")),
                     F.lit(0),
                 ),
             ).alias("lcp"),

@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 
 from streamlit_flink_demo_spark.functions.numeric import dsum, dsum_sql
 from streamlit_flink_demo_spark.plans import register
-from streamlit_flink_demo_spark.sources.catalog import load_table
+from streamlit_flink_demo_spark.sources.catalog import _table_bytes, load_table
+
+# r14 (VERDICT r13 item 3): size gate for q21's two data-dependent
+# broadcast hints (F-orderkeys and the qualifying-order set, both
+# bounded by |orders|). 256 MB of orders parquet ≈ low tens of M
+# orderkeys at the measured ~18 B/row — an 8 B/key broadcast in the
+# low hundreds of MB, the guide §3.1 comfort zone. Above it the hints
+# drop away and the planner (AQE + runtime Bloom filter) owns the
+# strategy.
+_Q21_BCAST_ORDERS_BYTES = 256 << 20
 
 # --------------------------------------------------------------------------
 # Q4 — EXISTS semi-join: orders with at least one returned line
@@ -451,17 +460,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL lines of each F-order, which the orderkey semi-join keeps
     whole), so the pair exchange ships only F-order lines. The
     order-qualification join is broadcast on the AGGREGATED key set
-    (bounded by qualifying orders, 8 B each — swap for the runtime
-    Bloom semi-join if it outgrows one at corpus scale), so pair's
+    (bounded by qualifying orders, 8 B each), so pair's
     (orderkey, suppkey) exchange is planned once and reused for both
-    its consumers instead of re-shuffling by orderkey."""
+    its consumers instead of re-shuffling by orderkey.
+
+    r14 (VERDICT r13 item 3): both broadcast sets here are
+    data-dependent (F-status orderkeys ≈ half of orders; ord_ok ⊆
+    them), and the explicit hint overrides Spark's size checks — so
+    the hints are byte-gated on the orders source size (a
+    deterministic driver-side stat; a count gate would add a data
+    pass per plan build, extending the untimed-dispatch caveat).
+    Above the gate both joins drop the hint: Spark plans them as
+    shuffle joins, where AQE and the runtime Bloom filter take over —
+    predictable degradation instead of a driver OOM."""
+    bcast_ok = _table_bytes(sf_dir, "orders") <= _Q21_BCAST_ORDERS_BYTES
+    hint = F.broadcast if bcast_ok else (lambda df: df)
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
     lf = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(o),
+        hint(o),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )
@@ -482,7 +502,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     return (
         pair.filter(F.col("has_r") == 1)
-        .join(F.broadcast(ord_ok), F.col("l_orderkey") == F.col("ok"))
+        .join(hint(ord_ok), F.col("l_orderkey") == F.col("ok"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_r").alias("numwait"))

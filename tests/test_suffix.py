@@ -671,3 +671,116 @@ def test_suffix_artifact_document_takedown(
 
     assert inc.compact_index(spark, path, (), ("sa_rank",)) is True
     assert order_of(load_suffix_index(spark, sf_dir)) == fresh
+
+
+def test_global_group_rank_values_and_plan(spark):
+    """r14 pin for the _global_group_rank rewrite (VERDICT r13 item 2):
+    (a) ranks still equal the count of strictly-smaller keys for tied
+    and untied keys alike; (b) the within-partition index comes from a
+    monotonically_increasing_id over a PARTITION-LOCAL sort — no
+    Exchange at all on the unique-key path, exactly one (the
+    min-over-key-group hash exchange) otherwise. If Catalyst ever
+    eliminated the local sort under the id projection, (a) would fail
+    loudly (the id would number rows in checkpoint-block order)."""
+    import re
+
+    from streamlit_flink_demo_spark.operators.suffix import (
+        _global_group_rank,
+    )
+
+    def plan(df):
+        sc = df.sparkSession.sparkContext
+        return sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    rows = [(k, i) for i, k in enumerate("babcaacbadb")]
+    df = spark.createDataFrame(rows, "k string, tie int")
+
+    # non-unique keys: rank = #strictly smaller, shared across a group
+    got = {
+        (r.k, r.tie): r.rank
+        for r in _global_group_rank(df, ["k"]).collect()
+    }
+    ks = sorted(k for k, _ in rows)
+    expect = {(k, t): ks.index(k) for k, t in rows}
+    assert got == expect
+    p = plan(_global_group_rank(df, ["k"]))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "monotonically_increasing_id" in p
+
+    # unique keys: rank = global index, zero exchanges after the
+    # (pre-checkpoint) range sort
+    uq = _global_group_rank(df, ["k", "tie"], unique=True)
+    got_u = {(r.k, r.tie): r.rank for r in uq.collect()}
+    order = sorted(rows)
+    assert got_u == {kt: i for i, kt in enumerate(order)}
+    pu = plan(_global_group_rank(df, ["k", "tie"], unique=True))
+    assert len(re.findall(r"\(\d+\) Exchange\b", pu)) == 0, pu
+    # the id projection must sit directly above a partition-local Sort
+    sorts = re.findall(r"\(\d+\) Sort\b", pu)
+    assert len(sorts) >= 1
+    assert "global=false" in pu.lower() or "], false," in pu
+
+
+def test_indexed_repeat_probe_parity_after_boundary_tombstone(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 ADVICE (medium): _adjacent_sa_pairs' ghost-row bucketing
+    keys on rank VALUES, so a tombstone that removes a bucket-boundary
+    rank (sa_rank % _ADJ_BUCKET == 0) must not drop the cross-bucket
+    adjacent-survivor pair. Tombstone the document that OWNS a boundary
+    rank (falling back to the lowest doc_id when the corpus is smaller
+    than one bucket) and demand the artifact probe equals a fresh
+    longest-repeat computation over the survivors."""
+    from streamlit_flink_demo_spark.operators import incremental as inc
+    from streamlit_flink_demo_spark.operators import similarity as sim
+    from streamlit_flink_demo_spark.operators.suffix import (
+        _ADJ_BUCKET,
+        _longest_repeat_from_sa,
+        build_suffix_index,
+        load_suffix_index,
+        suffix_ranks,
+    )
+    from streamlit_flink_demo_spark.plans import REGISTRY
+    from streamlit_flink_demo_spark.sources.catalog import load_table
+
+    monkeypatch.setattr(sim, "_ARTIFACT_ROOT", str(tmp_path))
+    path = build_suffix_index(spark, sf_dir)
+    sa = load_suffix_index(spark, sf_dir)
+    boundary = (
+        sa.filter(
+            (F.col("sa_rank") % _ADJ_BUCKET == 0) & (F.col("sa_rank") > 0)
+        )
+        .select("doc_id")
+        .limit(1)
+        .collect()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    victim_id = (
+        boundary[0]["doc_id"]
+        if boundary
+        else docs.agg(F.min("doc_id")).collect()[0][0]
+    )
+    inc.tombstone_keys(
+        path,
+        "del:boundary",
+        docs.filter(F.col("doc_id") == victim_id).select("doc_id"),
+        key_col="doc_id",
+    )
+
+    probe = REGISTRY["corpus_longest_repeat_indexed"].fn.__wrapped__(
+        spark, sf_dir
+    )
+    got = {
+        r.doc_id: (r.max_repeat, r.n_long_positions)
+        for r in probe.collect()
+    }
+    survivors = docs.filter(F.col("doc_id") != victim_id)
+    expect = {
+        r.doc_id: (r.max_repeat, r.n_long_positions)
+        for r in _longest_repeat_from_sa(
+            survivors, suffix_ranks(survivors, spark)
+        ).collect()
+    }
+    assert got == expect

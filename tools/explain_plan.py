@@ -2,7 +2,7 @@
 
     python tools/explain_plan.py NAME[,NAME...] [--out DIR] [--suffix TAG]
 
-Writes ``<out>/<name>_<tag>.txt`` per query (default out plans/r13,
+Writes ``<out>/<name>_<tag>.txt`` per query (default out plans/r14,
 default tag ``after``) at $SPARK_GRAFT_SF_DIR (default sf0.1) so the
 committed plan evidence matches the benched scale factor.
 """
@@ -15,9 +15,18 @@ from streamlit_flink_demo_spark.plans import load_all
 from streamlit_flink_demo_spark.session import get_spark
 
 
+_USAGE = (
+    "usage: python tools/explain_plan.py NAME[,NAME...] "
+    "[--out DIR] [--suffix TAG]"
+)
+
+
 def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1].startswith("--"):
+        print(_USAGE, file=sys.stderr)
+        return 2
     names = sys.argv[1].split(",")
-    out_dir = "plans/r13"
+    out_dir = "plans/r14"
     tag = "after"
     args = sys.argv[2:]
     while args:
@@ -30,6 +39,13 @@ def main() -> int:
     spark = get_spark("explain")
     reg = load_all(exposed_only=False)
     os.makedirs(out_dir, exist_ok=True)
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(
+            f"unknown query name(s) {unknown}; registry has {len(reg)}",
+            file=sys.stderr,
+        )
+        return 2
     for name in names:
         df = reg[name].fn(spark, sf)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
