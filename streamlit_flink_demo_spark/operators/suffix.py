@@ -63,7 +63,22 @@ from streamlit_flink_demo_spark.functions.hashing import u60, u60_sql
 from streamlit_flink_demo_spark.plans import register, track_persist
 from streamlit_flink_demo_spark.sources.catalog import load_spread, load_table
 
-_SA_SEED = 8  # initial key: first 8 chars of each suffix
+# Initial key width: the first _SA_SEED chars of each suffix. r14
+# retune (measured at sf0.1, warm, force-built): 8 → ~24 s, 16 →
+# ~22 s, 32 → ~10.7 s, 48/64 → ~10 s (plateau). A wider seed freezes
+# the overwhelmingly-unique positions in the ONE seed sort instead of
+# dragging them through 2-3 more doubling rounds: with 8, round-1
+# active is most of the corpus (natural text ties heavily on 8
+# chars); with 32, only positions sharing a full 32-char prefix —
+# true near-duplicate territory — stay active, and the loop starts at
+# off=32 (two fewer rounds). At cluster scale the trade is ~16 extra
+# seed-key bytes/char through one exchange versus re-shuffling most
+# positions through the early rounds two or three more times. 32 is
+# the narrowest width at the measured plateau; 64 doubles the seed
+# bytes for no local gain. Semantics are seed-independent (the final
+# order is the total suffix order; the brute-force unit tests and the
+# corpus_suffix_array rank checksum pin this at every width).
+_SA_SEED = 32
 _SA_MOD = 1_000_000_007  # per-term checksum modulus (no BIGINT overflow)
 # Active-set size under which a doubling round switches from the full
 # rank-map shuffle join to the broadcast semi-filter lookup (16 B/key
@@ -73,7 +88,10 @@ _SA_BCAST_ACTIVE = 1_000_000
 
 
 def _global_group_rank(
-    df: DataFrame, key_cols: list[str], unique: bool = False
+    df: DataFrame,
+    key_cols: list[str],
+    unique: bool = False,
+    with_gsz: bool = False,
 ) -> DataFrame:
     """Add ``rank`` = number of rows strictly smaller in ``key_cols``
     order (dense group-start rank): range-sort globally, index rows as
@@ -168,9 +186,14 @@ def _global_group_rank(
     # the min-over-key-group window (one hash exchange — the only one
     # left in this helper) keeps group-start ranks correct without
     # relying on where the range sampler places key-group boundaries.
-    return indexed.withColumn("rank", F.min("_idx").over(wkey)).drop(
-        "_mid", "_idx"
-    )
+    # ``with_gsz`` rides the key-group SIZE on the SAME window spec
+    # (one window stage, zero extra exchanges) — suffix_ranks' seed
+    # used to recompute it as a separate count-over-(shard, rank)
+    # window, a second full exchange of the seeded frame (r14, §2.4).
+    out = indexed.withColumn("rank", F.min("_idx").over(wkey))
+    if with_gsz:
+        out = out.withColumn("gsz", F.count("*").over(wkey))
+    return out.drop("_mid", "_idx")
 
 
 def suffix_ranks(
@@ -220,13 +243,21 @@ def suffix_ranks(
         "p",
         F.col("text").substr(F.col("p") + 1, F.lit(_SA_SEED)).alias("k0"),
     )
-    seeded = _global_group_rank(pos, ["shard", "k0"]).select(
-        "shard", "doc_id", "p", "rank"
-    )
+    # r14 (guide §2.4, VERDICT r13 item 2): the seed group SIZE rides
+    # the ranking window itself (with_gsz — same partition spec, one
+    # window stage) instead of a second count-over-(shard, rank)
+    # window, which re-exchanged the whole seeded frame; and because
+    # gsz is now INSIDE the seeded checkpoint, the frozen/active
+    # splits are plain narrow filters over pinned blocks — the two
+    # extra near-full-frame checkpoint materializations are gone.
+    seeded = _global_group_rank(
+        pos, ["shard", "k0"], with_gsz=True
+    ).select("shard", "doc_id", "p", "rank", "gsz")
     if sharded:
         # shard is the leading range key, so each shard's rows occupy
         # a contiguous global index range; within-shard rank = global
         # rank - shard start. One bounded collect (one row per shard).
+        # gsz is untouched by the rebase (group sizes don't shift).
         offs = {
             r["shard"]: r["lo"]
             for r in seeded.groupBy("shard").agg(
@@ -237,12 +268,8 @@ def suffix_ranks(
         seeded = seeded.withColumn("rank", F.col("rank") - omap[F.col("shard")])
     seeded = seeded.localCheckpoint(eager=True)
 
-    grp = W.partitionBy("shard", "rank")
-    sized = seeded.withColumn("gsz", F.count("*").over(grp))
-    frozen: list[DataFrame] = [
-        sized.filter("gsz = 1").drop("gsz").localCheckpoint(eager=True)
-    ]
-    active = sized.filter("gsz > 1").drop("gsz").localCheckpoint(eager=True)
+    frozen: list[DataFrame] = [seeded.filter("gsz = 1").drop("gsz")]
+    active = seeded.filter("gsz > 1").drop("gsz")
 
     off = _SA_SEED
     n_active = active.count()
@@ -2098,8 +2125,8 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_gram_lookup probes a FIXED width; real lookup batches mix
 # lengths (phrases, code identifiers, memorized-string audits). The
 # distributed trick that keeps it ONE corpus scan for all widths: key
-# the position index on an 8-char SEED gram (_SA_SEED — the same seed
-# the suffix array sorts on first) and carry a capped extension; a
+# the position index on an 8-char SEED gram (_PAT_SEED) and carry a
+# capped extension; a
 # pattern of any length 8..36 joins on its first 8 chars and verifies
 # by prefix match against the extension. The seed join is a hash join
 # (broadcast here; bucket-pruned against the gram-index artifact at
@@ -2108,6 +2135,10 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chars at a time.
 
 _PAT_MAX = 36  # longest probe pattern (capped extension width)
+# the pattern index's seed-gram width is its own 8-char contract (the
+# oracle SQL hardcodes substr(..., 1, 8)); it historically aliased
+# _SA_SEED, which r14 retunes independently for the SA construction
+_PAT_SEED = 8
 
 
 _PAT_LOOKUP_ORACLE = f"""
@@ -2163,7 +2194,7 @@ def corpus_pattern_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pat")
         )
         .distinct()
-        .select("pat", F.col("pat").substr(1, _SA_SEED).alias("k8"))
+        .select("pat", F.col("pat").substr(1, _PAT_SEED).alias("k8"))
     )
     pos = docs.filter(F.length("text") >= 8).select(
         "doc_id",
@@ -2173,7 +2204,7 @@ def corpus_pattern_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("text").substr(F.col("p") + 1, F.lit(_PAT_MAX)).alias("ext"),
     ).select(
-        "doc_id", "ext", F.col("ext").substr(1, _SA_SEED).alias("k8")
+        "doc_id", "ext", F.col("ext").substr(1, _PAT_SEED).alias("k8")
     )
     hits = pos.join(F.broadcast(pats), "k8").filter(
         F.col("ext").substr(F.lit(1), F.length("pat")) == F.col("pat")
@@ -2341,6 +2372,21 @@ def span_rewrite_batch(
     to the batch's gram buckets and base text is never rescanned."""
     from pyspark.sql import Window as W
 
+    # r14 note (VERDICT r13 item 7): the batch-side dup-gram prefilter
+    # was built and MEASURED here — keep = (grams matching the live
+    # index, derived g-column-pruned from the same read as cpos) ∪
+    # (grams occurring >= 2x in the batch), semi-joined into bpos
+    # before the g-exchange — and REJECTED: isolated paired runs of
+    # dedup_span_rewrite_delta_gramidx measured 2.2-2.4 s without it
+    # vs 3.1-3.8 s with it at sf0.1 (the extra pruned-bucket scan +
+    # the keep-broadcast stage chain cost more than the ~120 B/row
+    # g-exchange of the batch singletons it removes; the exchange the
+    # filter would protect is batch-sized, not corpus-sized, by
+    # construction). The r13 sketch of a BUILD-TIME dup-gram sidecar
+    # is additionally unsound under compaction: a data delta commits
+    # grams the base sidecar lacks, and a stale-LOW sidecar silently
+    # drops true matches. The in-window gsz >= 2 filter below remains
+    # the exactness gate either way.
     bpos = gram_positions(batch_docs).withColumn("is_b", F.lit(True))
     bg = bpos.select("g").distinct()
     if "gb" in corpus_index.columns:
