@@ -24,7 +24,7 @@ the suffixes, ties broken by (doc_id, pos) — documents are separate
 strings, no concatenation, so no artificial separators are needed):
 
 1. seed: rank⁰(p) = group-rank of the first _SA_SEED chars of the
-   suffix at p (one global sort of 8-char keys).
+   suffix at p (one global sort of seed-width keys).
 2. round k: key(p) = (rankᵏ(p), rankᵏ(p + 2ᵏ·seed) or -1); a suffix
    past its document's end contributes -1 (a proper prefix sorts
    before every extension — exactly string order). Re-rank by one
@@ -42,10 +42,12 @@ MIN(global index) over the key group (one hash exchange), which is
 boundary-placement-independent, so the result is deterministic even
 though range sampling is not.
 
-Cost model: ~log₂(maxlen/seed)+1 rounds; each round exchanges
-(doc_id, pos, 2 ranks) ≈ 28 B/char — the distributed analogue of the
-external-memory SA sorts, and the reason Lee et al. shard their
-corpus. The verification story is the point: the scalable iterative
+Cost model: one seed sort of ~(seed + 16) B/char, then
+~log₂(maxlen/seed) rounds that exchange only the ACTIVE set —
+positions still tied on their first `off` chars, ~13% of a natural
+corpus at the 32-char seed (r14) — at ≈ 28 B/row; the distributed
+analogue of the external-memory SA sorts, and the reason Lee et al.
+shard their corpus. The verification story is the point: the scalable iterative
 algorithm is checked bit-for-bit against a brute-force oracle that
 simply sorts the materialized suffix strings (DuckDB can afford that
 at test SF; Spark never builds them at all).
@@ -207,7 +209,7 @@ def suffix_ranks(
     within-shard adjacency read the sharded index).
 
     Prefix doubling with ACTIVE-SET RANK REFINEMENT. The seed round
-    pays the one global sort (8-char keys). Every later round exploits
+    pays the one global sort (_SA_SEED-char keys). Every later round exploits
     the group-start-rank invariant — rank(p) = count of suffixes with
     a strictly smaller current key — which makes a row with a UNIQUE
     rank frozen forever: no other row shares its key now, so no later
@@ -1353,9 +1355,13 @@ def dedup_span_rewrite_capsort(spark: SparkSession, sf_dir: str) -> DataFrame:
     order BEYOND 64 chars) is information the rewrite then throws
     away.
 
-    Cost: ~88 B/char through ONE range exchange, vs ~28 B/char ×
-    ~7 prefix-doubling rounds (~196 B/char cumulative) plus their
-    per-round checkpoint materializations — and unlike the sharded
+    Cost: ~88 B/char through ONE range exchange, vs the SA's ~48 B/
+    char seed sort plus the doubling rounds over its residual active
+    set and their per-round checkpoint materializations (r14: the
+    32-char seed shrank that residual to the deep-tie ~13% of
+    positions, narrowing this tier's construction advantage — but
+    capsort still wins when span removal is the only consumer, and it
+    needs no fail-stop checkpoint discipline at all) — and unlike the sharded
     tier this loses NO cross-shard repeats. Use the SA when arbitrary-
     length queries (pattern lookup, distinct substrings, contamination
     scans) must also be served; use this when span removal is the only
